@@ -1,0 +1,669 @@
+"""Driver-facing query registry.
+
+Each entry pairs a Spark DataFrame plan with an equivalent ANSI-SQL oracle
+that DuckDB runs over the same parquet tables (the driver's correctness
+gate, see ``__spark_entry__.py``). Registry keys map 1:1 onto the operator
+inventory in SURVEY.md §2 — each docstring cites the reference operator(s)
+(file:line in /root/reference) the query demonstrates parity with.
+
+Determinism rules (so the order-insensitive value hash matches):
+
+- double aggregates go through ``DECIMAL(18,6)`` so the sum is exact and
+  order-independent, then cast back to double — both engines produce the
+  bit-identical IEEE value;
+- averages are computed as ``CAST(exact_sum AS DOUBLE) / COUNT``, one IEEE
+  division on identical operands;
+- every top-k / keep-first has a total tiebreak order on a unique key;
+- all computed columns are aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    bench: bool = False  # part of the bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False,
+             tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, bench, tags)
+        return fn
+    return deco
+
+
+def dec(col: str | Column, scale: int = 6) -> Column:
+    """Exact-sum helper: cast a double column to DECIMAL(18,scale) so SUM is
+    order-independent (decimal addition is exact; double addition is not)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scan → filter → aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("filter", "groupBy", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. Exercises the engine's grouped
+    aggregation surface (SURVEY §2.7: absent in the reference, whose only
+    aggregates are metadata profiles A1-A6 at data_quality_checker.py:10-163).
+    Scale notes: single shuffle on 2 low-cardinality keys with map-side
+    partial aggregation; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    bench=True,
+    tags=("join", "groupBy", "topk"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped agg, total-ordered top-k.
+    Joins are absent in the reference (SURVEY §2.7; FK at
+    json_pipeline.py:750 never joined). Scale notes: customer filter first
+    (prunes before the join), broadcast-eligible build side, top-k via
+    orderBy+limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+    tags=("join", "broadcast", "groupBy"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join with explicitly broadcast dimensions.
+    Scale notes: region/nation/customer are broadcast (no shuffle of the
+    fact side for those joins); only orders⋈lineitem shuffles, on the join
+    key, with AQE free to re-plan at runtime."""
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SURVEY §2.7 gap list). Scale notes: anti join
+    shuffles both sides on the key once; no data explosion possible."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with a pushed-down predicate on the probe side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+    tags=("window", "topk"),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window (SURVEY §2.7 gap list; also the
+    deterministic form of the reference's keep-first dedup U2,
+    data_quality_checker.py:340-352). Scale notes: one shuffle on the
+    partition key; rank pushdown (WindowGroupLimit) keeps per-partition
+    state at k rows instead of sorting whole partitions."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "events_value_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER w AS value_delta,
+           LEAST(ts, LAG(ts) OVER w) AS span_start,
+           GREATEST(ts, LAG(ts) OVER w) AS span_end
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("window", "lag", "swap"),
+)
+def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() deltas per user plus the least/greatest pair — the same
+    column-swap idiom that implements the reference's date-order repair F11
+    (data_quality_checker.py:197-211). Window order has a unique tiebreak
+    (event_id) so lag is deterministic."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.least(F.col("ts"), prev_ts).alias("span_start"),
+        F.greatest(F.col("ts"), prev_ts).alias("span_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / sort-limit
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup",),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.7 gap list)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube",),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.7 gap list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "parts_top20_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey ASC
+    LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def parts_top20_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (SURVEY §2.7 gap list). Spark plans
+    TakeOrderedAndProject: no full global sort materialized."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time windows + semi-structured JSON props
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+    tags=("window-agg", "time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation — the batch twin of the streaming pipeline
+    (ehr_data_pipeline_spark.streaming uses the same plan over readStream
+    with a watermark). Scale notes: single shuffle on (hour, type)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "semi-structured"),
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from a JSON string column — the engine's
+    general form of the reference's nested-JSON consumption (SURVEY §2.4;
+    the FHIR path uses typed structs instead, see fhir/schema.py)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "event_route_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("router", "P1"),
+)
+def event_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-by-value routing parity (P1, json_pipeline.py:61-94): the
+    reference dispatches rows into per-type tables; the engine expresses
+    routing as filters over one cached scan — this query audits the routing
+    totals per type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "purchase_events",
+    oracle="""
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 250
+    """,
+    tags=("filter", "P1"),
+)
+def purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One routed partition (P1) + predicate filter; both predicates push
+    down to the parquet scan."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "purchase") & (F.col("value") > 250)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference cleaning/quality parity on the relational tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "clean_events_values",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 0 AND value <= 400 THEN value END AS value_valid,
+           COALESCE(CASE WHEN value >= 0 AND value <= 400 THEN value END, 0.0)
+             AS value_filled
+    FROM events
+    """,
+    tags=("clean", "F9", "F10", "F13"),
+)
+def clean_events_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional null-out + constant fill parity (F9/F10 null-out at
+    data_quality_checker.py:173-187,219-230; F13 fillna at :267), expressed
+    as pure column expressions (no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    valid = F.when(F.col("value").between(0, 400), F.col("value"))
+    return e.select(
+        "event_id",
+        valid.alias("value_valid"),
+        F.coalesce(valid, F.lit(0.0)).alias("value_filled"),
+    )
+
+
+@register(
+    "source_prefix_strip",
+    oracle="""
+    SELECT doc_id, regexp_replace(source, '^src', 'origin-') AS origin
+    FROM documents
+    """,
+    tags=("string", "F1"),
+)
+def source_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-rewrite parity (F1 urn:uuid strip, json_pipeline.py:75,128-151)
+    as a native regexp_replace."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("source"), r"^src", "origin-").alias("origin"),
+    )
+
+
+@register(
+    "events_validation_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_value,
+           CAST(SUM(CASE WHEN props IS NOT NULL
+                          AND NOT regexp_matches(props, '^\\{"k": -?\\d+\\}$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_props_format,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts
+    FROM events
+    """,
+    tags=("quality", "A2", "F5-F8"),
+)
+def events_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass validation-violation counting (A2 at
+    data_quality_checker.py:34-45 runs one python loop per check; the engine
+    folds every check into ONE aggregate pass — same report, one scan)."""
+    e = _t(spark, sf_dir, "events")
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n(F.col("value").isNull()).alias("null_value"),
+        n(F.col("value").isNotNull() & ((F.col("value") < 0) | (F.col("value") > 400))).alias("out_of_range_value"),
+        n(F.col("props").isNotNull() & ~F.col("props").rlike(r'^\{"k": -?\d+\}$')).alias("bad_props_format"),
+        n(F.col("ts").isNull()).alias("null_ts"),
+    )
+
+
+@register(
+    "missing_profile_orders",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT col_name, n_null,
+           100.0 * n_null / t.total AS pct_null
+    FROM (
+      SELECT 'o_orderkey' AS col_name,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+      UNION ALL SELECT 'o_custkey',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'o_orderdate',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL SELECT 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    ), t
+    """,
+    tags=("quality", "A1"),
+)
+def missing_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value profile parity (A1, data_quality_checker.py:10-31):
+    per-column null count + percentage in ONE aggregate pass over the table
+    (the reference loops per column), unpivoted to the report shape."""
+    from ehr_data_pipeline_spark.operators.quality import missing_value_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return missing_value_profile(o)
+
+
+@register(
+    "lineitem_first_line_per_order",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber ASC, l_partkey ASC,
+                                         l_suppkey ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "U2"),
+)
+def lineitem_first_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (U2, data_quality_checker.py:340-352).
+    pandas keep='first' depends on input order; the engine makes the order
+    explicit — and TOTAL: (l_orderkey, l_linenumber) alone is not unique in
+    the testdata, so partkey/suppkey break the tie (SURVEY §2.5)."""
+    from ehr_data_pipeline_spark.operators.dedup import keep_first
+
+    li = _t(spark, sf_dir, "lineitem")
+    return keep_first(
+        li,
+        keys=["l_orderkey"],
+        order_by=[
+            F.col("l_linenumber").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_suppkey").asc(),
+        ],
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
+@register(
+    "duplicate_group_stats",
+    oracle="""
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows_in_dup_groups,
+           COUNT(*) AS n_dup_groups
+    FROM (
+      SELECT COUNT(*) AS cnt FROM lineitem
+      GROUP BY l_orderkey, l_suppkey
+      HAVING COUNT(*) > 1
+    )
+    """,
+    tags=("quality", "A4"),
+)
+def duplicate_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate counting with pandas keep=False semantics (A4,
+    data_quality_checker.py:97-102): a group of k duplicates contributes k,
+    not k-1. groupBy-count-filter-sum, one shuffle."""
+    from ehr_data_pipeline_spark.operators.dedup import duplicate_group_stats as dgs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dgs(li, keys=["l_orderkey", "l_suppkey"])
+
+
+@register(
+    "union_by_name_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("union", "U1"),
+)
+def union_by_name_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-append parity (U1, json_pipeline.py:68,82-94): split + by-name
+    union with drifted column order must be lossless. The engine uses
+    unionByName (the reference's pd.concat aligns by name too)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    # drifted column order on purpose — unionByName must realign
+    b = o.filter(F.col("o_orderstatus") != "F").select("o_orderstatus", "o_orderkey")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}

@@ -1,0 +1,49 @@
+"""Loaders for the driver-provided parquet star schema (TESTDATA.md).
+
+All reads go through :func:`load_table` so every query sees the same
+session-conf normalization (UTC timestamps) and so that, at scale, a swap to
+a catalog/bucketed source is one change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins. At 100 TB
+# the facts (orders/lineitem/events/documents) grow; these stay dimension-sized.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+# columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
+# natively — read as long nanos (legacy.parquet.nanosAsLong) and floor to
+# micros, matching DuckDB's truncating nanos→micros conversion
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

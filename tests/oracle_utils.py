@@ -1,0 +1,71 @@
+"""Mimic the driver's DuckDB-oracle comparison: row count + column names +
+order-insensitive value equality. Strict by default — we engineered the
+queries so Spark and DuckDB produce bit-identical values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # collapse -0.0 vs 0.0 representation differences
+        return v + 0.0
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, list):
+        return tuple(_canon_value(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return _canon_value(v.item())
+        if isinstance(v, np.ndarray):
+            return tuple(_canon_value(x) for x in v.tolist())
+    except ImportError:
+        pass
+    return v
+
+
+def canon_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare_spark_vs_oracle(spark_df, con, sql: str, name: str = "?") -> None:
+    spdf = spark_df.toPandas()
+    ddf = con.execute(sql).df()
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
+    )
+    assert len(spdf) == len(ddf), f"{name}: row count spark={len(spdf)} duck={len(ddf)}"
+    srows, drows = canon_rows(spdf), canon_rows(ddf)
+    n_bad = sum(1 for a, b in zip(srows, drows) if a != b)
+    if n_bad:
+        examples = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+        raise AssertionError(f"{name}: {n_bad}/{len(srows)} rows differ; first: {examples}")

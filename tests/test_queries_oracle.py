@@ -1,0 +1,48 @@
+"""Every registry query must hash-match its DuckDB oracle — the same gate
+the driver runs (CORRECTNESS_r{N}.json). Runs at sf0.001 for speed; the
+driver re-runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_data_pipeline_spark.queries import REGISTRY
+from tests.oracle_utils import compare_spark_vs_oracle, duckdb_con
+
+ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb_con(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    compare_spark_vs_oracle(df, con, spec.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    # entry's contract: stable schema, no exceptions
+    assert df.schema is not None
+    # queries()/oracle_sql() keys line up
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
