@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -17,13 +18,15 @@ from ehr_data_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="ehr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
-    # warm the JVM + parquet footers once so timings measure the queries
-    for spec in list(specs.values())[:1]:
+    # warm EVERY query once (JVM JIT, parquet footers, first-touch page cache)
+    # so the timed pass measures the queries, not one-time costs
+    for spec in specs.values():
         spec.fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

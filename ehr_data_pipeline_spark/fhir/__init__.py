@@ -1,3 +1,5 @@
-"""FHIR bundle ingest: explicit nested schema, resource routing, per-entity
-extraction, cleaning, and quality reporting — the reference pipeline's whole
-capability surface as lazy Catalyst plans."""
+"""FHIR bundle pipeline: explicit nested read schema (``schema``), bundle
+reader + resourceType router (``ingest``), per-entity nested-field
+extractors (``extract``), cleaning composition (``clean``), and per-table
+quality-check suites (``quality``) — the reference pipeline's capability
+surface as lazy Catalyst plans."""

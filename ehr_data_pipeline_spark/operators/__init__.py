@@ -1,2 +1,3 @@
-"""Reusable distributed operators: dedup, quality profiling, similarity
-search, text analysis, multimodal column plumbing."""
+"""Reusable distributed operators: key dedup (``dedup``) and quality
+profiling (``quality``); text dedup, similarity search, text analysis, and
+multimodal plumbing land in sibling modules as they are built."""

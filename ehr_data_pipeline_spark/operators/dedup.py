@@ -1,10 +1,10 @@
-"""Deduplication operators.
+"""Key-based deduplication operators: the reference's key-dedup (U2,
+data_quality_checker.py:340-352) and duplicate counting (A4, :97-102).
 
-Covers the reference's key-dedup (U2, data_quality_checker.py:340-352) and
-duplicate counting (A4, :97-102), plus the LLM-pipeline dedup family: exact
-text dedup, MinHash-LSH, SimHash, and n-gram Jaccard near-dup. Everything is
-pure DataFrame API — no Python UDFs — so the plans stay inside whole-stage
-codegen and scale by shuffle on well-chosen keys.
+Text/near-dup deduplication (exact text hash, MinHash-LSH, SimHash, n-gram
+Jaccard) lives in :mod:`ehr_data_pipeline_spark.operators.text_dedup`.
+Everything is pure DataFrame API — no Python UDFs — so the plans stay inside
+whole-stage codegen and scale by shuffle on well-chosen keys.
 """
 
 from __future__ import annotations

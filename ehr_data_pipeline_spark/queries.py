@@ -169,13 +169,16 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast", "groupBy"),
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way star join with explicitly broadcast dimensions.
-    Scale notes: region/nation/customer are broadcast (no shuffle of the
-    fact side for those joins); only orders⋈lineitem shuffles, on the join
-    key, with AQE free to re-plan at runtime."""
+    """TPC-H Q5 shape: 5-way star join with broadcast dimensions.
+    Scale notes: region/nation are tiny and explicitly broadcast; customer
+    is NOT hint-broadcast — at real TPC-H scale it is 1/4 the rows of
+    orders and the build side would not fit an executor, so the
+    auto-broadcast threshold + AQE decide at runtime (at test SFs it still
+    broadcasts; at 100 TB it degrades safely to a shuffle join). Only
+    orders⋈lineitem always shuffles, on the join key."""
     r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     n = F.broadcast(_t(spark, sf_dir, "nation"))
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
@@ -382,9 +385,8 @@ def parts_top20_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window-agg", "time"),
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-hour aggregation — the batch twin of the streaming pipeline
-    (ehr_data_pipeline_spark.streaming uses the same plan over readStream
-    with a watermark). Scale notes: single shuffle on (hour, type)."""
+    """Tumbling-hour aggregation. Scale notes: single shuffle on
+    (hour, type) with map-side partial aggregation."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(

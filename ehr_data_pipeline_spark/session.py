@@ -38,6 +38,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _master_already_configured() -> bool:
+    """True when a master is already set by the deployment (spark-submit
+    --master lands in spark.master / PYSPARK_SUBMIT_ARGS, cluster launchers
+    set MASTER) — then we must not override it with local[N]."""
+    if "MASTER" in os.environ:
+        return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().contains("spark.master")
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "ehr-spark",
     master: str | None = None,
@@ -46,7 +62,7 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's conf applied."""
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "MASTER" not in os.environ:
+    if master is None and not _master_already_configured():
         master = f"local[{default_parallelism()}]"
     if master:
         builder = builder.master(master)

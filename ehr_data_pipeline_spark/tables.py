@@ -35,9 +35,16 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 # micros, matching DuckDB's truncating nanos→micros conversion
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# sessions whose runtime conf we already normalized (avoid re-setting conf
+# on the driver for every single load_table call)
+_CONF_APPLIED: set[int] = set()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    apply_runtime_conf(spark)
+    key = id(spark)
+    if key not in _CONF_APPLIED:
+        apply_runtime_conf(spark)
+        _CONF_APPLIED.add(key)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

@@ -31,7 +31,7 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
 def test_rows_only_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: rows-only query returned no rows at {sf_dir}"
     assert len(df.schema.fields) > 0
 
 
@@ -40,7 +40,7 @@ def test_entry_smoke(spark):
 
     df = mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # q5 at sf0.001 returns the 5 ASIA nations
     # entry's contract: stable schema, no exceptions
     assert df.schema is not None
     # queries()/oracle_sql() keys line up
