@@ -657,6 +657,120 @@ def union_by_name_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_quality_suite",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM events),
+    ev AS (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+    checks AS (
+      SELECT 'events' AS table_name, 'Invalid Props Format' AS error_type,
+             CAST(SUM(CASE WHEN props IS NOT NULL
+                            AND NOT regexp_matches(props, '^\\{"k": -?\\d+\\}$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM ev
+      UNION ALL
+      SELECT 'events', 'Value Out Of Range',
+             CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ev
+      UNION ALL
+      SELECT 'events', 'Logical Value Order',
+             CAST(SUM(CASE WHEN value IS NOT NULL AND k IS NOT NULL AND value > k
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ev
+      UNION ALL
+      SELECT 'events', 'Duplicate User/Type',
+             CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS cnt FROM events
+            GROUP BY user_id, event_type HAVING COUNT(*) > 1)
+    )
+    SELECT c.table_name, c.error_type, c.n_violations,
+           CASE WHEN t.total > 0
+                THEN CAST(100.0 AS DOUBLE) * c.n_violations / t.total
+                ELSE CAST(0.0 AS DOUBLE) END AS pct
+    FROM checks c, t
+    """,
+    tags=("quality", "A3", "A4", "A5"),
+)
+def events_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven quality-check suite parity (A5,
+    data_quality_checker.py:105-163) on the events table: all format (A2)
+    and logical-order (A3) checks fold into ONE aggregate pass via
+    quality_report; the keep=False duplicate check (A4) unions in as an
+    extra report row — same report shape as the reference
+    (table, error_type, count, pct)."""
+    from ehr_data_pipeline_spark.fhir.quality import duplicate_check_row
+    from ehr_data_pipeline_spark.operators.quality import quality_report
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    checks = {
+        "Invalid Props Format": F.col("props").isNotNull()
+        & ~F.col("props").rlike(r'^\{"k": -?\d+\}$'),
+        "Value Out Of Range": F.col("value").isNotNull()
+        & ((F.col("value") < 0) | (F.col("value") > 400)),
+        "Logical Value Order": F.col("value").isNotNull()
+        & k.isNotNull()
+        & (F.col("value") > k),
+    }
+    report = quality_report(e, checks, table_name="events")
+    return report.unionByName(
+        duplicate_check_row(e, ["user_id", "event_type"], "Duplicate User/Type", "events")
+    )
+
+
+@register(
+    "validator_parity_report",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+      FROM events
+    ), d AS (
+      SELECT concat('2020-01-', lpad(CAST(k AS VARCHAR), 2, '0')) AS ds,
+             concat(CAST(abs(k) AS VARCHAR), '-555-0199') AS phone,
+             value - 200 AS lat
+      FROM ev
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN regexp_matches(ds, '^\\d{4}-\\d{2}-\\d{2}$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_date,
+           CAST(SUM(CASE WHEN regexp_matches(phone,
+                  '^(\\(\\d{3}\\)\\s?\\d{3}-\\d{4}( x\\d+)?)$|^(\\d{3}-\\d{3}-\\d{4}( x\\d+)?)$|^(\\d{3}\\.\\d{3}\\.\\d{4}( x\\d+)?)$|^(1-\\d{3}-\\d{3}-\\d{4}( x\\d+)?)$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_phone,
+           CAST(SUM(CASE WHEN lat BETWEEN -90 AND 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_lat
+    FROM d
+    """,
+    tags=("validation", "F5-F8"),
+)
+def validator_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F8 validators (functions/validation.py, regex-identical to
+    data_quality_checker.py:48-80) exercised on strings DERIVED from events
+    data — e.g. '2020-01-' || lpad(k) is a valid date only when k lands in
+    two digits — so the real is_valid_* columns are oracle-checked."""
+    from ehr_data_pipeline_spark.functions.validation import (
+        is_valid_date,
+        is_valid_latitude,
+        is_valid_phone,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ds = F.concat(F.lit("2020-01-"), F.lpad(k.cast("string"), 2, "0"))
+    phone = F.concat(F.abs(k).cast("string"), F.lit("-555-0199"))
+    lat = F.col("value") - 200
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n(is_valid_date(ds)).alias("n_valid_date"),
+        n(is_valid_phone(phone)).alias("n_valid_phone"),
+        n(is_valid_latitude(lat)).alias("n_valid_lat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
