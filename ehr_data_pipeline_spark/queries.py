@@ -771,6 +771,141 @@ def validator_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Nested-extraction idiom parity (N1-N11, F2-F4) on the documents table.
+# The FHIR fixture goldens (tests/test_fhir_extract.py) prove the real
+# extractors; these queries put the same array/struct idioms under the
+# driver's DuckDB oracle, over arrays built from documents.text.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_extract",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[-1] AS last_token,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    """,
+    tags=("nested", "N3"),
+)
+def doc_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last array-element extraction — the N3 name idiom
+    (json_pipeline.py:224-243: name[0].given[0]) via the same
+    ``first``/``try_element_at`` helpers the patient extractor uses."""
+    from ehr_data_pipeline_spark.functions.arrays import first
+
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        first(tokens).alias("first_token"),
+        F.try_element_at(tokens, F.lit(-1)).alias("last_token"),
+        F.size(tokens).alias("n_tokens"),
+    )
+
+
+@register(
+    "doc_array_match_extract",
+    oracle="""
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t LIKE 's%')[1] AS first_s,
+           list_filter(string_split(text, ' '), t -> t LIKE 's%')[-1] AS last_s,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> length(t) > 4)) > 0
+                THEN array_to_string(list_filter(string_split(text, ' '),
+                                                 t -> length(t) > 4), ', ')
+           END AS long_tokens
+    FROM documents
+    """,
+    tags=("nested", "N2", "N4", "N11"),
+)
+def doc_array_match_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-match extraction + in-row flatten-join: N2 telecom
+    (first match), N4 extension url-match (LAST match wins,
+    json_pipeline.py:258-268), and N11 activity join
+    (json_pipeline.py:451-466) — via the exact helpers the extractors use
+    (first_match / ext_by_url / join_nonempty) over an array of
+    {url, value} structs built from tokens."""
+    from ehr_data_pipeline_spark.functions.arrays import (
+        ext_by_url,
+        first_match,
+        join_nonempty,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    exts = F.transform(
+        tokens, lambda t: F.struct(t.substr(1, 1).alias("url"), t.alias("value"))
+    )
+    long_or_null = F.transform(tokens, lambda t: F.when(F.length(t) > 4, t))
+    return d.select(
+        "doc_id",
+        first_match(exts, lambda e: e.getField("url") == F.lit("s"))
+        .getField("value")
+        .alias("first_s"),
+        ext_by_url(exts, "s").getField("value").alias("last_s"),
+        join_nonempty(long_or_null).alias("long_tokens"),
+    )
+
+
+@register(
+    "doc_name_concat",
+    oracle="""
+    SELECT doc_id,
+           concat(coalesce(lang, ''), ', ', coalesce(source, '')) AS full_address_style,
+           CASE WHEN lang IS NOT NULL AND lang <> ''
+                 AND source IS NOT NULL AND source <> ''
+                THEN concat(lang, ' ', source) END AS full_name_style
+    FROM documents
+    """,
+    tags=("string", "F2", "F3", "F4"),
+)
+def doc_name_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe concatenation parity: F2/F4 keep missing parts as ''
+    (json_pipeline.py:198-200,266-268); F3 yields null unless both parts
+    are truthy (:235) — the same expressions extract_patient uses."""
+    d = _t(spark, sf_dir, "documents")
+    lang, src = F.col("lang"), F.col("source")
+    truthy = lambda c: c.isNotNull() & (c != F.lit(""))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(lang, F.lit("")), F.lit(", "), F.coalesce(src, F.lit(""))
+        ).alias("full_address_style"),
+        F.when(truthy(lang) & truthy(src), F.concat_ws(" ", lang, src)).alias(
+            "full_name_style"
+        ),
+    )
+
+
+@register(
+    "fhir_pipeline_cleaned_patients",
+    oracle=None,  # input is the checked-in FHIR fixture bundles, not the
+    # driver's parquet star schema — semantics are golden-tested in
+    # tests/test_fhir_extract.py and tests/test_fhir_clean.py
+    tags=("fhir", "S1", "S3", "P1", "N1-N5", "F9-F13", "U2"),
+)
+def fhir_pipeline_cleaned_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole spine end-to-end — scan → explode → route →
+    extract → clean — over the checked-in fixture bundles, returning the
+    cleaned patient table (rows-only driver check; full golden coverage in
+    the fhir test modules)."""
+    import os
+
+    from ehr_data_pipeline_spark.fhir.clean import clean_patient
+    from ehr_data_pipeline_spark.fhir.extract import extract_patient
+    from ehr_data_pipeline_spark.fhir.ingest import read_and_route
+
+    fixture_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "fhir",
+    )
+    routed = read_and_route(spark, fixture_dir)
+    return clean_patient(extract_patient(routed["Patient"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
