@@ -1,0 +1,168 @@
+"""Text-analysis operators for LLM-training-data pipelines: normalization,
+tokenization, per-document stats/quality scores, stopword-based language
+identification, n-gram counting, and document fingerprinting.
+
+Everything is native column expressions (split/regexp/transform/aggregate)
+— zero Python UDFs — so per-document work stays inside whole-stage codegen
+and the only shuffles are the explicit groupBys (n-gram counts). At 100 TB
+the per-doc operators are a single narrow pass over the corpus.
+
+The reference pipeline has no text operators (SURVEY §2.7 gap list /
+BASELINE north star) — scale/shape decisions here follow the obvious
+Spark-first design, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pretokenizer: letter runs, digit runs, or single non-space symbol
+# (the shape GPT-2-style byte-BPE pretokenization produces on ASCII text)
+WORD_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# tiny high-frequency stopword lists for the language-ID heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "una", "en", "que"),
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for hashing/dedup: lowercase, trim, collapse
+    internal whitespace runs to single spaces."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def whitespace_tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish regex tokens over normalized text."""
+    return F.regexp_extract_all(normalize_text(col), F.lit(WORD_PATTERN), F.lit(0))
+
+
+def char_class_count(col: Column, char_class: str) -> Column:
+    """#chars matching a regex character class, via strip-and-measure
+    (global regexp_replace keeps this JVM-side and DuckDB-parity-exact)."""
+    return F.length(F.regexp_replace(col, f"[^{char_class}]", ""))
+
+
+def text_stats(col: Column) -> dict[str, Column]:
+    """Per-document stats: lengths, token counts, char-class ratios, and a
+    deterministic [0,1] quality score (long-enough docs with low
+    punctuation/digit density and some stopwords score high — the standard
+    cheap quality heuristic for LLM corpus filtering)."""
+    nt = normalize_text(col)  # stats are over the canonical form
+    n_chars = F.length(nt).cast("bigint")
+    toks = F.split(nt, " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_alpha = char_class_count(nt, "a-z").cast("bigint")
+    n_digit = char_class_count(nt, "0-9").cast("bigint")
+    n_space = char_class_count(nt, " ").cast("bigint")
+    n_punct = (n_chars - n_alpha - n_digit - n_space).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("bigint")
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    avg_token_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    )
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / denom
+    digit_ratio = n_digit.cast("double") / denom
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.3)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "quality_score": quality,
+    }
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    stats = text_stats(F.col(text_col))
+    return df.withColumns(stats)
+
+
+def language_hits(col: Column) -> dict[str, Column]:
+    """Stopword-hit counts per language over whitespace tokens."""
+    toks = whitespace_tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(col: Column) -> Column:
+    """Argmax language by stopword hits, priority-ordered en>de>fr>es on
+    ties, 'und' (undetermined) when nothing hits — the classic cheap
+    lang-ID heuristic for corpus filtering (fastText-style models slot in
+    behind the same operator signature as a pandas_udf if needed)."""
+    hits = language_hits(col)
+    langs = list(STOPWORDS)
+    # priority when-chain: a language wins when it hits at all and is >=
+    # every LATER language (earlier branches already lost if we got here)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = hits[lang] > 0
+        for later in langs[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[later])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams as an array column (in-row, no shuffle): zip shifted
+    slices of the token array."""
+    toks = whitespace_tokens(col)
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    out = F.slice(toks, 1, F.greatest(size - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        nxt = F.slice(toks, i + 1, F.greatest(size - (n - 1), F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k n-grams. One explode + one shuffle (partial
+    aggregation map-side), top-k via TakeOrderedAndProject with a
+    deterministic tiebreak on the n-gram string."""
+    return (
+        df.select(F.explode(ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def fingerprint128(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text
+    (md5 hex) — the exact-dedup key; stable across engines so it is
+    DuckDB-oracle-checkable."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit engine-side fingerprint (xxhash64): cheaper than md5 for
+    shuffle keys at 100 TB; not portable across engines (Spark-specific
+    seed), so tested rather than oracle-checked."""
+    return F.xxhash64(normalize_text(col))

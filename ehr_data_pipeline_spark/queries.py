@@ -906,6 +906,148 @@ def fhir_pipeline_cleaned_patients(spark: SparkSession, sf_dir: str) -> DataFram
     return clean_patient(extract_patient(routed["Patient"]))
 
 
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline operators over the documents table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_text_stats",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(length(nt) AS BIGINT) AS n_chars,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+               AS n_word_tokens,
+             CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(nt, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(nt, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+             CAST(len(list_filter(string_split(nt, ' '),
+                  t -> t IN ('the','a','and','of','to','in','is','on','for','with')))
+               AS BIGINT) AS n_stop
+      FROM norm
+    )
+    SELECT doc_id, n_chars, n_tokens, n_word_tokens, n_alpha, n_digit,
+           CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_punct,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+           CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+             / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+           CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+           least(CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+             * CAST(0.4 AS DOUBLE)
+           + (CAST(1 AS DOUBLE)
+              - least((CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+                       / CAST(greatest(n_chars, 1) AS DOUBLE)) * CAST(4 AS DOUBLE),
+                      CAST(1 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+           + least((CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))
+                   * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             AS quality_score
+    FROM c
+    """,
+    tags=("text", "quality-score"),
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + quality score (length/punct/digit/stopword
+    heuristics) — the cheap corpus-filtering pass of an LLM data pipeline,
+    entirely in native expressions (one narrow pass, no shuffle)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import text_stats, word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    stats = text_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        F.size(word_tokens(F.col("text"))).cast("bigint").alias("n_word_tokens"),
+        stats["n_alpha"].alias("n_alpha"),
+        stats["n_digit"].alias("n_digit"),
+        stats["n_punct"].alias("n_punct"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        stats["digit_ratio"].alias("digit_ratio"),
+        stats["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "doc_language_id",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS BIGINT) AS en_hits,
+        CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS BIGINT) AS de_hits,
+        CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','dans'))) AS BIGINT) AS fr_hits,
+        CAST(len(list_filter(t, x -> x IN ('el','los','las','y','es','una','en','que'))) AS BIGINT) AS es_hits
+      FROM norm
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+      CASE WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+           WHEN de_hits > 0 AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+           WHEN fr_hits > 0 AND fr_hits >= es_hits THEN 'fr'
+           WHEN es_hits > 0 THEN 'es'
+           ELSE 'und' END AS lang_id
+    FROM h
+    """,
+    tags=("text", "lang-id"),
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification with a deterministic priority
+    argmax — the n-gram-heuristic lang-ID stage of corpus filtering."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        language_hits,
+        language_id,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hits = language_hits(F.col("text"))
+    return d.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+        language_id(F.col("text")).alias("lang_id"),
+    )
+
+
+@register(
+    "doc_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) AS ngram
+      FROM toks
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM bg GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "topk"),
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: in-row n-gram construction (no
+    shuffle) → explode → ONE count shuffle with map-side partial agg →
+    TakeOrderedAndProject top-k with a total tiebreak."""
+    from ehr_data_pipeline_spark.operators.text_analysis import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, "text", n=2, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
