@@ -1,0 +1,242 @@
+"""Text deduplication family for LLM-training-data pipelines: exact
+(normalized-hash), n-gram Jaccard, MinHash-LSH, and SimHash near-dup.
+
+Scale design (the whole point of these operators):
+
+- **exact**: one md5-of-normalized-text fingerprint per doc, one shuffle on
+  the fingerprint. 100 TB-safe as-is.
+- **jaccard_pairs** is the all-pairs *verification oracle* — O(n²), for
+  tests/small candidate sets only. The scale path is NEVER all-pairs.
+- **minhash_lsh_pairs** is the scale path: signature = H min-hashes over
+  character shingles (in-row, narrow), candidates = pairs sharing at least
+  one LSH band bucket (shuffle on band key — join happens only WITHIN
+  buckets), then exact-Jaccard verification of the candidate set. At 100 TB
+  the band-bucket join replaces n² with Σ_bucket |bucket|²; hot buckets
+  (boilerplate shingles) are the skew risk — AQE skew-join handles
+  moderate cases, and the band key can be salted with a shingle-count
+  range for extreme ones.
+- **simhash64**: 64-bit sketch, near-dups = small Hamming distance;
+  candidates share one of four 16-bit chunks (same bucket-join shape).
+
+Determinism: the MinHash hash family derives from md5 (first 8 hex chars as
+a bigint), NOT xxhash64, precisely so results are engine-portable and the
+DuckDB oracle can replicate the whole LSH pipeline bit-for-bit. SimHash
+uses xxhash64 (cheaper, Spark-side only → unit-tested, not oracle-checked).
+
+The reference has only key-dedup (U2); this family is the BASELINE
+north-star extension (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.text_analysis import (
+    fingerprint128,
+    normalize_text,
+)
+
+DEFAULT_SHINGLE_K = 4
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def shingle_set(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct character k-grams of the normalized text (in-row, narrow).
+    Empty array when the text is shorter than k — callers filter those out
+    before set similarity (Jaccard over empty sets is undefined)."""
+    nt = normalize_text(col)
+    n = F.length(nt)
+    grams = F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: nt.substr(i, F.lit(k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays, as one IEEE double
+    division (engine-portable: DuckDB computes the identical value)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint — keeps one arbitrary
+    row per distinct content (hash-aggregate, one shuffle). For a
+    deterministic survivor use keep_first on __fp with an explicit order."""
+    return df.withColumn("__fp", fingerprint128(F.col(text_col))).dropDuplicates(
+        ["__fp"]
+    ).drop("__fp")
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplication report in one groupBy pass:
+    (n_docs, n_distinct, n_dup_groups, n_rows_in_dup_groups) — the
+    duplicate_group_stats shape (A4 keep=False semantics) keyed by content
+    fingerprint instead of relational keys."""
+    groups = (
+        df.select(fingerprint128(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return groups.agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_in_dup_groups"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """ALL-PAIRS n-gram Jaccard — the exact ground truth the LSH path is
+    verified against. O(n²) nested-loop join: correctness oracle for tests
+    and small corpora, never the 100 TB path (use minhash_lsh_pairs)."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_set(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_value(shingle: Column, j: int) -> Column:
+    """Hash function j of the md5-derived family: bigint from the first 8
+    hex chars of md5(j ':' shingle). Engine-portable (DuckDB:
+    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), shingle)), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """MinHash signature: array of per-hash minima over the shingle set.
+    In-row (narrow); cost O(H·|shingles|) per doc."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: _minhash_value(s, j)))
+          for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup pairs at scale: shingle → MinHash signature → band-bucket
+    candidate join → exact-Jaccard verification.
+
+    With H=16, b=4 (r=4 rows/band): P(candidate) = 1-(1-J⁴)⁴ — ≈0.99 at
+    J=0.9, ≈0.43 at J=0.6 — so near-exact recall for true near-dups and
+    sharp suppression of the background. Verified output is always a
+    SUBSET of jaccard_pairs(threshold); candidate recall is the only
+    approximation.
+
+    Shuffles: one on (band_idx, band_key) for the bucket join, one
+    distinct on candidate pairs, two id-equi-joins for verification.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_set(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(",", *[
+                            F.element_at(F.col("sig"), i * rows + j + 1).cast("string")
+                            for j in range(rows)
+                        ]).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = base
+    return (
+        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array: bit b of the sketch is 1 when
+    more than half the tokens have bit b set in xxhash64(token). Built as
+    a native fold over bit positions — O(64·|tokens|) per row, no UDF.
+    Near-dup docs differ in few bits (small Hamming distance)."""
+    def bit(b: int) -> Column:
+        n_set = F.size(
+            F.filter(
+                tokens,
+                lambda t: (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))) == 1,
+            )
+        )
+        return (n_set * 2 > F.size(tokens)).cast("bigint")
+
+    out = F.lit(0).cast("bigint")
+    for b in range(64):  # unrolled: shiftleft takes a literal bit count
+        out = out + F.shiftleft(bit(b), b)
+    return out
+
+
+def simhash_bands(sim: Column, n_bands: int = 4) -> list[Column]:
+    """Split a 64-bit SimHash into n 16-bit chunk keys — candidate pairs
+    for Hamming distance ≤ small share at least one chunk (pigeonhole)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [
+        F.shiftrightunsigned(sim, i * width)
+        .bitwiseAND(F.lit(mask).cast("bigint"))
+        .alias(f"band{i}")
+        for i in range(n_bands)
+    ]
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1048,6 +1048,124 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(d, "text", n=2, k=20)
 
 
+# ---------------------------------------------------------------------------
+# Text dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_exact_dedup_stats",
+    oracle="""
+    WITH f AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), g AS (SELECT fp, COUNT(*) AS cnt FROM f GROUP BY fp)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT)
+             AS n_rows_in_dup_groups
+    FROM g
+    """,
+    tags=("dedup", "exact-text"),
+)
+def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup on the normalized-content fingerprint: corpus-level
+    duplication report in one groupBy pass (A4 keep=False semantics keyed
+    by md5-of-normalized-text instead of relational keys)."""
+    from ehr_data_pipeline_spark.operators.text_dedup import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(nt) - 2),
+                                          i -> substr(nt, i, 4))) AS sh
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents)
+"""
+
+
+@register(
+    "doc_jaccard_pairs",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "jaccard", "near-dup"),
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-4-gram Jaccard near-dup pairs (threshold 0.6) — the
+    ALL-PAIRS ground truth the LSH path verifies against. O(n²): the
+    correctness oracle, never the scale path (see doc_minhash_lsh_pairs)."""
+    from ehr_data_pipeline_spark.operators.text_dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(sh, x ->
+                 CAST('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', x)), 1, 8)
+                      AS BIGINT)))) AS sg
+      FROM s WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
+           OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+    """,
+    tags=("dedup", "minhash", "lsh", "near-dup"),
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the 100 TB path: 16 md5-derived
+    min-hashes over shingles, 4 LSH bands, candidates only WITHIN band
+    buckets (no all-pairs anywhere), exact-Jaccard verification of the
+    candidate set. The md5 hash family is engine-portable, so the DuckDB
+    oracle replicates the ENTIRE pipeline (signatures, banding, verify)
+    and the outputs hash-match exactly."""
+    from ehr_data_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "doc_simhash",
+    oracle=None,  # xxhash64-based sketch is Spark-specific; semantics are
+    # unit-tested (tests/test_text_dedup.py) instead of oracle-checked
+    tags=("dedup", "simhash"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash + its four 16-bit band keys (candidate
+    pairs for Hamming-distance near-dup share at least one band by
+    pigeonhole). Narrow one-pass plan; the pair join shuffles on band keys
+    exactly like MinHash-LSH."""
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+    from ehr_data_pipeline_spark.operators.text_dedup import simhash64, simhash_bands
+
+    d = _t(spark, sf_dir, "documents")
+    sim = simhash64(whitespace_tokens(F.col("text")))
+    d = d.select("doc_id", sim.alias("simhash"))
+    return d.select("doc_id", "simhash", *simhash_bands(F.col("simhash")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,100 @@
+"""Unit tests for the text-dedup family: exact dedup, Jaccard ground
+truth vs MinHash-LSH recall, and SimHash Hamming behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+from ehr_data_pipeline_spark.operators.text_dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    hamming64,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_set,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, "The  Quick  Brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun"),  # ws/case dup
+        (4, BASE.replace("afternoon", "morning")),  # near-dup of 1
+        (5, "completely different content about spark shuffles and "
+            "parquet footers and adaptive query execution plans"),
+        (6, "ab"),  # shorter than the shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_and_stats(corpus):
+    # 1/2/3 share a normalized fingerprint → 4 distinct contents survive
+    assert exact_dedup(corpus).count() == 4
+    stats = exact_dup_stats(corpus).collect()[0].asDict()
+    assert stats == {
+        "n_docs": 6,
+        "n_distinct": 4,
+        "n_dup_groups": 1,
+        "n_rows_in_dup_groups": 3,  # keep=False: all 3 group members count
+    }
+
+
+def test_shingle_set_short_text_is_empty(spark, corpus):
+    rows = {r["doc_id"]: r["sh"] for r in corpus.select(
+        "doc_id", shingle_set(F.col("text")).alias("sh")).collect()}
+    assert rows[6] == []  # len 2 < k=4 → empty, excluded from similarity
+    assert len(rows[1]) > 50
+
+
+def test_jaccard_ground_truth(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    # the duplicate triple plus the near-dup pair with doc 4
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (2, 3) in pairs
+    assert (1, 4) in pairs and 0.6 <= pairs[(1, 4)] < 1.0
+    # doc 5 pairs with nobody; doc 6 has no shingles
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_ground_truth(corpus):
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(corpus, threshold=0.6).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(corpus, threshold=0.6).collect()}
+    # verification guarantees precision 1.0 (subset of exact); recall on
+    # true near-dups (J≥0.9 here) is ~1 with 16 hashes / 4 bands
+    assert lsh <= exact
+    assert len(lsh) >= len(exact) - 1  # allow one probabilistic miss
+
+
+def test_simhash_hamming(spark, corpus):
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select(
+            "doc_id", simhash64(whitespace_tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    df = spark.createDataFrame(
+        [(sims[1], sims[3], sims[4], sims[5])], "a long, b long, c long, d long"
+    )
+    ham = df.select(
+        hamming64(F.col("a"), F.col("b")).alias("dup"),
+        hamming64(F.col("a"), F.col("c")).alias("near"),
+        hamming64(F.col("a"), F.col("d")).alias("far"),
+    ).collect()[0]
+    assert ham["dup"] == 0  # normalization-identical docs: same sketch
+    assert ham["near"] <= 10  # one-word change flips few bits
+    assert ham["far"] > ham["near"]  # unrelated text is farther
