@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (``array<float>``) — the
+multimodal/LLM-pipeline ANN operators (SURVEY §2.7 gap list / BASELINE
+north star; absent in the reference).
+
+Two paths, same output contract (query_id, neighbor_id, rank, cosine):
+
+- **brute_force_knn** — exact top-k: broadcast the (small) query set,
+  score every (query, corpus) pair with a native fold, rank per query.
+  Correct and oracle-checkable; per-query cost O(N·d). The right choice
+  when |queries| is small or as the verification oracle.
+- **lsh_knn** — the 100 TB path: random-hyperplane LSH. Each vector gets a
+  sign-bit bucket key from P deterministic hyperplanes; candidates are
+  corpus vectors sharing a query's bucket, exact cosine re-ranks the
+  candidates. Shuffle only on the bucket key (join within buckets), so
+  cost scales with bucket occupancy, not N². Recall tunes with P (fewer
+  planes → bigger buckets → higher recall, more compute); multi-probe
+  (flipping one bit) is the standard extension and composes as extra
+  explode rows.
+
+All scoring is native column expressions (zip_with/aggregate) — doubles
+end-to-end, sequential left-fold summation so results are deterministic
+across partitionings. Ranking uses the cosine ROUNDED to 6 decimals with a
+neighbor-id tiebreak: stable under the ~1e-15 summation-order differences
+between engines, which makes the brute-force path DuckDB-oracle-exact.
+
+Hyperplane components are pseudo-random but deterministic: xxhash64 of
+(plane, dim) scaled to [-1, 1] — no stored model, any executor can
+recompute them, and resharding cannot change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_PLANES = 8
+
+
+def to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × full corpus scan → one
+    window rank per query. Rank orders by ROUND(cosine, 6) DESC with a
+    neighbor-id tiebreak (deterministic and engine-portable); a query
+    never matches itself."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random Gaussian hyperplane: seeded from
+    md5('table:plane') so every driver/executor/rerun derives the same
+    planes with no stored model."""
+    import hashlib
+    import random
+
+    seed = int(hashlib.md5(f"{table}:{plane}".encode()).hexdigest()[:12], 16)
+    rng = random.Random(seed)
+    return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = DEFAULT_PLANES, table: int = 0
+) -> Column:
+    """Sign-bit bucket key for one hash table: bit p = 1 iff
+    vec · hyperplane_{table,p} >= 0. In-row, narrow; two vectors at angle
+    θ share the bucket with probability (1 - θ/π)^P. The projection is a
+    zip_with/aggregate fold against a literal plane array — compact
+    codegen even for many (table, plane) combinations."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(h) for h in _hyperplane(table, p, dim)])
+        proj = F.aggregate(
+            F.zip_with(to_double(vec), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _with_table_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Explode each row into its n_tables (table_idx, bucket_key) entries —
+    the OR-construction index: candidates match in ANY table."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("key"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(*df.columns, F.explode(entries).alias("__b")).select(
+        *df.columns, F.col("__b.t").alias("__table"), F.col("__b.key").alias("__bucket")
+    )
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: L independent hyperplane hash tables
+    (OR-construction), candidates = pairs sharing a bucket in ANY table,
+    exact-cosine re-rank of the distinct candidate set.
+
+    Recall for neighbors at angle θ is 1-(1-(1-θ/π)^P)^L — e.g. ≈0.93 for
+    θ=60°, P=3, L=8 — tuned by (P, L): more planes → smaller buckets →
+    cheaper joins but lower recall; more tables buy recall back at the
+    cost of indexing the corpus L times. The scale story: shuffle on
+    (table, bucket) joins within buckets only — never an all-pairs
+    cross join — and AQE splits skewed hot buckets."""
+    c = _with_table_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv", dim, n_planes, n_tables,
+    )
+    q = _with_table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", dim, n_planes, n_tables,
+    )
+    candidates = (
+        q.join(c, ["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label mean vector — the assignment step of IVF-style coarse
+    quantization (and a useful clustering report on its own). One shuffle
+    on the label; the mean is computed component-wise with exact decimal
+    sums so it is order-independent (and oracle-checkable)."""
+    comps = [
+        F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"c{d}")
+        for d in range(dim)
+    ]
+    return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *comps)

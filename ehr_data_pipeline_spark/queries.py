@@ -1166,6 +1166,109 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "simhash", *simhash_bands(F.col("simhash")))
 
 
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN / multimodal vector column)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round("
+    "list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"
+    ", 6)"
+)
+
+
+@register(
+    "emb_knn_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
+    """,
+    tags=("similarity", "knn", "brute-force"),
+)
+def emb_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for a fixed query set (vec_id < 5):
+    broadcast queries × corpus scan, native zip_with/aggregate dot
+    product, per-query window rank on round(cosine, 6) with an id
+    tiebreak. The verification baseline for the LSH path."""
+    from ehr_data_pipeline_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+_CENTROID_COLS_SPARK = 64
+# components are quantized to 1e-7 fixed-point BIGINTs before summing: the
+# aggregation is exact integer math (order-independent across partitions)
+# and float→decimal cast-rounding differences between engines cannot occur
+_CENTROID_SQL = ", ".join(
+    f"CAST(SUM(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE) * 10000000.0) AS BIGINT))"
+    f" AS DOUBLE) / 10000000.0 / COUNT(*) AS c{d}"
+    for d in range(_CENTROID_COLS_SPARK)
+)
+
+
+@register(
+    "emb_label_centroids",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n_vectors, {_CENTROID_SQL}
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "centroid", "ivf"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors (IVF-style coarse-quantizer assignment /
+    cluster report): one shuffle on label; component sums use 1e-7
+    fixed-point integers so the aggregate is exact and order-independent,
+    then two IEEE divisions produce the double mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = [
+        (
+            F.sum(
+                F.round(F.element_at(F.col("embedding"), d + 1).cast("double") * 1e7)
+                .cast("bigint")
+            ).cast("double")
+            / F.lit(1e7)
+            / F.count(F.lit(1))
+        ).alias(f"c{d}")
+        for d in range(_CENTROID_COLS_SPARK)
+    ]
+    return emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"), *comps)
+
+
+@register(
+    "emb_lsh_knn",
+    oracle=None,  # hyperplanes derive from Spark's xxhash64 (not portable);
+    # recall vs the exact brute-force path is asserted in
+    # tests/test_similarity.py
+    tags=("similarity", "knn", "lsh"),
+)
+def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via random-hyperplane LSH (the 100 TB
+    path): 12 hash tables of 3 sign-bit planes (OR-construction, ~95%
+    recall on this corpus), bucket join on (table, key) — no cross join —
+    then exact cosine re-rank of in-bucket candidates."""
+    from ehr_data_pipeline_spark.operators.similarity import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_planes=3, n_tables=12
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
