@@ -194,6 +194,79 @@ def lsh_knn(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    pair whose ROUND(cosine, 6) >= threshold. The fifth member of the
+    dedup family (exact / Jaccard / MinHash-LSH / SimHash /
+    embedding-cosine) and the verification baseline for
+    :func:`lsh_near_dup_pairs`.
+
+    The self-join is all-pairs (broadcast nested loop with the smaller
+    projection broadcast) — correct at any SF but O(N²) work, so at
+    100 TB use the LSH-bucketed variant and keep this one for
+    verification samples."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup pairs — the 100 TB path.
+    Candidate pairs are rows sharing a hyperplane-LSH bucket in ANY of
+    the L tables (shuffle on (table, bucket) only, never all-pairs);
+    exact cosine then confirms candidates against the threshold, so
+    precision is 1.0 and only recall is approximate (tuned by P/L —
+    pairs at cos θ share a bucket in one table with prob (1-θ/π)^P)."""
+    s = _with_table_buckets(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        "__v", dim, n_planes, n_tables,
+    )
+    a = s.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        "__table", "__bucket",
+    )
+    b = s.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        "__table", "__bucket",
+    )
+    candidates = (
+        a.join(b, ["__table", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__va", "id_b", "__vb")
+        .distinct()
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

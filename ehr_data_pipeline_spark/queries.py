@@ -1269,6 +1269,39 @@ def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_COS_SQL = (
+    "round("
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+    ", 6)"
+)
+
+
+@register(
+    "emb_cosine_neardup_pairs",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS_SQL} AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "similarity", "near-dup"),
+)
+def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the fifth dedup family
+    member (exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine):
+    all (id_a < id_b) pairs with round(cosine, 6) >= 0.4. Exact
+    broadcast-nested-loop variant (the oracle baseline); the 100 TB path
+    is lsh_near_dup_pairs, which joins within LSH buckets only and is
+    recall-tested against this plan in tests/test_similarity.py."""
+    from ehr_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

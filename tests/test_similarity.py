@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from ehr_data_pipeline_spark.operators.similarity import (
     brute_force_knn,
     cosine,
+    cosine_near_dup_pairs,
     lsh_knn,
+    lsh_near_dup_pairs,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -61,6 +63,30 @@ def test_lsh_knn_recall_vs_exact(emb):
     for r in approx_rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v <= 3 for v in per_q.values())
+
+
+def test_cosine_near_dup_pairs_exact(emb):
+    rows = cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    # sf0.001 corpus has 66 pairs at >= 0.4 (verified against DuckDB)
+    assert len(rows) == 66
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.4
+
+
+def test_lsh_near_dup_recall_and_precision(emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx_rows = lsh_near_dup_pairs(
+        emb, threshold=0.4, n_planes=3, n_tables=12
+    ).collect()
+    approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+    # precision is 1.0 by construction (exact cosine confirms candidates)
+    assert approx <= exact
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall collapsed: {recall}"
 
 
 def test_lsh_same_bucket_means_same_key_join(emb):
