@@ -1,0 +1,120 @@
+"""Sinks — the load step of the ETL (SURVEY §2.1 S4/S5/S6).
+
+The reference loads its six entity DataFrames into PostgreSQL via
+hand-written DDL plus psycopg2 ``execute_values`` batch inserts
+(``/root/reference/json_pipeline.py:736-860`` DDL, ``:863-892`` insert)
+and mirrors them to per-table CSV files (``:1058-1076``). Spark-first,
+both collapse to ``DataFrameWriter``:
+
+- **JDBC** (S4+S5): ``df.write.jdbc`` emits the DDL itself on
+  ``mode='overwrite'`` (replacing the 125 LoC of hand DDL) and batches
+  inserts executor-side (replacing ``execute_values`` — and unlike it,
+  the write is distributed: every partition opens its own connection, so
+  load throughput scales with executors, with ``batchsize`` rows per
+  round trip). ``numPartitions`` caps connection fan-in so a 1000-task
+  stage cannot open 1000 simultaneous connections against one database.
+- **CSV / parquet** (S6): distributed part-file writes. Deliberately NO
+  ``coalesce(1)`` — a single-file write funnels 100 TB through one task;
+  downstream consumers read the directory. Parquet is the engine's
+  canonical format (typed, splittable, column-pruned on re-read); CSV is
+  kept for reference parity.
+
+Column names: nested extraction yields dotted names (``resource.id``).
+The reference renames ``.`` → ``_`` at load time (``:869``); here
+:func:`normalize_columns` does the same rename for every sink, since
+dots are illegal or quote-demanding identifiers in most targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Rename ``.`` → ``_`` in every column (json_pipeline.py:869) so
+    nested-derived names are plain SQL identifiers in any target."""
+    return df.toDF(*[c.replace(".", "_") for c in df.columns])
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the JDBC writer option map (pure; unit-testable without a
+    database). ``properties`` carries driver/user/password passthroughs."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        # executor-side insert parallelism == number of write partitions;
+        # cap it so the target DB is not overwhelmed by connection fan-in
+        **({"numPartitions": str(num_partitions)} if num_partitions else {}),
+    }
+    opts.update(properties or {})
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (S4+S5): ``mode='overwrite'`` re-emits the DDL from the
+    DataFrame schema — the Spark equivalent of the reference's
+    ``CREATE TABLE`` block (json_pipeline.py:736-860) — then batch-inserts
+    ``batchsize`` rows per round trip per partition (≙ ``execute_values``,
+    ``:863-892``, but distributed)."""
+    writer = normalize_columns(df).write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(url, table, batchsize, num_partitions, properties).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S6, json_pipeline.py:1058-1076): header row, distributed
+    part files. ``index=False`` parity is automatic (Spark has no index)."""
+    normalize_columns(df).write.option("header", True).mode(mode).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Parquet sink — the engine's canonical format. ``partition_by`` gives
+    directory partition pruning on re-read (e.g. by resource type or
+    ingest date at 100 TB)."""
+    writer = normalize_columns(df).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_entity_tables(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Write the six FHIR entity tables (the ``×6`` sink loops,
+    json_pipeline.py:914-928 JDBC / :1058-1076 CSV) under
+    ``{out_dir}/{name}``. Returns name → path."""
+    paths: dict[str, str] = {}
+    for name, df in tables.items():
+        path = f"{out_dir}/{name}"
+        if fmt == "csv":
+            write_csv(df, path, mode=mode)
+        elif fmt == "parquet":
+            write_parquet(df, path, mode=mode)
+        else:
+            raise ValueError(f"unsupported sink format: {fmt!r}")
+        paths[name] = path
+    return paths

@@ -1,0 +1,103 @@
+"""Sink tests (SURVEY §2.1 S4/S5/S6): column normalization, CSV and
+parquet round trips, and the six-entity-table write loop over the FHIR
+fixture bundles."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.fhir.extract import extract_all
+from ehr_data_pipeline_spark.fhir.ingest import read_and_route
+from ehr_data_pipeline_spark.sinks import (
+    jdbc_options,
+    normalize_columns,
+    write_csv,
+    write_entity_tables,
+    write_parquet,
+)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "fhir")
+
+
+@pytest.fixture(scope="module")
+def dotted_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.5)],
+        ["resource.id", "resource.name.family", "value"],
+    )
+
+
+def test_normalize_columns_renames_dots(dotted_df):
+    out = normalize_columns(dotted_df)
+    assert out.columns == ["resource_id", "resource_name_family", "value"]
+    # values untouched
+    assert out.filter(F.col("resource_id") == 1).count() == 1
+
+
+def test_jdbc_options_assembly():
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/ehr",
+        "patient",
+        batchsize=5000,
+        num_partitions=8,
+        properties={"user": "u", "driver": "org.postgresql.Driver"},
+    )
+    assert opts["url"].startswith("jdbc:postgresql://")
+    assert opts["dbtable"] == "patient"
+    assert opts["batchsize"] == "5000"
+    assert opts["numPartitions"] == "8"
+    assert opts["driver"] == "org.postgresql.Driver"
+    # no numPartitions key when not requested
+    assert "numPartitions" not in jdbc_options("u", "t")
+
+
+def test_parquet_round_trip(spark, dotted_df, tmp_path):
+    path = str(tmp_path / "pq")
+    write_parquet(dotted_df, path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"resource_id", "resource_name_family", "value"}
+    rows = {r["resource_id"]: r for r in back.collect()}
+    assert rows[2]["resource_name_family"] is None
+    assert rows[1]["value"] == 1.5
+
+
+def test_parquet_partition_by_prunes_directories(spark, dotted_df, tmp_path):
+    path = str(tmp_path / "pq_part")
+    write_parquet(dotted_df, path, partition_by=("resource_id",))
+    subdirs = {d for d in os.listdir(path) if d.startswith("resource_id=")}
+    assert subdirs == {"resource_id=1", "resource_id=2"}
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+
+
+def test_csv_round_trip(spark, dotted_df, tmp_path):
+    path = str(tmp_path / "csv")
+    write_csv(dotted_df, path)
+    back = spark.read.option("header", True).csv(
+        path, schema="resource_id INT, resource_name_family STRING, value DOUBLE"
+    )
+    rows = {r["resource_id"]: r for r in back.collect()}
+    assert len(rows) == 2
+    assert rows[1]["resource_name_family"] == "a"
+    assert rows[2]["value"] == -0.5
+
+
+def test_write_entity_tables_round_trip(spark, tmp_path):
+    """The reference's ×6 sink loop: ingest the fixture bundles, extract,
+    write all entity tables, read each back and hash-compare."""
+    extracted = extract_all(read_and_route(spark, FIXTURE_DIR))
+    out = str(tmp_path / "entities")
+    paths = write_entity_tables(extracted, out, fmt="parquet")
+    assert set(paths) == set(extracted)
+    for name, df in extracted.items():
+        back = spark.read.parquet(paths[name])
+        assert back.count() == df.count()
+        assert back.columns == [c.replace(".", "_") for c in df.columns]
+
+
+def test_write_entity_tables_rejects_unknown_format(spark, dotted_df, tmp_path):
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        write_entity_tables({"t": dotted_df}, str(tmp_path), fmt="avro")
