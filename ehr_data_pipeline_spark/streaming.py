@@ -1,0 +1,149 @@
+"""Structured Streaming twin of the batch event pipeline (SURVEY §2.7
+"streaming" gap — the reference is a daily Airflow batch DAG,
+``/root/reference/json_pipeline.py:35,1080-1132``, re-listing the input
+directory every run; Spark-first, the same logical plan runs incrementally
+over ``readStream`` with a watermark and exactly-once file tracking).
+
+Design:
+
+- **Same plan, two sources.** :func:`hourly_event_counts` is the identical
+  aggregation to the batch ``events_hourly`` registry query (tumbling
+  1-hour window on ``ts`` × ``event_type``, decimal-exact value sums), so
+  batch output is the correctness oracle for the stream — asserted in
+  ``tests/test_streaming.py`` by running the file stream with an
+  ``availableNow`` trigger and diffing against the batch result.
+- **Watermarks bound state.** ``withWatermark(ts, ...)`` lets the state
+  store evict windows older than max(event time) − delay; without it a
+  100 TB backfill accumulates every window ever seen. Append mode emits a
+  window exactly once, when the watermark passes its end — the mode to
+  pair with an idempotent sink; complete mode re-emits all windows each
+  microbatch and exists here for tests/demos only.
+- **File-source scaling.** ``maxFilesPerTrigger`` paces backfills so one
+  microbatch never has to shuffle the whole history at once;
+  checkpointing makes restarts exactly-once (the memory-sink test path
+  uses an ephemeral checkpoint).
+
+The events schema is read from the parquet footer once on the driver
+(streaming file sources require an explicit schema) and the same
+nanos→micros timestamp normalization as ``tables.load_table`` is applied,
+so batch and stream see byte-identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ehr_data_pipeline_spark.tables import NANOS_TS_COLS
+
+
+def _as_glob(path: str) -> str:
+    """The file-stream source requires a directory or a glob (a bare file
+    path fails basePath validation). Wrap a path's last character in a
+    one-character class so a single-file table reads as a glob matching
+    exactly that file; directories and existing globs pass through."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(path) and not _glob.has_magic(path):
+        return f"{path[:-1]}[{path[-1]}]"
+    return path
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental scan of the events table: explicit schema from one
+    driver-side footer read, then the same TIMESTAMP(NANOS) → micros
+    normalization as the batch loader, so downstream plans are
+    source-agnostic."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_as_glob(path))
+    for col in NANOS_TS_COLS.get("events", ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the ``events_hourly`` batch query: tumbling
+    1-hour window × event_type, count + decimal-exact value sum. The
+    watermark bounds the state store: a window's state is dropped (and,
+    in append mode, its single final row emitted) once event time passes
+    window end + delay, so state size is O(active windows), not
+    O(stream length)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Gap-based per-user sessionization — the canonical custom stateful
+    streaming operator, expressed with the BUILT-IN ``session_window``
+    (merging-window state in the JVM state store; no Python in the loop —
+    ``applyInPandasWithState`` stays reserved for semantics built-ins
+    can't express). A session groups a user's events while consecutive
+    gaps are < ``gap``; boundaries are half-open, so an event exactly
+    ``gap`` after its predecessor starts a new session.
+
+    Emits (user_id, session_start, session_end, n_events) with the real
+    first/last event times (``session_window.end`` would be
+    last event + gap). Works identically over a batch DataFrame
+    (``watermark=None``) — the batch twin is the ``user_sessions``
+    registry query, oracle-checked against a lag/cumsum SQL formulation."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's current input with an ``availableNow`` trigger
+    into an in-memory table ``name`` (test/demo sink): processes all
+    available files in rate-limited microbatches, then stops. Query the
+    result with ``spark.sql(f"SELECT * FROM {name}")``."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

@@ -1,0 +1,103 @@
+"""Structured Streaming tests: the file stream with an availableNow
+trigger must reproduce the batch plans exactly (batch output is the
+oracle), and append mode must respect the watermark contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.queries import REGISTRY
+from ehr_data_pipeline_spark.streaming import (
+    hourly_event_counts,
+    read_events_stream,
+    run_to_memory,
+    sessionize,
+)
+from ehr_data_pipeline_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def checkpointed(spark, tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", str(ckpt))
+    yield spark
+    spark.conf.unset("spark.sql.streaming.checkpointLocation")
+
+
+def _rows(df, key_cols):
+    return {tuple(r[c] for c in key_cols): r for r in df.collect()}
+
+
+def test_stream_schema_matches_batch(spark):
+    stream = read_events_stream(spark, SF)
+    assert stream.isStreaming
+    batch = load_table(spark, SF, "events")
+    assert stream.schema == batch.schema
+
+
+def test_hourly_counts_complete_mode_matches_batch(checkpointed):
+    spark = checkpointed
+    stream = hourly_event_counts(read_events_stream(spark, SF))
+    run_to_memory(stream, "hourly_complete", output_mode="complete")
+    got = _rows(
+        spark.sql("SELECT * FROM hourly_complete"), ["hour_start", "event_type"]
+    )
+    want = _rows(
+        REGISTRY["events_hourly"].fn(spark, SF), ["hour_start", "event_type"]
+    )
+    assert set(got) == set(want)
+    for k, r in got.items():
+        assert r["n_events"] == want[k]["n_events"]
+        assert r["sum_value"] == want[k]["sum_value"]
+
+
+def test_hourly_counts_append_mode_respects_watermark(checkpointed):
+    """Append emits only windows the final watermark has closed: a subset
+    of the batch result, every emitted row value-identical, and the open
+    tail (last event's window) withheld."""
+    spark = checkpointed
+    stream = hourly_event_counts(read_events_stream(spark, SF), watermark="1 hour")
+    run_to_memory(stream, "hourly_append", output_mode="append")
+    got = _rows(spark.sql("SELECT * FROM hourly_append"), ["hour_start", "event_type"])
+    want = _rows(
+        REGISTRY["events_hourly"].fn(spark, SF), ["hour_start", "event_type"]
+    )
+    assert 0 < len(got) < len(want)
+    for k, r in got.items():
+        assert r["n_events"] == want[k]["n_events"]
+        assert r["sum_value"] == want[k]["sum_value"]
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    watermark_cutoff = max_ts.timestamp() - 3600
+    for hour_start, _ in got:
+        # window end (start + 1h) must be at or below the final watermark
+        assert hour_start.timestamp() + 3600 <= watermark_cutoff
+
+
+def test_sessionize_stream_matches_batch(checkpointed):
+    spark = checkpointed
+    got_q = sessionize(read_events_stream(spark, SF), gap="30 minutes")
+    run_to_memory(got_q, "sessions_complete", output_mode="complete")
+    got = _rows(
+        spark.sql("SELECT * FROM sessions_complete"), ["user_id", "session_start"]
+    )
+    want = _rows(
+        sessionize(load_table(spark, SF, "events"), gap="30 minutes", watermark=None),
+        ["user_id", "session_start"],
+    )
+    assert set(got) == set(want)
+    for k, r in got.items():
+        assert r["session_end"] == want[k]["session_end"]
+        assert r["n_events"] == want[k]["n_events"]
+
+
+def test_max_files_per_trigger_paces_microbatches(checkpointed):
+    spark = checkpointed
+    stream = hourly_event_counts(
+        read_events_stream(spark, SF, max_files_per_trigger=1)
+    )
+    q = run_to_memory(stream, "hourly_paced", output_mode="complete")
+    assert spark.sql("SELECT * FROM hourly_paced").count() > 0
+    assert q.lastProgress is not None
