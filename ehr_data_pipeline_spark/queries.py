@@ -1269,6 +1269,40 @@ def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("session-window", "stateful", "streaming-twin"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via the native
+    ``session_window`` merging-window operator — the batch twin of
+    ``streaming.sessionize``, which runs the identical plan over
+    ``readStream`` with a watermark. The oracle states the same semantics
+    relationally (lag >= gap starts a session, cumulative-sum session
+    ids), proving the half-open boundary behavior matches. One shuffle on
+    user_id; state per 100 TB stream partition is O(open sessions)."""
+    from ehr_data_pipeline_spark.streaming import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes", watermark=None)
+
+
 _PAIR_COS_SQL = (
     "round("
     "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -1300,6 +1334,70 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ehr_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "media_meta_profile",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+             CASE WHEN doc_id % 3 <> 1
+                  THEN (doc_id % 7) * 16 + 32 END AS width,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN doc_id % 9000 + 1000 END AS duration_ms,
+             octet_length(encode(text)) AS payload_bytes
+      FROM documents
+    )
+    SELECT media_type, COUNT(*) AS n_assets,
+           SUM(payload_bytes) AS total_payload_bytes,
+           SUM(duration_ms) AS total_duration_ms,
+           MAX(width) AS max_width
+    FROM assets GROUP BY media_type
+    """,
+    tags=("multimodal", "metadata"),
+)
+def media_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only profile of the multimodal asset table (binary payload
+    + typed media_meta struct, operators/multimodal.py): counts, payload
+    bytes, duration, max width per modality. The plan never decodes —
+    and over a parquet asset table column pruning would skip the payload
+    pages entirely (asserted in tests/test_multimodal.py)."""
+    from ehr_data_pipeline_spark.operators.multimodal import synthesize_assets
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"))
+    return (
+        assets.groupBy(F.col("media_meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.length("content")).alias("total_payload_bytes"),
+            F.sum("media_meta.duration_ms").alias("total_duration_ms"),
+            F.max("media_meta.width").alias("max_width"),
+        )
+    )
+
+
+@register(
+    "media_image_features",
+    oracle=None,  # decode + perceptual hash run through the deterministic
+    # fake codec (operators/multimodal.py) — not SQL-expressible; the
+    # mapInPandas plumbing is covered by tests/test_multimodal.py
+    tags=("multimodal", "mapInPandas", "pandas-udf"),
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the image subset of the asset table:
+    Arrow-batched mapInPandas computing channel means and a 64-bit aHash
+    per image. Modality filter happens JVM-side so only image payloads
+    cross the Arrow boundary."""
+    from ehr_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_assets,
+    )
+
+    return extract_image_features(
+        synthesize_assets(_t(spark, sf_dir, "documents"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
