@@ -1337,6 +1337,106 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_last_click_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS click_ts, c.value AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("asof-join", "temporal", "window"),
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, built as union +
+    windowed carry-forward in operators/temporal.py): each purchase event
+    matched to the same user's most recent click at-or-before it —
+    one shuffle of both sides on user_id, no range explosion. The oracle
+    is DuckDB's native ASOF LEFT JOIN; right rows are pre-aggregated
+    unique per (user_id, ts) so the match is deterministic in both
+    engines."""
+    from ehr_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_payload=["value"],
+        matched_prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts",
+        "click_value",
+    )
+
+
+@register(
+    "error_recent_click_counts",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, COUNT(c.click_ts) AS n_recent_clicks
+    FROM errors e LEFT JOIN clicks c
+      ON e.user_id = c.user_id
+     AND c.click_ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.click_ts < e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    tags=("range-join", "temporal"),
+)
+def error_recent_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): clicks by the same user in the
+    10 minutes before each error, zero-preserving. Catalyst sort-merge-
+    joins on the user_id equi key and evaluates the time range as a join
+    predicate; the keyless formulation (bucketed_range_join, exploding
+    intervals into epoch buckets) is equivalence-tested in
+    tests/test_temporal.py as the no-equi-key scale path."""
+    from ehr_data_pipeline_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = range_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        right_time="click_ts",
+        lo=F.col("ts") - F.expr("INTERVAL 10 MINUTES"),
+        hi=F.col("ts"),
+        how="left_outer",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_ts").alias("n_recent_clicks")
+    )
+
+
+@register(
     "media_meta_profile",
     oracle="""
     WITH assets AS (

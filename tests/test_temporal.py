@@ -1,0 +1,126 @@
+"""Temporal operator tests: as-of join semantics (direction, inclusive
+ties, tolerance, no-match nulls) on a hand-built frame, and
+bucketed_range_join ≡ range_join on real events data."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    bucketed_range_join,
+    range_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 12, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("a", _ts(0), 1.0),
+            ("a", _ts(10), 2.0),
+            ("a", _ts(20), 3.0),
+            ("b", _ts(5), 10.0),
+        ],
+        ["key", "ts", "px"],
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("a", _ts(10)),  # tie with quote @10 → inclusive match
+            ("a", _ts(15)),  # between quotes → quote @10
+            ("a", _ts(25)),  # after last → quote @20
+            ("b", _ts(0)),   # before any quote → null (backward)
+            ("c", _ts(1)),   # key never quoted → null
+        ],
+        ["key", "ts"],
+    )
+
+
+def _matches(df):
+    return {(r["key"], r["ts"].minute): r for r in df.collect()}
+
+
+def test_asof_backward_semantics(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        right_payload=["px"], matched_prefix="q_",
+    )
+    m = _matches(out)
+    assert len(m) == 5
+    assert m[("a", 10)]["q_px"] == 2.0  # inclusive tie
+    assert m[("a", 15)]["q_px"] == 2.0
+    assert m[("a", 25)]["q_px"] == 3.0
+    assert m[("b", 0)]["q_px"] is None and m[("b", 0)]["q_ts"] is None
+    assert m[("c", 1)]["q_px"] is None
+
+
+def test_asof_forward_semantics(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        right_payload=["px"], direction="forward", matched_prefix="q_",
+    )
+    m = _matches(out)
+    assert m[("a", 10)]["q_px"] == 2.0  # inclusive tie, forward
+    assert m[("a", 15)]["q_px"] == 3.0  # next quote @20
+    assert m[("a", 25)]["q_px"] is None  # nothing after
+    assert m[("b", 0)]["q_px"] == 10.0
+
+
+def test_asof_tolerance_nulls_stale_matches(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["key"], left_time="ts", right_time="ts",
+        right_payload=["px"], tolerance_seconds=6 * 60, matched_prefix="q_",
+    )
+    m = _matches(out)
+    assert m[("a", 15)]["q_px"] == 2.0  # 5 min gap ≤ 6 min
+    assert m[("a", 25)]["q_px"] == 3.0  # 5 min gap
+    assert m[("a", 10)]["q_px"] == 2.0  # 0 gap
+    # without tolerance (b,0) is null already; nothing becomes non-null
+    assert m[("b", 0)]["q_px"] is None
+
+
+def test_asof_rejects_bad_direction(quotes, trades):
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(
+            trades, quotes, on=["key"], left_time="ts", right_time="ts",
+            right_payload=["px"], direction="sideways",
+        )
+
+
+def test_bucketed_range_join_matches_plain(spark):
+    """The keyless-scale formulation must be exact: same pairs as the
+    equi-key range join on real events, regardless of bucket width."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    lo, hi = F.col("ts") - F.expr("INTERVAL 10 MINUTES"), F.col("ts")
+    plain = range_join(
+        errors, clicks, on=["user_id"], right_time="click_ts", lo=lo, hi=hi
+    )
+    pairs = {(r["event_id"], r["click_ts"]) for r in plain.collect()}
+    assert pairs  # non-degenerate at sf0.001
+    for bucket_seconds in (60, 600, 7200):
+        bucketed = bucketed_range_join(
+            errors, clicks, right_time="click_ts", lo=lo, hi=hi,
+            bucket_seconds=bucket_seconds, on=["user_id"],
+        )
+        got = {(r["event_id"], r["click_ts"]) for r in bucketed.collect()}
+        assert got == pairs, f"bucket_seconds={bucket_seconds}"
