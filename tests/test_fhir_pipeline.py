@@ -1,0 +1,49 @@
+"""End-to-end FHIR pipeline test: fixtures → ingest → extract → clean →
+observe → sink, one action per table, counts from Observation metrics."""
+
+from __future__ import annotations
+
+import os
+
+from ehr_data_pipeline_spark.fhir.pipeline import run_pipeline
+from ehr_data_pipeline_spark.operators.quality import row_count_observer
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "fhir")
+
+
+def test_row_count_observer_rides_on_action(spark):
+    df = spark.range(7)
+    observed, obs = row_count_observer(df, "probe")
+    assert observed.count() == 7
+    assert obs.get["n_rows"] == 7
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "etl")
+    result = run_pipeline(spark, FIXTURE_DIR, out)
+    # all six entities cleaned and written
+    assert set(result.tables) == {
+        "Patient", "CarePlan", "Condition", "Encounter",
+        "Immunization", "Observation",
+    }
+    for rt, path in result.paths.items():
+        back = spark.read.parquet(path)
+        # observed count (from the write action) == persisted count
+        assert back.count() == result.row_counts[rt]
+        # sink normalized every dotted name
+        assert all("." not in c for c in back.columns)
+    assert result.row_counts["Patient"] > 0
+    # pre-clean quality report covers all six suites
+    report = result.quality_report.collect()
+    # suites report under the reference's frame names (patient_df, ...)
+    assert {r["table_name"] for r in report} == {
+        f"{rt.lower()}_df" for rt in result.tables
+    }
+
+
+def test_run_pipeline_without_sink_stays_lazy(spark):
+    result = run_pipeline(spark, FIXTURE_DIR, output_dir=None, quality=False)
+    assert result.paths == {} and result.row_counts == {}
+    assert result.quality_report is None
+    # plans are still runnable
+    assert result.tables["Patient"].count() > 0
