@@ -62,6 +62,28 @@ def read_bundles(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_bundles_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant of :func:`read_bundles`: the same explicit-schema
+    multiLine JSON scan over ``readStream``, so newly landed bundle files
+    flow through the identical explode → route → extract plans
+    incrementally (the reference re-reads the whole directory every daily
+    DAG run, json_pipeline.py:100-104; here arrival IS the trigger and
+    each file is processed exactly once via source tracking).
+    ``maxFilesPerTrigger`` paces backfills of large bundle archives."""
+    reader = spark.readStream.schema(BUNDLE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.option("multiLine", True)
+        .option("recursiveFileLookup", True)
+        .json(path)
+    )
+
+
 def explode_entries(bundles: DataFrame) -> DataFrame:
     """S3: one row per bundle entry — (fullUrl, resource struct)."""
     return bundles.select(F.explode("entry").alias("e")).select(

@@ -101,3 +101,15 @@ def test_write_entity_tables_round_trip(spark, tmp_path):
 def test_write_entity_tables_rejects_unknown_format(spark, dotted_df, tmp_path):
     with pytest.raises(ValueError, match="unsupported sink format"):
         write_entity_tables({"t": dotted_df}, str(tmp_path), fmt="avro")
+
+
+def test_write_jdbc_assembles_real_jdbc_write(dotted_df):
+    """No database (or JDBC driver) ships in this container, so assert the
+    writer path is fully assembled: the save must fail inside the JVM JDBC
+    layer (driver resolution), not in our option plumbing."""
+    from ehr_data_pipeline_spark.sinks import write_jdbc
+
+    with pytest.raises(Exception) as exc:
+        write_jdbc(dotted_df, "jdbc:postgresql://nohost:5432/x", "t")
+    msg = str(exc.value).lower()
+    assert "driver" in msg or "jdbc" in msg

@@ -101,3 +101,37 @@ def test_max_files_per_trigger_paces_microbatches(checkpointed):
     q = run_to_memory(stream, "hourly_paced", output_mode="complete")
     assert spark.sql("SELECT * FROM hourly_paced").count() > 0
     assert q.lastProgress is not None
+
+
+def test_fhir_ingest_stream_matches_batch(checkpointed):
+    """The streaming bundle scan must drive the SAME extract plan to the
+    same rows as the batch path (fixtures as the finite stream)."""
+    import os
+
+    from ehr_data_pipeline_spark.fhir.extract import extract_patient
+    from ehr_data_pipeline_spark.fhir.ingest import (
+        explode_entries,
+        read_and_route,
+        read_bundles_stream,
+        route_resources,
+    )
+
+    spark = checkpointed
+    fixture_dir = os.path.join(os.path.dirname(__file__), "fixtures", "fhir")
+    stream = read_bundles_stream(spark, fixture_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    patients = extract_patient(
+        route_resources(explode_entries(stream))["Patient"]
+    )
+    run_to_memory(patients, "fhir_stream_patients", output_mode="append")
+    got = {
+        r["resource_id"]: r
+        for r in spark.sql("SELECT * FROM fhir_stream_patients").collect()
+    }
+    want = {
+        r["resource_id"]: r
+        for r in extract_patient(read_and_route(spark, fixture_dir)["Patient"]).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for rid, row in got.items():
+        assert row == want[rid]

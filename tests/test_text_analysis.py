@@ -76,3 +76,15 @@ def test_top_ngrams_deterministic_tiebreak(spark):
     assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
         ("a b", 1), ("b a", 1), ("c d", 1),
     ]
+
+
+def test_with_text_stats_appends_stat_columns(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import with_text_stats
+
+    df = spark.createDataFrame([(1, "Hello world 42",)], ["doc_id", "text"])
+    out = with_text_stats(df)
+    row = out.collect()[0]
+    assert row["doc_id"] == 1  # original columns preserved
+    added = set(out.columns) - {"doc_id", "text"}
+    assert {"n_chars", "n_tokens"} <= added
+    assert row["n_tokens"] == 3

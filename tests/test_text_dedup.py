@@ -98,3 +98,17 @@ def test_simhash_hamming(spark, corpus):
     assert ham["dup"] == 0  # normalization-identical docs: same sketch
     assert ham["near"] <= 10  # one-word change flips few bits
     assert ham["far"] > ham["near"]  # unrelated text is farther
+
+
+def test_drop_duplicates_any_keeps_one_per_key(spark):
+    from ehr_data_pipeline_spark.operators.dedup import drop_duplicates_any
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e")], ["k", "v"]
+    )
+    out = drop_duplicates_any(df, ["k"])
+    rows = out.collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+    # every surviving row existed in the input (keep-ANY, not an agg)
+    src = {(r["k"], r["v"]) for r in df.collect()}
+    assert all((r["k"], r["v"]) in src for r in rows)
