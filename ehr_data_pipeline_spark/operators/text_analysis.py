@@ -166,3 +166,112 @@ def fingerprint64(col: Column) -> Column:
     shuffle keys at 100 TB; not portable across engines (Spark-specific
     seed), so tested rather than oracle-checked."""
     return F.xxhash64(normalize_text(col))
+
+
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+    DuckDB computes the identical value via ('0x'||substr(md5(x),1,15))::BIGINT,
+    which is what makes the winnowing fingerprints oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def kgram_hash_seq(col: Column, k: int = 8) -> Column:
+    """Positional character k-gram hash sequence over the normalized text —
+    the rolling-hash stream that winnowing samples from. In-row and narrow
+    (transform over a sequence); texts shorter than k yield one hash of the
+    whole text, so every non-null doc gets >=1 fingerprint."""
+    nt = normalize_text(col)
+    n_pos = F.greatest(F.length(nt) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: portable_hash60(nt.substr(i, F.lit(k))),
+    )
+
+
+def winnow_from_hashes(hs: Column, w: int = 4) -> Column:
+    """Winnowing fingerprints from an ALREADY-MATERIALIZED hash-sequence
+    column: the distinct minima of every w-length window, sorted.
+    ``hs`` must be a column reference (not the kgram_hash_seq expression
+    itself) — embedding the hash-array expression here would re-evaluate
+    the whole md5 stream once per window (O(n·w) md5 calls per doc instead
+    of O(n)); stage it with a select first, as winnow_pairs does."""
+    n_win = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hs, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    per doc, hash every character k-gram (the rolling-hash stream), then
+    keep the minimum of each w-length window. Guarantees any shared
+    substring of length >= k+w-1 produces a shared fingerprint while
+    keeping ~2/(w+1) of the hashes. Two narrow in-row passes (hash stream,
+    then window minima) — no shuffle. Returns (id_col, fps array<bigint>)."""
+    h = df.select(F.col(id_col), kgram_hash_seq(F.col(text_col), k).alias("hs"))
+    return h.select(id_col, winnow_from_hashes(F.col("hs"), w).alias("fps"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 10,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: explode
+    each doc's fingerprint set, drop *stop-prints* (fingerprints appearing
+    in more than ``max_df`` docs — boilerplate; the same mitigation MOSS
+    uses, and at 100 TB also the hot-bucket skew fix for the join), then
+    self-join WITHIN the remaining fingerprint buckets (Σ|bucket|², never
+    all-pairs), count shared prints per pair, and score
+    overlap = shared / min(rare-print count of A, of B)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(fps)>0 filter below the projections with the whole winnow
+    # expression INLINED — re-evaluating the md5 stream once per window
+    # (O(n²) per doc). fps is never empty by construction, so the
+    # null-filter above the Generate is semantically equivalent and cheap.
+    e = (
+        fps.select(id_col, F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    # stop-print removal: bucket sizes are a tiny aggregate; the join back
+    # onto the exploded prints broadcasts at any scale where max_df is small
+    rare = e.groupBy("fp").count().filter(F.col("count") <= max_df).select("fp")
+    er = e.join(rare, "fp")
+    counts = er.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
+    a = er.alias("a")
+    b = er.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("nfp").alias("nfp_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("nfp_a", "nfp_b").cast("double")
+            ).alias("overlap"),
+        )
+    )

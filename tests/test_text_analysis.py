@@ -88,3 +88,45 @@ def test_with_text_stats_appends_stat_columns(spark):
     added = set(out.columns) - {"doc_id", "text"}
     assert {"n_chars", "n_tokens"} <= added
     assert row["n_tokens"] == 3
+
+
+def test_winnow_fingerprints_detect_shared_substring(spark):
+    # winnowing guarantee: any shared substring of length >= k+w-1 chars
+    # (here 8+4-1=11) produces at least one shared fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "completely unrelated content with zero overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    fps = {r["doc_id"]: set(r["fps"]) for r in
+           winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert fps[1] & fps[2], "docs sharing a long substring share a fingerprint"
+    # doc 3 has no 8-char substring in common with doc 1 → disjoint prints
+    assert not fps[1] & fps[3]
+    # identical text => identical fingerprint sets
+    df2 = spark.createDataFrame([(1, "same text here"), (2, "same text here")],
+                                ["doc_id", "text"])
+    fp2 = [r["fps"] for r in winnow_fingerprints(df2, "doc_id", "text").collect()]
+    assert fp2[0] == fp2[1]
+
+    pairs = winnow_pairs(df, min_shared=2, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p["n_shared"] >= 2 and 0.0 < p["overlap"] <= 1.0
+
+
+def test_winnow_short_text_yields_one_fingerprint(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()[0]["fps"]
+    assert len(fps) == 1
