@@ -1166,6 +1166,59 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "simhash", *simhash_bands(F.col("simhash")))
 
 
+@register(
+    "doc_winnow_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+                            i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT) AS hs
+      FROM n
+    ), fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              j -> list_aggregate(hs[j:j+3], 'min')))) AS fps
+      FROM h
+    ), e AS (
+      SELECT doc_id, unnest(fps) AS fp FROM fp
+    ), rare AS (
+      SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 10
+    ), er AS (
+      SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
+    ), c AS (
+      SELECT doc_id, COUNT(*) AS nfp FROM er GROUP BY doc_id
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / least(ca.nfp, cb.nfp) AS overlap
+    FROM p
+    JOIN c ca ON ca.doc_id = p.doc_a
+    JOIN c cb ON cb.doc_id = p.doc_b
+    """,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): per-doc
+    window-min k-gram hashes in one narrow pass, stop-print removal
+    (fingerprints in >10 docs are boilerplate — also the hot-bucket skew
+    fix), then near-dup candidate pairs via a self-join WITHIN fingerprint
+    buckets — the Σ|bucket|² shape, never all-pairs. Fingerprint hashes
+    derive from md5 so the whole pipeline is engine-portable and
+    DuckDB-oracle-checked bit-for-bit."""
+    from ehr_data_pipeline_spark.operators.text_analysis import winnow_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_pairs(d, "doc_id", "text", k=8, w=4, min_shared=5, max_df=10)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------

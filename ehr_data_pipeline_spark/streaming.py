@@ -128,6 +128,103 @@ def sessionize(
     )
 
 
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, ewma double, last_event_us bigint"
+)
+EWMA_STATE_SCHEMA = "n bigint, ewma double, last_event_us bigint"
+
+
+def _ewma_fold(values, n: int, ewma: float | None, alpha: float):
+    """Order-dependent EWMA fold shared by the streaming state update and
+    the batch twin — one code path, so stream == batch exactly (same IEEE
+    ops in the same order)."""
+    for v in values:
+        ewma = float(v) if ewma is None else alpha * float(v) + (1.0 - alpha) * ewma
+        n += 1
+    return n, ewma
+
+
+def user_value_ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user exponentially-weighted moving average of ``value``. An EWMA is
+    an ORDER-DEPENDENT fold over each user's event history — not
+    expressible with built-in streaming aggregates (no ordered window in a
+    stream), which is exactly the case the Arrow-batched state API exists
+    for.
+
+    Mechanics: state = (n, ewma, last_event_us) per user, updated by
+    folding each microbatch's rows in ``ts`` order; one updated row per
+    user per microbatch (update mode). With ``state_ttl_ms`` set, a
+    processing-time timeout evicts users idle longer than the TTL — state
+    is O(active users), not O(users ever seen); that's the long-running
+    production mode. Leave it ``None`` for bounded drains
+    (``availableNow`` backfills/tests): with a registered timeout Spark
+    keeps scheduling state-cleanup microbatches after the data is
+    exhausted and the drain never terminates. Python is in the loop, but
+    Arrow-batched and only O(|microbatch|) per trigger — the 100 TB
+    backfill cost is paced by ``maxFilesPerTrigger``, and state lives in
+    the JVM state store between triggers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        n, ewma, last_us = state.get if state.exists else (0, None, None)
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        if len(batch):
+            n, ewma = _ewma_fold(batch["value"].to_list(), n, ewma, alpha)
+            last_us = int(batch["ts"].astype("int64").max()) // 1000
+        state.update((n, ewma, last_us))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "ewma": ewma,
+              "last_event_us": last_us}]
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
+def user_value_ewma_batch(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Batch twin of :func:`user_value_ewma_stream` (``applyInPandas``,
+    same fold) — the correctness oracle for the stateful stream: an
+    ``availableNow`` drain over a static table must produce exactly these
+    rows. Shuffles once on user_id; per-group work is Arrow-batched."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        n, ewma = _ewma_fold(pdf["value"].to_list(), 0, None, alpha)
+        return pd.DataFrame(
+            [{
+                "user_id": pdf["user_id"].iloc[0],
+                "n_events": n,
+                "ewma": ewma,
+                "last_event_us": int(pdf["ts"].astype("int64").max()) // 1000,
+            }]
+        )
+
+    return events.groupBy("user_id").applyInPandas(fold, EWMA_OUTPUT_SCHEMA)
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

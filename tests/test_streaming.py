@@ -135,3 +135,78 @@ def test_fhir_ingest_stream_matches_batch(checkpointed):
     assert set(got) == set(want) and len(got) > 0
     for rid, row in got.items():
         assert row == want[rid]
+
+
+def test_user_value_ewma_stream_matches_batch_twin(checkpointed):
+    """availableNow drain of the stateful EWMA operator == batch twin
+    (same fold code path, so equality is exact, not approximate)."""
+    from ehr_data_pipeline_spark.streaming import (
+        user_value_ewma_batch,
+        user_value_ewma_stream,
+    )
+
+    spark = checkpointed
+    stream = user_value_ewma_stream(read_events_stream(spark, SF))
+    run_to_memory(stream, "ewma_stream", output_mode="update")
+    got = _rows(spark.sql("SELECT * FROM ewma_stream"), ["user_id"])
+    want = _rows(user_value_ewma_batch(load_table(spark, SF, "events")), ["user_id"])
+    assert set(got) == set(want) and len(got) > 0
+    for k, r in got.items():
+        assert r["n_events"] == want[k]["n_events"]
+        assert r["ewma"] == want[k]["ewma"]
+        assert r["last_event_us"] == want[k]["last_event_us"]
+
+
+def test_user_value_ewma_state_accumulates_across_microbatches(
+    checkpointed, tmp_path
+):
+    """Two files drained with maxFilesPerTrigger=1 → two microbatches; the
+    second batch's emitted rows must continue the first batch's state (the
+    whole point of the state store), matching a batch fold over the union."""
+    import os
+    import time as _time
+
+    from ehr_data_pipeline_spark.streaming import (
+        user_value_ewma_batch,
+        user_value_ewma_stream,
+    )
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 20)
+    early = events.filter(F.col("ts") < F.lit("2024-01-15"))
+    late = events.filter(F.col("ts") >= F.lit("2024-01-15"))
+    assert early.count() > 0 and late.count() > 0
+    src = tmp_path / "ewma_src"
+    early.coalesce(1).write.parquet(str(src / "f1"))
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    # the file source orders new files by modification time: make f2 newer
+    now = _time.time()
+    for i, sub in enumerate(("f1", "f2")):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    schema = events.schema
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_to_memory(
+        user_value_ewma_stream(stream_df), "ewma_two_batches", output_mode="update"
+    )
+    # update mode: keep each user's LAST emitted row (latest state)
+    final = _rows(
+        spark.sql(
+            """SELECT user_id, n_events, ewma, last_event_us FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rk
+                 FROM ewma_two_batches) WHERE rk = 1"""
+        ),
+        ["user_id"],
+    )
+    want = _rows(user_value_ewma_batch(events), ["user_id"])
+    assert set(final) == set(want)
+    for k, r in final.items():
+        assert r["n_events"] == want[k]["n_events"]
+        assert r["ewma"] == want[k]["ewma"]
