@@ -2,20 +2,25 @@
 multimodal/LLM-pipeline ANN operators (SURVEY §2.7 gap list / BASELINE
 north star; absent in the reference).
 
-Two paths, same output contract (query_id, neighbor_id, rank, cosine):
+Three paths, same output contract (query_id, neighbor_id, rank, cosine):
 
 - **brute_force_knn** — exact top-k: broadcast the (small) query set,
   score every (query, corpus) pair with a native fold, rank per query.
   Correct and oracle-checkable; per-query cost O(N·d). The right choice
   when |queries| is small or as the verification oracle.
-- **lsh_knn** — the 100 TB path: random-hyperplane LSH. Each vector gets a
-  sign-bit bucket key from P deterministic hyperplanes; candidates are
-  corpus vectors sharing a query's bucket, exact cosine re-ranks the
+- **lsh_knn** — random-hyperplane LSH. Each vector gets a sign-bit
+  bucket key from P deterministic hyperplanes; candidates are corpus
+  vectors sharing a query's bucket, exact cosine re-ranks the
   candidates. Shuffle only on the bucket key (join within buckets), so
   cost scales with bucket occupancy, not N². Recall tunes with P (fewer
   planes → bigger buckets → higher recall, more compute); multi-probe
   (flipping one bit) is the standard extension and composes as extra
   explode rows.
+- **ivf_knn** — inverted-file cell probing: Lloyd-trained coarse
+  centroids partition the corpus into n_list cells; queries probe their
+  n_probe nearest cells and re-rank exactly. At 100 TB the corpus is
+  bucketed by cell id on disk, making every search a partition-pruned
+  read — the best fit when the index can be precomputed.
 
 All scoring is native column expressions (zip_with/aggregate) — doubles
 end-to-end, sequential left-fold summation so results are deterministic
@@ -264,6 +269,125 @@ def lsh_near_dup_pairs(
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a vector column to a literal centroid —
+    zip_with/aggregate fold, stays in codegen."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(to_double(vec), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (squared distance, centroid id) structs — sortable, so
+    argmin = element 1 of array_sort (distance first, id tiebreak)."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(vec, cvec).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer training for IVF: deterministic seeding (the
+    n_list vectors with the smallest ids) followed by ``n_iters`` Lloyd
+    passes — assign each vector to its nearest centroid with an in-row
+    argmin against the literal centroid set (narrow map), recompute means
+    with one groupBy. The centroid set is tiny (n_list × dim floats) so it
+    rides to executors as literals — no join, no stored model. Each Lloyd
+    pass is one shuffle on cid; at 100 TB train on a sampled fraction
+    (``df.sample``) — centroid quality needs ~1000 points per list, not
+    the full corpus."""
+    seed = [
+        (i, [float(x) for x in r[1]])
+        for i, r in enumerate(
+            df.select(id_col, vec_col).orderBy(id_col).limit(n_list).collect()
+        )
+    ]
+    centroids = seed
+    dim = len(seed[0][1])
+    for _ in range(n_iters):
+        assigned = df.select(
+            _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+            F.col(vec_col).alias("__v"),
+        )
+        means = assigned.groupBy("cid").agg(
+            *[
+                F.avg(F.element_at(F.col("__v"), d + 1).cast("double")).alias(f"c{d}")
+                for d in range(dim)
+            ]
+        )
+        centroids = [
+            (r["cid"], [r[f"c{d}"] for d in range(dim)]) for r in means.collect()
+        ]
+        centroids.sort(key=lambda t: t[0])
+    return centroids
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_list: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-probe alternative
+    to hyperplane LSH. Index: every corpus vector is assigned to its
+    nearest of ``n_list`` coarse centroids (in-row argmin, narrow).
+    Search: each query probes its ``n_probe`` nearest cells; exact cosine
+    re-ranks only the vectors in the probed cells, so the scan fraction is
+    ~n_probe/n_list instead of 1. Shuffle only on the cell id — at 100 TB
+    the corpus is written partitioned/bucketed BY cid once, and every
+    search is a partition-pruned read joining queries to their probed
+    cells. Recall tunes with n_probe (= 1.0 when n_probe = n_list)."""
+    centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("__cid"),
+    )
+    probes = F.slice(_centroid_dists(F.col(vec_col), centroids), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__p"),
+    ).select("query_id", "__qv", F.col("__p.cid").alias("__cid"))
+    scored = (
+        q.join(c, "__cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 

@@ -304,6 +304,208 @@ def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated aggregates / quantified predicates / percentiles / pivot / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "correlated-subquery", "agg"),
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity), decorrelated into an explicit aggregate + join — the plan
+    Catalyst's DecorrelateInnerQuery produces, written directly. Scale
+    notes: the per-part aggregate shuffles on l_partkey, the same key as
+    the join that consumes it, so AQE can reuse the exchange; the part
+    dim is broadcast. The avg threshold is decimal-exact-sum / count —
+    one IEEE division on identical operands in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "orders_no_returned_lines",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("anti-join", "quantified-predicate", "agg"),
+)
+def orders_no_returned_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universally-quantified predicate (no lineitem of the order was
+    returned) as a NOT EXISTS → left_anti join against the violating
+    subset. The anti join's build side is pre-filtered (flag = 'R') and
+    aggregated to distinct keys is unnecessary — Spark's anti join
+    short-circuits on first match. Single shuffle pair on o_orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "lineitem_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: both compute the
+    (n-1)·p order statistic with linear interpolation). Exact percentile
+    is a sort-based aggregate — fine per group at any SF since groups
+    here are tiny; for high-cardinality columns at 100 TB switch to
+    ``approx_percentile`` (t-digest sketch, mergeable, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+    )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIORITY_ALIASES = ("urgent", "high", "medium", "not_specified", "low")
+
+
+@register(
+    "nation_priority_pivot",
+    oracle=f"""
+    SELECT n.n_name,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN o.o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{a}"
+             for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+           )}
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("pivot", "join", "agg"),
+)
+def nation_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per nation × order priority via
+    ``groupBy().pivot()`` with the value list given EXPLICITLY — an
+    unlisted pivot costs a whole extra distinct-scan job to discover the
+    values, which at 100 TB doubles the read. Missing cells are
+    null-filled to 0 to match SUM(CASE) semantics. One shuffle for the
+    broadcast-dim joins + one for the pivot aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wide = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renamed = wide.toDF(
+        "n_name", *[f"n_{a}" for a in _PRIORITY_ALIASES]
+    )
+    return renamed
+
+
+@register(
+    "repeat_customers_both_years",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    JOIN (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) r ON r.o_custkey = c.c_custkey
+    """,
+    tags=("set-op", "intersect", "semi-join"),
+)
+def repeat_customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set semantics (customers ordering in both 1996 and
+    1997): two filtered key projections intersected (Spark plans a
+    left-semi hash join over distinct keys), then a semi-style join back
+    to customer for the display columns. Filters push to the parquet
+    scan; both intersect branches shuffle only the bare key column."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def keys(y0: str, y1: str):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y0}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = keys("1996", "1997").intersect(keys("1997", "1998"))
+    return c.join(
+        both, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets / rollup / cube / sort-limit
 # ---------------------------------------------------------------------------
 
@@ -1304,9 +1506,9 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_knn",
-    oracle=None,  # hyperplanes derive from Spark's xxhash64 (not portable);
-    # recall vs the exact brute-force path is asserted in
-    # tests/test_similarity.py
+    oracle=None,  # the hyperplane constants are deterministic but driver-
+    # generated (seeded Gaussians) — no tractable SQL twin; recall vs the
+    # exact brute-force path is asserted in tests/test_similarity.py
     tags=("similarity", "knn", "lsh"),
 )
 def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,6 +1521,27 @@ def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn(
         emb, emb.filter(F.col("vec_id") < 5), k=3, n_planes=3, n_tables=12
+    )
+
+
+@register(
+    "emb_ivf_knn",
+    oracle=None,  # Lloyd-refined centroids are float means over a shuffled
+    # aggregation — bit-replication in SQL is intractable; recall and the
+    # full-probe==exact equivalence are asserted in tests/test_similarity.py
+    tags=("similarity", "knn", "ivf"),
+)
+def emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via IVF cell probing: 8 Lloyd-trained
+    coarse cells, queries probe their 4 nearest (≈half the corpus scanned),
+    exact cosine re-rank inside probed cells. At 100 TB the corpus is
+    bucketed by cell id on disk and each search is a partition-pruned
+    read — the precomputed-index alternative to hyperplane LSH."""
+    from ehr_data_pipeline_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_list=8, n_probe=4
     )
 
 

@@ -107,3 +107,38 @@ def test_lsh_same_bucket_means_same_key_join(emb):
     rank1_exact = {t for t in exact if t[2] == 1}
     rank1_full = {t for t in full if t[2] == 1}
     assert len(rank1_exact & rank1_full) >= 2
+
+
+def test_ivf_knn_recall_and_full_probe_exactness(emb):
+    from ehr_data_pipeline_spark.operators.similarity import ivf_knn
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=3).collect()
+    }
+    # probing HALF the cells must retain decent recall
+    half = ivf_knn(emb, queries, k=3, n_list=8, n_probe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in half.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+    # probing EVERY cell is the exact search: identical rows incl. rank
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivf_knn(emb, queries, k=3, n_list=8, n_probe=8).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in brute_force_knn(emb, queries, k=3).collect()
+    }
+    assert full == want
+
+
+def test_train_ivf_centroids_deterministic_and_shaped(emb):
+    from ehr_data_pipeline_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_list=4, n_iters=1)
+    c2 = train_ivf_centroids(emb, n_list=4, n_iters=1)
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    assert all(len(v) == 64 for _, v in c1)
+    assert c1 == c2  # deterministic seeding + single-pass refinement
