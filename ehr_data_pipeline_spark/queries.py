@@ -422,6 +422,31 @@ def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "event_type_reach",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "distinct"),
+)
+def event_type_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (per-type user reach). Exact COUNT(DISTINCT)
+    plans as a two-phase expand/aggregate — fine while the distinct key
+    fits the shuffle; at 100 TB the drop-in replacement is
+    ``approx_count_distinct`` (HyperLogLog++, mergeable sketch, one
+    narrow pass), asserted within 5% of exact in
+    tests/test_queries_oracle.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 _PRIORITY_ALIASES = ("urgent", "high", "medium", "not_specified", "low")
 

@@ -5,6 +5,7 @@ driver re-runs at sf0.01."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ehr_data_pipeline_spark.queries import REGISTRY
 from tests.oracle_utils import compare_spark_vs_oracle, duckdb_con
@@ -46,3 +47,22 @@ def test_entry_smoke(spark):
     # queries()/oracle_sql() keys line up
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """The 100 TB path for event_type_reach: HLL++ sketch within 5% of
+    the exact distinct count on every group."""
+    from ehr_data_pipeline_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    both = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
