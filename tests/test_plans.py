@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the 100 TB design claims, machine-checked:
+filters reach the parquet scan, dimensions broadcast, nested-schema
+pruning narrows reads, and no candidate-pair operator ever degenerates to
+a cartesian/broadcast-nested-loop join. A plan regression here is a scale
+bug even while sf0.01 results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # map-side combine: a partial_sum must appear below the exchange
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_q5_broadcasts_dims_and_never_cartesian(spark):
+    plan = plan_of(spark, "q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "q3_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_minhash_lsh_pairs", "doc_winnow_pairs", "emb_lsh_knn", "emb_ivf_knn"],
+)
+def test_candidate_pair_operators_join_within_buckets(spark, name):
+    """The near-dup/ANN scale path must join on bucket/cell keys — any
+    cartesian or nested-loop join means the all-pairs fallback leaked in."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_purchase_events_prunes_nested_read(spark):
+    """Column pruning reaches the scan: the events routing query must not
+    read the wide props column it never touches."""
+    plan = plan_of(spark, "event_route_counts")
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "props" not in scan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = plan_of(spark, "doc_exact_dedup_stats")
+    # fingerprint groupBy then single-row stats: the fingerprint exchange
+    # plus the final single-partition gather, nothing else
+    assert plan.count("Exchange") <= 2
+
+
+def test_anti_join_stays_hash_based(spark):
+    plan = plan_of(spark, "orders_no_returned_lines")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
