@@ -1,3 +1,5 @@
-"""Reusable distributed operators: key dedup (``dedup``) and quality
-profiling (``quality``); text dedup, similarity search, text analysis, and
-multimodal plumbing land in sibling modules as they are built."""
+"""Reusable distributed operators: key dedup (``dedup``), text dedup
+families (``text_dedup``), text analysis + winnowing fingerprints
+(``text_analysis``), embedding similarity search (``similarity``),
+temporal joins (``temporal``), multimodal binary columns (``multimodal``),
+quality profiling (``quality``), and skew mitigation (``skew``)."""

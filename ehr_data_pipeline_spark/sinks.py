@@ -98,6 +98,30 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] | list[str],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table — the co-located-join storage layout for
+    100 TB fact tables. Writing both sides of a hot join (e.g. orders and
+    lineitem on the order key, or every per-patient FHIR entity on
+    patient_id) with the SAME bucket count lets Spark plan the join with
+    NO shuffle on either side: bucket pruning replaces the Exchange, and
+    with ``sort_cols`` the sort-merge join skips its sort too. The write
+    itself shuffles once into the bucket layout — paid once, amortized
+    over every subsequent join. Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog; a bare ``.parquet(path)`` write silently drops
+    it)."""
+    writer = normalize_columns(df).write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+
+
 def write_entity_tables(
     tables: dict[str, DataFrame],
     out_dir: str,

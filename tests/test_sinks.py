@@ -113,3 +113,40 @@ def test_write_jdbc_assembles_real_jdbc_write(dotted_df):
         write_jdbc(dotted_df, "jdbc:postgresql://nohost:5432/x", "t")
     msg = str(exc.value).lower()
     assert "driver" in msg or "jdbc" in msg
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The whole point of write_bucketed: a join of two tables bucketed on
+    the join key with equal bucket counts plans with ZERO Exchange nodes
+    (and no sort either, since sortBy matches the join key)."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.sinks import write_bucketed
+    from ehr_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], n_buckets=4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "bkt_lineitem", ["l_orderkey"], n_buckets=4,
+                   sort_cols=["l_orderkey"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bo = spark.table("bkt_orders")
+            bl = spark.table("bkt_lineitem")
+            joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # row parity with the plain (shuffled) join
+            assert joined.count() == orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
