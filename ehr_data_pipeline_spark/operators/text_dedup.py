@@ -116,6 +116,56 @@ def jaccard_pairs(
     )
 
 
+def curate_corpus_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """The composed LLM-corpus curation pipeline — the operators above
+    chained the way a training-data run chains them, reported as a funnel
+    (stage_idx, stage, n_docs):
+
+    1. **all** — the raw corpus;
+    2. **quality** — docs whose heuristic quality score clears
+       ``min_quality`` (text_analysis.text_stats, narrow pass);
+    3. **exact_dedup** — deterministic keep-lowest-id survivor per
+       normalized-content fingerprint (one shuffle);
+    4. **near_dedup** — greedy near-dup removal: for every surviving pair
+       with Jaccard >= threshold, the higher id drops. Greedy-by-id is
+       order-deterministic and transitively safe (a kept doc's dups all
+       reference a lower id).
+
+    Pair generation here is the exact all-pairs Jaccard (oracle-friendly);
+    at 100 TB swap in :func:`minhash_lsh_pairs` — same (doc_a, doc_b)
+    contract, identical funnel semantics, bucket-join cost."""
+    from ehr_data_pipeline_spark.operators.text_analysis import text_stats
+
+    base = df.select(id_col, text_col)
+    quality = text_stats(F.col(text_col))["quality_score"]
+    q = base.filter(quality >= min_quality)
+    fp = q.select(F.col(id_col), fingerprint128(F.col(text_col)).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    e = q.join(keep, id_col, "left_semi")
+    pairs = jaccard_pairs(e, id_col, text_col, jaccard_threshold, k)
+    removed = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    n = e.join(removed, id_col, "left_anti")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(1, "all", base)
+        .unionByName(stage(2, "quality", q))
+        .unionByName(stage(3, "exact_dedup", e))
+        .unionByName(stage(4, "near_dedup", n))
+    )
+
+
 def _minhash_value(shingle: Column, j: int) -> Column:
     """Hash function j of the md5-derived family: bigint from the first 8
     hex chars of md5(j ':' shingle). Engine-portable (DuckDB:

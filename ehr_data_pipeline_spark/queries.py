@@ -1446,6 +1446,122 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(d, "doc_id", "text", k=8, w=4, min_shared=5, max_df=10)
 
 
+_QUALITY_SQL = """
+      least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+      + (1.0 - least((CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+                      / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.3
+      + least((CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))
+              * 5.0, 1.0) * 0.3
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), c AS (
+      SELECT doc_id, nt,
+             CAST(length(nt) AS BIGINT) AS n_chars,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(nt, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(nt, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+             CAST(len(list_filter(string_split(nt, ' '),
+                  t -> t IN ('the','a','and','of','to','in','is','on','for','with')))
+               AS BIGINT) AS n_stop
+      FROM norm
+    ), q AS (
+      SELECT doc_id, nt FROM c WHERE {_QUALITY_SQL} >= 0.5
+    ), fp AS (
+      SELECT md5(nt) AS f, min(doc_id) AS keep FROM q GROUP BY f
+    ), e AS (
+      SELECT q.doc_id, q.nt FROM q JOIN fp ON fp.keep = q.doc_id
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(nt) - 2),
+                                          i -> substr(nt, i, 4))) AS s
+      FROM e WHERE length(nt) >= 4
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), removed AS (
+      SELECT DISTINCT doc_b AS doc_id FROM p WHERE j >= 0.8
+    ), n AS (
+      SELECT e.doc_id FROM e ANTI JOIN removed USING (doc_id)
+    )
+    SELECT 1 AS stage_idx, 'all' AS stage,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM e)
+    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM n)
+    """,
+    tags=("dedup", "pipeline", "quality-score"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus curation pipeline as one lazy plan:
+    quality filter → deterministic exact dedup → greedy near-dup removal,
+    reported as a per-stage funnel. The full four-stage composition is
+    hash-checked against DuckDB replaying the identical pipeline in SQL.
+    See operators.text_dedup.curate_corpus_funnel for the 100 TB notes
+    (swap the all-pairs stage for minhash_lsh_pairs)."""
+    from ehr_data_pipeline_spark.operators.text_dedup import curate_corpus_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus_funnel(
+        d, min_quality=0.5, jaccard_threshold=0.8
+    ).withColumn("n_docs", F.col("n_docs").cast("bigint"))
+
+
+@register(
+    "doc_token_histogram",
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), t AS (
+      SELECT CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens FROM norm
+    )
+    SELECT CAST(floor(n_tokens / 10.0) AS BIGINT) AS bucket,
+           CAST(floor(n_tokens / 10.0) AS BIGINT) * 10 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY bucket
+    """,
+    tags=("text", "histogram"),
+)
+def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (bucket width 10) — the
+    sequence-length profile that sizes batch/context decisions for
+    training runs. One narrow tokenize pass + one tiny groupBy on the
+    bucket id."""
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("bigint")
+    t = d.select(n_tokens.alias("n_tokens"))
+    bucket = F.floor(F.col("n_tokens") / 10.0).cast("bigint")
+    return (
+        t.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 10).alias("bucket_lo"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------

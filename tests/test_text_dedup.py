@@ -112,3 +112,29 @@ def test_drop_duplicates_any_keeps_one_per_key(spark):
     # every surviving row existed in the input (keep-ANY, not an agg)
     src = {(r["k"], r["v"]) for r in df.collect()}
     assert all((r["k"], r["v"]) in src for r in rows)
+
+
+def test_curate_corpus_funnel_stages(spark):
+    from ehr_data_pipeline_spark.operators.text_dedup import curate_corpus_funnel
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on to "
+            "the hills for a day in the sun with a friend of the family")
+    near = good.replace("lazy dog", "lazy cat")  # near-dup of `good`
+    junk = "!!! ??? *** !!!"  # punctuation-dense -> fails quality
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good.upper()),   # exact dup after normalization? (case only)
+            (3, near),
+            (4, junk),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["stage"]: r["n_docs"] for r in
+            curate_corpus_funnel(df, min_quality=0.5,
+                                 jaccard_threshold=0.8).collect()}
+    assert rows["all"] == 4
+    assert rows["quality"] == 3          # junk dropped
+    assert rows["exact_dedup"] == 2      # doc 2 collapses into doc 1
+    assert rows["near_dedup"] == 1       # doc 3 drops as near-dup of doc 1
+    # survivor is the lowest id at every stage by construction
