@@ -391,6 +391,31 @@ def ivf_knn(
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(q: array<tinyint>,
+    scale: double) with q = round(v · 127/max|v|). Halves (float32) or
+    quarters (float64) the storage of a 100 TB embedding table and feeds
+    int8 SIMD scoring downstream; cosine degradation is ~1e-3 for typical
+    embeddings (asserted in tests). Zero vectors quantize to zeros with
+    scale 0 and dequantize back to zeros."""
+    absmax = F.array_max(F.transform(to_double(vec), F.abs))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q = F.transform(
+        to_double(vec), lambda x: F.round(x * scale).cast("tinyint")
+    )
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dequantize_int8(quant: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: array<double> ≈ the original
+    vector (v̂ = q / scale)."""
+    scale = quant["scale"]
+    return F.transform(
+        quant["q"],
+        lambda x: F.when(scale > 0, x.cast("double") / scale).otherwise(F.lit(0.0)),
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -128,6 +128,25 @@ def sessionize(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] | list[str] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the stream twin of the batch key-dedup
+    (operators.dedup.keep_first / SURVEY U2): emits the first occurrence
+    of each key and drops re-deliveries (at-least-once sources, retried
+    producers). ``dropDuplicatesWithinWatermark`` keeps a key's state
+    only until the watermark passes its event time + delay, so state is
+    O(keys per watermark window), not O(keys ever seen) — the property
+    that lets a 100 TB/day ingest run forever. Exactly-once *within* the
+    watermark horizon; a duplicate arriving later than the delay is
+    treated as new (the standard trade, tuned by the watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 EWMA_OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, ewma double, last_event_us bigint"
 )

@@ -142,3 +142,36 @@ def test_train_ivf_centroids_deterministic_and_shaped(emb):
     assert [cid for cid, _ in c1] == [0, 1, 2, 3]
     assert all(len(v) == 64 for _, v in c1)
     assert c1 == c2  # deterministic seeding + single-pass refinement
+
+
+def test_int8_quantization_roundtrip_preserves_cosine(emb):
+    from ehr_data_pipeline_spark.operators.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    out = emb.select(
+        cosine(
+            F.col("embedding"), dequantize_int8(quantize_int8(F.col("embedding")))
+        ).alias("c")
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["c"] >= 0.999, f"quantization degraded cosine to {r['c']}"
+
+
+def test_int8_quantization_zero_vector_safe(spark):
+    from ehr_data_pipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<double>")
+    row = df.select(
+        quantize_int8(F.col("embedding")).alias("qs"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("back"),
+    ).collect()[0]
+    assert row["qs"]["scale"] == 0.0
+    assert list(row["qs"]["q"]) == [0, 0, 0]
+    assert list(row["back"]) == [0.0, 0.0, 0.0]

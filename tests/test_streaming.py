@@ -210,3 +210,27 @@ def test_user_value_ewma_state_accumulates_across_microbatches(
     for k, r in final.items():
         assert r["n_events"] == want[k]["n_events"]
         assert r["ewma"] == want[k]["ewma"]
+
+
+def test_stream_dedup_drops_redelivered_events(checkpointed, tmp_path):
+    """A doubled input (every event delivered twice) through
+    dropDuplicatesWithinWatermark must emit exactly the batch-distinct
+    rows."""
+    from ehr_data_pipeline_spark.streaming import dedup_events_stream
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    doubled = events.unionAll(events)
+    src = tmp_path / "dup_src"
+    doubled.write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema).parquet(f"{src}/*.parquet")
+    )
+    run_to_memory(
+        dedup_events_stream(stream), "dedup_stream", output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM dedup_stream")
+    n_expected = events.count()
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
