@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ehr_data_pipeline_spark.partitioning import ensure_min_partitions
+
 DEFAULT_PLANES = 8
 
 
@@ -79,7 +81,9 @@ def brute_force_knn(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -171,7 +175,9 @@ def lsh_knn(
     (table, bucket) joins within buckets only — never an all-pairs
     cross join — and AQE splits skewed hot buckets."""
     c = _with_table_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        ensure_min_partitions(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
         "__cv", dim, n_planes, n_tables,
     )
     q = _with_table_buckets(
@@ -215,6 +221,7 @@ def cosine_near_dup_pairs(
     projection broadcast) — correct at any SF but O(N²) work, so at
     100 TB use the LSH-bucketed variant and keep this one for
     verification samples."""
+    df = ensure_min_partitions(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
@@ -245,7 +252,9 @@ def lsh_near_dup_pairs(
     precision is 1.0 and only recall is approximate (tuned by P/L —
     pairs at cos θ share a bucket in one table with prob (1-θ/π)^P)."""
     s = _with_table_buckets(
-        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ),
         "__v", dim, n_planes, n_tables,
     )
     a = s.select(
@@ -361,6 +370,7 @@ def ivf_knn(
     search is a partition-pruned read joining queries to their probed
     cells. Recall tunes with n_probe (= 1.0 when n_probe = n_list)."""
     centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col)
+    corpus = ensure_min_partitions(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

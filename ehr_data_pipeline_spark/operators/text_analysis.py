@@ -223,6 +223,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 5,
     max_df: int = 10,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints: explode
     each doc's fingerprint set, drop *stop-prints* (fingerprints appearing
@@ -230,7 +231,16 @@ def winnow_pairs(
     uses, and at 100 TB also the hot-bucket skew fix for the join), then
     self-join WITHIN the remaining fingerprint buckets (Σ|bucket|², never
     all-pairs), count shared prints per pair, and score
-    overlap = shared / min(rare-print count of A, of B)."""
+    overlap = shared / min(rare-print count of A, of B).
+
+    ``input_partitions``: the hash stream is CPU-heavy per row, and
+    parquet's bytes-based splitting under-parallelizes small single-file
+    inputs (one split = one core). Set it to the session parallelism when
+    the source has fewer splits than cores; leave ``None`` at scale,
+    where the input already has more splits than executors and the extra
+    shuffle would be pure cost."""
+    if input_partitions is not None:
+        df = df.repartition(input_partitions)
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     # explode_outer, not explode: InferFiltersFromGenerate would add a
     # size(fps)>0 filter below the projections with the whole winnow

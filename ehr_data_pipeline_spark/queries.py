@@ -1443,7 +1443,8 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ehr_data_pipeline_spark.operators.text_analysis import winnow_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return winnow_pairs(d, "doc_id", "text", k=8, w=4, min_shared=5, max_df=10)
+    return winnow_pairs(d, "doc_id", "text", k=8, w=4, min_shared=5, max_df=10,
+                        input_partitions=32)
 
 
 _QUALITY_SQL = """

@@ -150,3 +150,21 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from ehr_data_pipeline_spark.sinks import compact_parquet
+    from ehr_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(50).write.parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 50
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=256,
+                        sort_within_by=["ts"])
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1  # tiny table -> one right-sized file
+    assert spark.read.parquet(out).count() == events.count()

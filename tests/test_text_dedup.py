@@ -138,3 +138,17 @@ def test_curate_corpus_funnel_stages(spark):
     assert rows["exact_dedup"] == 2      # doc 2 collapses into doc 1
     assert rows["near_dedup"] == 1       # doc 3 drops as near-dup of doc 1
     # survivor is the lowest id at every stage by construction
+
+
+def test_curate_corpus_funnel_minhash_path_matches_exact(spark):
+    """The scale path (LSH-bucketed candidates) must reproduce the exact
+    funnel on the sf0.001 corpus (high-similarity dups are exactly the
+    pairs LSH recalls best)."""
+    from ehr_data_pipeline_spark.operators.text_dedup import curate_corpus_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["stage"]: r["n_docs"]
+             for r in curate_corpus_funnel(docs, method="exact").collect()}
+    mh = {r["stage"]: r["n_docs"]
+          for r in curate_corpus_funnel(docs, method="minhash").collect()}
+    assert exact == mh
