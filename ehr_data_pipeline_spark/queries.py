@@ -423,6 +423,35 @@ def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_projected_aligned",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS region
+    FROM events
+    """,
+    tags=("projection", "schema-align"),
+)
+def events_projected_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4 parity (json_pipeline.py:164, :165-184): pattern-drop the
+    wide ``props`` column, then align to a target schema that adds a
+    never-seen ``region`` column as a typed null. One Project node; the
+    dropped column is pruned at the parquet scan (never read)."""
+    from pyspark.sql.types import StructType
+
+    from ehr_data_pipeline_spark.functions.projection import (
+        align_to_schema,
+        drop_matching_columns,
+    )
+
+    e = drop_matching_columns(_t(spark, sf_dir, "events"), "props")
+    target = StructType.fromDDL(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, region string"
+    )
+    return align_to_schema(e, target)
+
+
+@register(
     "event_type_reach",
     oracle="""
     SELECT event_type,
