@@ -47,3 +47,26 @@ def test_run_pipeline_without_sink_stays_lazy(spark):
     assert result.quality_report is None
     # plans are still runnable
     assert result.tables["Patient"].count() > 0
+
+
+def test_pipeline_staged_bronze_layer_equivalent(spark, tmp_path):
+    """stage_dir (JSON → bronze parquet once) must produce identical
+    entity tables to the direct path."""
+    import os
+
+    from ehr_data_pipeline_spark.fhir.pipeline import run_pipeline
+
+    fixture_dir = os.path.join(os.path.dirname(__file__), "fixtures", "fhir")
+    direct = run_pipeline(
+        spark, fixture_dir, output_dir=str(tmp_path / "direct"), quality=False
+    )
+    staged = run_pipeline(
+        spark, fixture_dir, output_dir=str(tmp_path / "staged"),
+        quality=False, stage_dir=str(tmp_path / "bronze"),
+    )
+    assert direct.row_counts == staged.row_counts
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    for rt in direct.tables:
+        a = sorted(map(tuple, direct.tables[rt].collect()), key=key)
+        b = sorted(map(tuple, staged.tables[rt].collect()), key=key)
+        assert a == b, rt
