@@ -79,3 +79,42 @@ def test_anti_join_stays_hash_based(spark):
     plan = plan_of(spark, "orders_no_returned_lines")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_uses_explicit_values_no_discovery_scan(spark):
+    """With the pivot value list given explicitly there must be exactly
+    one scan of orders in the plan (no extra distinct-values job) and a
+    single aggregate shuffle."""
+    plan = plan_of(spark, "nation_priority_pivot")
+    assert plan.count("Scan parquet") == 3  # orders + customer + nation, once each
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_near_dup_join_not_cartesian(spark):
+    plan = plan_of(spark, "corpus_curation_funnel")
+    # the exact all-pairs stage IS a nested-loop join by design at test SF;
+    # the quality/exact-dedup stages must still join hash-based
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_projection_alignment_prunes_dropped_column(spark):
+    plan = plan_of(spark, "events_projected_aligned")
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "props" not in scan  # dropped before the scan -> never read
+
+
+def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
+    """The replicated (exploded) side of a salted join must not add a
+    shuffle beyond the join's own exchange."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.skew import salted_join
+    from ehr_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    out = salted_join(events, dim, "user_id", n_salts=8,
+                      skewed_unique_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
