@@ -101,13 +101,18 @@ def jaccard_pairs(
 ) -> DataFrame:
     """ALL-PAIRS n-gram Jaccard — the exact ground truth the LSH path is
     verified against. O(n²) nested-loop join: correctness oracle for tests
-    and small corpora, never the 100 TB path (use minhash_lsh_pairs)."""
+    and small corpora, never the 100 TB path (use minhash_lsh_pairs).
+    Size-ratio pruning (J <= min/max of the set sizes) runs inside the
+    join condition, so pairs that cannot reach the threshold skip the
+    intersection entirely — output unchanged."""
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     a, b = base.alias("a"), base.alias("b")
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    size_ok = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(b, (F.col("a.id") < F.col("b.id")) & size_ok)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
@@ -237,6 +242,7 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "id",
+        F.size("sh").alias("nsh"),
         F.explode(
             F.array(
                 *[
@@ -251,15 +257,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_key")
+    ).select("id", "nsh", "band.band_idx", "band.band_key")
 
     a, b = banded.alias("a"), banded.alias("b")
+    # size-ratio pruning (PPJoin-style): J(A,B) <= min(|A|,|B|)/max(...),
+    # so candidates failing the ratio can NEVER pass the threshold — drop
+    # them before the expensive intersection. Output set is unchanged.
+    size_ok = F.least(F.col("a.nsh"), F.col("b.nsh")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
