@@ -291,30 +291,51 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over a token array: bit b of the sketch is 1 when
-    more than half the tokens have bit b set in xxhash64(token). Built as
-    a native fold over bit positions — O(64·|tokens|) per row, no UDF.
-    Near-dup docs differ in few bits (small Hamming distance)."""
+def simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """SimHash sketch from a precomputed array of token hashes: bit b of
+    the sketch is 1 when more than half the hashes have bit b set. A
+    native fold over bit positions — O(bits·|tokens|) boolean work per
+    row after ONE hash pass, no UDF. Near-dup docs differ in few bits
+    (small Hamming distance)."""
+    n = F.size(hashes)
+
     def bit(b: int) -> Column:
         n_set = F.size(
-            F.filter(
-                tokens,
-                lambda t: (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))) == 1,
-            )
+            F.filter(hashes, lambda h: (F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1)
         )
-        return (n_set * 2 > F.size(tokens)).cast("bigint")
+        return (n_set * 2 > n).cast("bigint")
 
     out = F.lit(0).cast("bigint")
-    for b in range(64):  # unrolled: shiftleft takes a literal bit count
+    for b in range(bits):  # unrolled: shiftleft takes a literal bit count
         out = out + F.shiftleft(bit(b), b)
     return out
 
 
-def simhash_bands(sim: Column, n_bands: int = 4) -> list[Column]:
-    """Split a 64-bit SimHash into n 16-bit chunk keys — candidate pairs
-    for Hamming distance ≤ small share at least one chunk (pigeonhole)."""
-    width = 64 // n_bands
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash with xxhash64 token hashing — the cheap engine-side
+    scale path (xxhash64 is a few ns/token in codegen). Spark-specific
+    hash seed, so unit-tested rather than oracle-checked; the
+    oracle-checked twin is :func:`simhash60_portable`."""
+    return simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)), 64)
+
+
+def simhash60_portable(tokens: Column) -> Column:
+    """60-bit SimHash over md5-derived token hashes
+    (text_analysis.portable_hash60) — identical arithmetic in Spark and
+    DuckDB, so the registered ``doc_simhash`` query is hash-checked
+    against a SQL oracle that replays the sketch bit-for-bit. 60 bits
+    (15 md5 hex chars) keeps every shift inside a signed bigint in both
+    engines."""
+    from ehr_data_pipeline_spark.operators.text_analysis import portable_hash60
+
+    return simhash_from_hashes(F.transform(tokens, portable_hash60), 60)
+
+
+def simhash_bands(sim: Column, n_bands: int = 4, total_bits: int = 64) -> list[Column]:
+    """Split a SimHash into n equal-width chunk keys — candidate pairs
+    for Hamming distance < n_bands share at least one chunk (pigeonhole),
+    giving the same bucket-join shape as MinHash-LSH bands."""
+    width = total_bits // n_bands
     mask = (1 << width) - 1
     return [
         F.shiftrightunsigned(sim, i * width)

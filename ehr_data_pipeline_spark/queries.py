@@ -1402,24 +1402,54 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+# DuckDB replay of simhash60_portable: one CASE<<b term per bit over the
+# md5-derived token-hash list (machine-generated, like the winnow oracle).
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"((CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs)"
+    f" THEN CAST(1 AS BIGINT) ELSE 0 END) << {b})"
+    for b in range(60)
+)
+_SIMHASH_BAND_COLS = ", ".join(
+    f"(simhash >> {i * 15}) & 32767 AS band{i}" for i in range(4)
+)
+
+
 @register(
     "doc_simhash",
-    oracle=None,  # xxhash64-based sketch is Spark-specific; semantics are
-    # unit-tested (tests/test_text_dedup.py) instead of oracle-checked
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM t
+    )
+    SELECT doc_id, simhash, {_SIMHASH_BAND_COLS} FROM s
+    """,
     tags=("dedup", "simhash"),
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash + its four 16-bit band keys (candidate
-    pairs for Hamming-distance near-dup share at least one band by
-    pigeonhole). Narrow one-pass plan; the pair join shuffles on band keys
-    exactly like MinHash-LSH."""
+    """Per-document 60-bit portable SimHash + its four 15-bit band keys
+    (candidate pairs for Hamming-distance near-dup share at least one band
+    by pigeonhole). Narrow one-pass plan; the pair join shuffles on band
+    keys exactly like MinHash-LSH. Uses the md5-derived hash family so the
+    DuckDB oracle replays the sketch bit-for-bit; the xxhash64 variant
+    (``simhash64``) is the cheaper engine-side choice when portability
+    doesn't matter, and is unit-tested instead."""
     from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
-    from ehr_data_pipeline_spark.operators.text_dedup import simhash64, simhash_bands
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        simhash60_portable,
+        simhash_bands,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    sim = simhash64(whitespace_tokens(F.col("text")))
+    sim = simhash60_portable(whitespace_tokens(F.col("text")))
     d = d.select("doc_id", sim.alias("simhash"))
-    return d.select("doc_id", "simhash", *simhash_bands(F.col("simhash")))
+    return d.select(
+        "doc_id", "simhash", *simhash_bands(F.col("simhash"), total_bits=60)
+    )
 
 
 @register(

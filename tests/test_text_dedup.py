@@ -100,6 +100,32 @@ def test_simhash_hamming(spark, corpus):
     assert ham["far"] > ham["near"]  # unrelated text is farther
 
 
+def test_simhash_portable_hamming(spark, corpus):
+    """The md5-portable 60-bit sketch preserves the Hamming-distance
+    ordering (dup < near < far) with the same banding guarantee; its
+    oracle-exactness is covered by the doc_simhash registry row."""
+    from ehr_data_pipeline_spark.operators.text_dedup import simhash60_portable
+
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select(
+            "doc_id", simhash60_portable(whitespace_tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    assert all(0 <= s < (1 << 60) for s in sims.values())
+    df = spark.createDataFrame(
+        [(sims[1], sims[3], sims[4], sims[5])], "a long, b long, c long, d long"
+    )
+    ham = df.select(
+        hamming64(F.col("a"), F.col("b")).alias("dup"),
+        hamming64(F.col("a"), F.col("c")).alias("near"),
+        hamming64(F.col("a"), F.col("d")).alias("far"),
+    ).collect()[0]
+    assert ham["dup"] == 0
+    assert ham["near"] <= 10
+    assert ham["far"] > ham["near"]
+
+
 def test_drop_duplicates_any_keeps_one_per_key(spark):
     from ehr_data_pipeline_spark.operators.dedup import drop_duplicates_any
 
