@@ -73,6 +73,23 @@ def test_parquet_partition_by_prunes_directories(spark, dotted_df, tmp_path):
     assert back.count() == 2
 
 
+def test_partitioned_read_prunes_at_plan_time(spark, dotted_df, tmp_path):
+    """The 100 TB payoff of write_parquet(partition_by=...): a filter on
+    the partition column must become a PartitionFilter (directory pruning
+    at planning time — non-matching partitions are never listed or read),
+    not a row-level PushedFilter evaluated after the scan."""
+    path = str(tmp_path / "pq_pruned")
+    write_parquet(dotted_df, path, partition_by=("resource_id",))
+    filtered = spark.read.parquet(path).filter(F.col("resource_id") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "resource_id" in pf  # pruned via the directory structure
+    # and the partition predicate is NOT a data filter on the scan
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "resource_id" not in pushed
+    assert filtered.count() == 1
+
+
 def test_csv_round_trip(spark, dotted_df, tmp_path):
     path = str(tmp_path / "csv")
     write_csv(dotted_df, path)
