@@ -1977,6 +1977,185 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational core, round 2 widening: outer-join distribution, window
+# frames, grouping sets, argmin-per-group decorrelation
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("outer-join", "groupBy", "two-level-agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers —
+    the left outer join keeps zero-order customers (COUNT of a NULL key
+    is 0), then a second aggregation histograms the counts. Scale notes:
+    the outer join shuffles on the customer key with the non-equi status
+    predicate evaluated inside the join (never a post-join filter, which
+    would wrongly drop zero-order customers); the second groupBy is over
+    a tiny domain (distinct order counts) so its shuffle is negligible."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderstatus"] != "F"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "customer_running_order_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER w AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+           ROW_NUMBER() OVER w AS order_seq
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "running-total"),
+)
+def customer_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (rows-between), beyond the rank/lag coverage: per
+    customer, cumulative spend and a 3-order moving average in order
+    history sequence. The ordering (o_orderdate, o_orderkey) is total, so
+    frame contents are deterministic. Decimal running sums keep the
+    prefix sums order-exact; the 3-row average divides the exact decimal
+    sum by the frame row count (engine-portable — window AVG itself
+    aggregates doubles in engine-specific order). One shuffle on
+    o_custkey serves all three window functions (same partitioning)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(frame).cast("double").alias("running_spend"),
+        (
+            F.sum(dec("o_totalprice")).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3)
+        ).alias("moving_avg_3"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "order_priority_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+    tags=("grouping-sets", "agg"),
+)
+def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube: three explicit
+    grouping combinations in ONE pass over orders (the alternative — three
+    groupBys unioned — scans three times). grouping_id disambiguates the
+    (priority, NULL) rows from a hypothetical NULL data value. Single
+    Expand + one shuffle; at 100 TB this is strictly cheaper than cube()
+    because unneeded combinations are never expanded."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "part_cheapest_line_supplier",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT r.l_partkey AS p_partkey, p.p_name, s.s_name,
+           r.l_extendedprice AS cheapest_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1 AND p.p_size <= 10
+    """,
+    tags=("window", "argmin", "decorrelation", "broadcast-join"),
+)
+def part_cheapest_line_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — attributes of the argmin row per group: for every
+    small part, the supplier behind its cheapest lineitem. The correlated
+    `price = (SELECT MIN(...) WHERE partkey = outer)` subquery decorrelates
+    to a window row_number over a TOTAL order (price, suppkey, orderkey,
+    linenumber — ties broken deterministically), rank-1 filter, then
+    broadcast joins to the part/supplier dims. Scale notes: one shuffle on
+    l_partkey for the window (WindowGroupLimit pushes the rank-1 filter
+    below the sort), dims broadcast; the p_size filter prunes parts before
+    the join build side."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    cheapest = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        cheapest.join(F.broadcast(p), cheapest["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), cheapest["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("l_extendedprice").alias("cheapest_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -103,6 +103,26 @@ def test_projection_alignment_prunes_dropped_column(spark):
     assert "props" not in scan  # dropped before the scan -> never read
 
 
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS must be one Expand + one shuffle — never the
+    three-scan union of per-set groupBys."""
+    plan = plan_of(spark, "order_priority_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_argmin_window_rank_pushdown(spark):
+    """The rank-1 filter of the argmin-per-group decorrelation must reach
+    WindowGroupLimit (per-partition top-1 before the full sort/window),
+    and the dim joins must broadcast, not shuffle."""
+    plan = plan_of(spark, "part_cheapest_line_supplier")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
     """The replicated (exploded) side of a salted join must not add a
     shuffle beyond the join's own exchange."""
