@@ -66,3 +66,28 @@ def test_approx_count_distinct_tracks_exact(spark):
     assert len(both) > 0
     for r in both:
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB path for lineitem_quantity_percentiles: the exact
+    percentile needs a full sort per group, the KLL/GK-style
+    approx_percentile is a bounded-memory mergeable sketch. With
+    accuracy=10000 the rank error is ≤ 0.01·n, so on the quantity domain
+    the approximate quantile must land within 1 unit of the exact one."""
+    from ehr_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("exact_p50"),
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+            F.percentile("l_quantity", F.lit(0.95)).alias("exact_p95"),
+            F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 1.0
+        assert abs(r["approx_p95"] - r["exact_p95"]) <= 1.0
