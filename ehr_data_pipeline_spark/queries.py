@@ -1335,8 +1335,9 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLES_SQL = """
       SELECT doc_id,
-             list_distinct(list_transform(range(1, length(nt) - 2),
-                                          i -> substr(nt, i, 4))) AS sh
+             list_distinct(list_transform(
+               list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS sh
       FROM (SELECT doc_id,
                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
             FROM documents)
@@ -1367,17 +1368,27 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+# DuckDB replay of the affine MinHash family: one 32-bit md5 base hash
+# per shingle, then the 16 deterministic (a_j, b_j) permutations.
+from ehr_data_pipeline_spark.operators.text_dedup import (  # noqa: E402
+    minhash_affine_params as _mh_affine_params,
+)
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647))"
+    for a, b in (_mh_affine_params(j) for j in range(16))
+) + "]"
+
+
 @register(
     "doc_minhash_lsh_pairs",
     oracle=f"""
     WITH s AS ({_SHINGLES_SQL}),
+    hsx AS (
+      SELECT doc_id, sh, sh AS hs FROM s WHERE len(sh) > 0
+    ),
     sig AS (
-      SELECT doc_id, sh,
-             list_transform(range(0, 16), j ->
-               list_min(list_transform(sh, x ->
-                 CAST('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', x)), 1, 8)
-                      AS BIGINT)))) AS sg
-      FROM s WHERE len(sh) > 0
+      SELECT doc_id, sh, {_MINHASH_SIG_SQL} AS sg FROM hsx
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -1391,12 +1402,13 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "near-dup"),
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs — the 100 TB path: 16 md5-derived
-    min-hashes over shingles, 4 LSH bands, candidates only WITHIN band
-    buckets (no all-pairs anywhere), exact-Jaccard verification of the
-    candidate set. The md5 hash family is engine-portable, so the DuckDB
-    oracle replicates the ENTIRE pipeline (signatures, banding, verify)
-    and the outputs hash-match exactly."""
+    """MinHash-LSH near-dup pairs — the 100 TB path: 16 affine
+    permutations of one md5 base hash per shingle (universal hashing),
+    4 LSH bands, candidates only WITHIN band buckets (no all-pairs
+    anywhere), exact-Jaccard verification of the candidate set. The
+    family is engine-portable, so the DuckDB oracle replicates the
+    ENTIRE pipeline (signatures, banding, verify) and the outputs
+    hash-match exactly."""
     from ehr_data_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
@@ -1540,8 +1552,9 @@ _QUALITY_SQL = """
       SELECT q.doc_id, q.nt FROM q JOIN fp ON fp.keep = q.doc_id
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, length(nt) - 2),
-                                          i -> substr(nt, i, 4))) AS s
+             list_distinct(list_transform(
+               list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS s
       FROM e WHERE length(nt) >= 4
     ), p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -71,6 +71,24 @@ def test_jaccard_ground_truth(corpus):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_jaccard_prefix_filter_matches_allpairs(corpus):
+    """Prefix filtering (AllPairs/PPJoin) is LOSSLESS: identical pairs
+    and identical Jaccard values to the brute-force all-pairs join, while
+    joining only within rare-shingle buckets — the exact-result scale
+    path."""
+    from ehr_data_pipeline_spark.operators.text_dedup import jaccard_pairs_prefix
+
+    brute = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(corpus, threshold=0.6).collect()
+    }
+    assert pref == brute and len(pref) > 0
+
+
 def test_minhash_lsh_matches_ground_truth(corpus):
     exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(corpus, threshold=0.6).collect()}
     lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(corpus, threshold=0.6).collect()}
