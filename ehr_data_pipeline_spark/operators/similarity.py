@@ -48,13 +48,18 @@ def to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product in double precision."""
+def _dot_d(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over ALREADY-DOUBLE arrays."""
     return F.aggregate(
-        F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return _dot_d(to_double(a), to_double(b))
 
 
 def l2_norm(a: Column) -> Column:
@@ -62,7 +67,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """a·b / (‖a‖·‖b‖), with both double-cast vectors let-bound so the
+    cast runs once per row instead of once per fold (a·b, a·a, b·b).
+    Formula shape is unchanged — bitwise-identical results."""
+    from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    return let_bound(
+        to_double(a),
+        lambda x: let_bound(
+            to_double(b),
+            lambda y: _dot_d(x, y) / (F.sqrt(_dot_d(x, x)) * F.sqrt(_dot_d(y, y))),
+        ),
+    )
 
 
 def brute_force_knn(
@@ -115,19 +131,17 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     return [rng.gauss(0.0, 1.0) for _ in range(dim)]
 
 
-def lsh_bucket(
-    vec: Column, dim: int, n_planes: int = DEFAULT_PLANES, table: int = 0
+def _bucket_of_double(
+    v: Column, dim: int, n_planes: int, table: int
 ) -> Column:
-    """Sign-bit bucket key for one hash table: bit p = 1 iff
-    vec · hyperplane_{table,p} >= 0. In-row, narrow; two vectors at angle
-    θ share the bucket with probability (1 - θ/π)^P. The projection is a
-    zip_with/aggregate fold against a literal plane array — compact
-    codegen even for many (table, plane) combinations."""
+    """Sign-bit bucket key from an ALREADY-DOUBLE vector (a bound lambda
+    variable): bit p = 1 iff v · hyperplane_{table,p} >= 0. The projection
+    is a zip_with/aggregate fold against a constant-folded plane array."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(h) for h in _hyperplane(table, p, dim)])
         proj = F.aggregate(
-            F.zip_with(to_double(vec), plane, lambda x, y: x * y),
+            F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -135,19 +149,40 @@ def lsh_bucket(
     return F.concat(*bits)
 
 
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = DEFAULT_PLANES, table: int = 0
+) -> Column:
+    """Sign-bit bucket key for one hash table: bit p = 1 iff
+    vec · hyperplane_{table,p} >= 0. In-row, narrow; two vectors at angle
+    θ share the bucket with probability (1 - θ/π)^P. The float→double
+    conversion is let-bound so it runs once per row, not once per plane."""
+    from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    return let_bound(
+        to_double(vec), lambda v: _bucket_of_double(v, dim, n_planes, table)
+    )
+
+
 def _with_table_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int
 ) -> DataFrame:
     """Explode each row into its n_tables (table_idx, bucket_key) entries —
-    the OR-construction index: candidates match in ANY table."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("key"),
-            )
-            for t in range(n_tables)
-        ]
+    the OR-construction index: candidates match in ANY table. The
+    double-cast vector is let-bound ONCE for all n_tables × n_planes
+    projections (it would otherwise re-evaluate per plane)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    entries = let_bound(
+        to_double(F.col(vec_col)),
+        lambda v: F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    _bucket_of_double(v, dim, n_planes, t).alias("key"),
+                )
+                for t in range(n_tables)
+            ]
+        ),
     )
     return df.select(*df.columns, F.explode(entries).alias("__b")).select(
         *df.columns, F.col("__b.t").alias("__table"), F.col("__b.key").alias("__bucket")
@@ -188,7 +223,10 @@ def lsh_knn(
         q.join(c, ["__table", "__bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "__qv", "neighbor_id", "__cv")
-        .distinct()
+        # dedupe on the ids only — the vectors are functionally dependent,
+        # and hashing two 64-double payloads per row for the distinct would
+        # dominate the exchange
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.select(
         "query_id",
@@ -269,7 +307,8 @@ def lsh_near_dup_pairs(
         a.join(b, ["__table", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "__va", "id_b", "__vb")
-        .distinct()
+        # id-keyed dedup: vectors are functionally dependent on the ids
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         candidates.select(
@@ -281,12 +320,12 @@ def lsh_near_dup_pairs(
     )
 
 
-def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance from a vector column to a literal centroid —
-    zip_with/aggregate fold, stays in codegen."""
+def _sq_dist_to_literal_d(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an already-double vector to a literal
+    centroid — zip_with/aggregate fold."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
-        F.zip_with(to_double(vec), c, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -294,18 +333,24 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
 
 def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """Array of (squared distance, centroid id) structs — sortable, so
-    argmin = element 1 of array_sort (distance first, id tiebreak)."""
-    return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(vec, cvec).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
+    argmin = element 1 of array_sort (distance first, id tiebreak). The
+    double-cast vector is let-bound once across all centroid folds."""
+    from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    def dists(v: Column) -> Column:
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_to_literal_d(v, cvec).alias("dist"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cvec in centroids
+                ]
+            )
         )
-    )
+
+    return let_bound(to_double(vec), dists)
 
 
 def train_ivf_centroids(

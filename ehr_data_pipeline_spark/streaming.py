@@ -128,6 +128,26 @@ def sessionize(
     )
 
 
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each microbatch of the stream joins
+    against the (bounded) dimension DataFrame. The static side is
+    broadcast — re-evaluated per microbatch, so a dimension backed by a
+    table picks up slowly-changing updates between batches without any
+    state store (stream-static joins are stateless by definition; only
+    stream-stream joins buffer rows). At 100 TB stream rates the
+    broadcast is the difference between a per-microbatch shuffle of the
+    stream and none. ``how`` is stream-side outer at most (left/inner) —
+    right/full would need unbounded state over the static side's unmatched
+    keys and Spark rejects it."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def dedup_events_stream(
     events: DataFrame,
     keys: tuple[str, ...] | list[str] = ("event_id",),

@@ -103,6 +103,37 @@ def test_max_files_per_trigger_paces_microbatches(checkpointed):
     assert q.lastProgress is not None
 
 
+def test_stream_static_enrich_matches_batch_join(checkpointed):
+    """Stream-static broadcast enrichment: the streaming events joined to
+    a static per-user dimension must equal the batch join row-for-row,
+    and unmatched stream rows survive (left join, stateless)."""
+    from ehr_data_pipeline_spark.streaming import enrich_stream_static
+
+    spark = checkpointed
+    batch = load_table(spark, SF, "events")
+    # static dim derived from half the users so the left join has misses
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("user_id") % 2 == 0)
+    )
+    enriched = enrich_stream_static(
+        read_events_stream(spark, SF).select("event_id", "user_id"),
+        dim,
+        on="user_id",
+    )
+    run_to_memory(enriched, "enriched_events", output_mode="append")
+    got = _rows(spark.sql("SELECT * FROM enriched_events"), ["event_id"])
+    want = _rows(batch.select("event_id", "user_id").join(
+        F.broadcast(dim), "user_id", "left"), ["event_id"])
+    assert len(got) == len(want) > 0
+    miss = sum(1 for r in want.values() if r["n_events"] is None)
+    assert miss > 0  # left-join semantics exercised
+    for k, w in want.items():
+        g = got[k]
+        assert (g["user_id"], g["n_events"]) == (w["user_id"], w["n_events"])
+
+
 def test_fhir_ingest_stream_matches_batch(checkpointed):
     """The streaming bundle scan must drive the SAME extract plan to the
     same rows as the batch path (fixtures as the finite stream)."""
