@@ -410,6 +410,69 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise matches into dedup GROUPS (transitively: if A~B and
+    B~C, then A,B,C are one group even when A~C was never emitted).
+    Returns (doc_id, component) where component = the minimum doc id
+    reachable from doc_id — a deterministic canonical representative, so
+    "keep the component id, drop the rest" is a stable dedup policy.
+
+    Algorithm: iterative min-label propagation (the simple half of
+    Kiveris et al.'s star contractions): every node starts as its own
+    label; each round every node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter — near-dup clusters are dense and shallow (usually
+    ≤ 3). Each round is one join + one groupBy, both shuffling on node
+    id; labels persist between rounds and the convergence check is a
+    cheap count. No driver-side iteration over ROWS ever — the loop is
+    over PLANS (the classic Spark pattern for iterative algorithms)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_from_hashes(hashes: Column, bits: int) -> Column:
     """SimHash sketch from a precomputed array of token hashes: bit b of
     the sketch is 1 when more than half the hashes have bit b set. A

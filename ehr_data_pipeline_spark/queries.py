@@ -1414,6 +1414,60 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+@register(
+    "doc_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS ({_SHINGLES_SQL}),
+    hsx AS (
+      SELECT doc_id, sh, sh AS hs FROM s WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id, sh, {_MINHASH_SIG_SQL} AS sg FROM hsx
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
+             OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+    ), e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p
+    ), reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "connected-components", "iterative"),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (threshold 0.6) by iterative min-label propagation — pairwise
+    matches become transitive dedup groups with a deterministic canonical
+    id (the component's minimum doc id). The DuckDB oracle replays the
+    LSH pair generation AND the closure (recursive CTE), so even the
+    iterative algorithm is hash-checked end-to-end. Scale notes: each
+    propagation round is one key-partitioned join + groupBy (rounds =
+    cluster diameter, ~2-3 for dup clusters); no driver-side row
+    iteration anywhere."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        near_dup_components,
+    )
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    comp = near_dup_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("id").alias("max_doc")
+    )
+
+
 # DuckDB replay of simhash60_portable: one CASE<<b term per bit over the
 # md5-derived token-hash list (machine-generated, like the winnow oracle).
 _SIMHASH_BIT_TERMS = " + ".join(

@@ -81,14 +81,20 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of ENGINE_CONF to a session we did
     not create (e.g. the driver's). Determinism-critical: timezone affects
     every timestamp→date derivation."""
+    conf = dict(ENGINE_CONF)
+    # size the shuffle to the local parallelism too (runtime-settable):
+    # a vanilla session's 200-partition default just multiplies task
+    # overhead at test scale; AQE still coalesces further at runtime
+    conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
     for key in (
         "spark.sql.session.timeZone",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.shuffle.partitions",
     ):
         try:
-            spark.conf.set(key, ENGINE_CONF[key])
+            spark.conf.set(key, conf[key])
         except Exception:
             pass  # immutable in some deployments; accept session defaults
     return spark

@@ -144,6 +144,18 @@ def test_simhash_portable_hamming(spark, corpus):
     assert ham["far"] > ham["near"]
 
 
+def test_near_dup_components_transitive_chain(spark):
+    """A~B and B~C (A~C never emitted) must still land in ONE component
+    labeled by the minimum id; disconnected pairs stay separate."""
+    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], ["doc_a", "doc_b"]
+    )
+    comp = {r["id"]: r["component"] for r in near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
 def test_drop_duplicates_any_keeps_one_per_key(spark):
     from ehr_data_pipeline_spark.operators.dedup import drop_duplicates_any
 
