@@ -1354,6 +1354,9 @@ _SHINGLES_SQL = """
                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        -- size-ratio prune (J <= min/max): skips the intersection for
+        -- pairs that cannot reach the threshold; output unchanged
+        AND least(len(a.sh), len(b.sh)) >= 0.6 * greatest(len(a.sh), len(b.sh))
     )
     SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6
     """,
@@ -1615,6 +1618,7 @@ _QUALITY_SQL = """
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s))
     ), removed AS (
       SELECT DISTINCT doc_b AS doc_id FROM p WHERE j >= 0.8
     ), n AS (
@@ -2046,8 +2050,43 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Relational core, round 2 widening: outer-join distribution, window
-# frames, grouping sets, argmin-per-group decorrelation
+# frames, grouping sets, argmin-per-group decorrelation, scalar subquery
 # ---------------------------------------------------------------------------
+
+@register(
+    "top_balance_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("scalar-subquery", "anti-join"),
+)
+def top_balance_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 core — scalar-subquery filter + NOT EXISTS: customers
+    with above-average balance (among positive balances) and no orders.
+    The scalar subquery decorrelates to a 1-row aggregate broadcast-cross
+    joined onto the scan (one extra tiny stage, no per-row subquery);
+    the average divides a decimal-exact sum cast to double by the count,
+    so the threshold is bit-identical across engines and partitionings.
+    NOT EXISTS is a hash anti join on the customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("thr")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
 
 @register(
     "customer_order_distribution",
