@@ -1,0 +1,84 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines (BASELINE north-star family; absent in the reference, which has
+no sampling at all).
+
+A training corpus needs train/val/test assignment that is:
+
+- **deterministic** — the same document lands in the same split on every
+  run, every executor, every repartitioning (no RNG state, no seed file);
+- **key-stable** — assignment depends only on the record's KEY, so
+  re-ingesting a document (or its near-dup surviving a different shard)
+  cannot leak it across splits;
+- **engine-portable** — md5-derived, so the DuckDB oracle replays the
+  exact assignment and the split query is hash-checked, not just
+  rows-counted.
+
+``hash_split_bucket`` maps a key to a bucket in [0, 10000) via the same
+portable 60-bit md5 hash the dedup family uses; ``with_split`` turns
+cumulative fraction ranges into a split label with one CASE chain — a
+narrow map, no shuffle, no sampling pass. ``deterministic_sample`` is the
+same idea as a WHERE clause: keep keys whose bucket falls under the
+fraction — a stable sample that composes with incremental ingest (new
+files sample themselves consistently).
+
+Spark's built-in ``df.sample``/``randomSplit`` are NOT key-stable (they
+sample by partition-position RNG: adding one input file reshuffles every
+assignment), which is why a content-keyed hash split is the standard
+pattern for corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.text_analysis import portable_hash60
+
+N_BUCKETS = 10000
+
+
+def hash_split_bucket(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 10000): portable 60-bit md5 hash of
+    '<salt>:<key>' mod 10000. The salt decorrelates independent splits
+    over the same keys (e.g. a second holdout draw)."""
+    return (
+        portable_hash60(F.concat(F.lit(f"{salt}:"), key.cast("string"))) % N_BUCKETS
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label from cumulative bucket ranges —
+    e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}`` maps buckets
+    [0,8000) → train, [8000,9000) → val, [9000,10000) → test. Fractions
+    must sum to 1 (to within rounding). One narrow projection: no
+    shuffle, no extra pass, stable under any partitioning."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_split_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    hi = 0
+    for name, frac in fractions.items():
+        hi += round(frac * N_BUCKETS)
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # guard against rounding leaving the last bucket unlabeled
+    last = list(fractions)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose key's bucket falls under ``fraction`` — a stable,
+    repeatable sample: the same keys are kept on every run and on every
+    incremental batch, unlike df.sample (partition-position RNG)."""
+    return df.filter(
+        hash_split_bucket(F.col(key_col), salt) < round(fraction * N_BUCKETS)
+    )

@@ -1648,6 +1648,44 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_split_counts",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 10000 AS b
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+    tags=("sampling", "split", "training-data"),
+)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over the corpus
+    (operators/sampling.py): key-stable md5 bucketing, so the same doc
+    lands in the same split on every run/reshard/incremental batch —
+    unlike randomSplit's partition-position RNG. Narrow projection + one
+    tiny groupBy; the DuckDB oracle replays the exact assignment."""
+    from ehr_data_pipeline_spark.operators.sampling import with_split
+
+    d = with_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
     "doc_token_histogram",
     oracle="""
     WITH norm AS (

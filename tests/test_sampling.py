@@ -1,0 +1,60 @@
+"""Deterministic split/sample operators: key-stability (the property
+df.sample/randomSplit lack), fraction validation, and sample-subset
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    with_split,
+)
+from ehr_data_pipeline_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_is_key_stable_under_repartition(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in with_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in with_split(docs.repartition(7), "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_split_fractions_roughly_hold(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+    counts = {r["split"]: r["n"]
+              for r in with_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+              .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val"}
+    assert abs(counts["train"] / n - 0.8) < 0.1  # hash noise at small n
+
+
+def test_split_rejects_bad_fractions(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        with_split(docs, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_deterministic_sample_is_stable_subset(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs.repartition(5), "doc_id", 0.3).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < docs.count()
+    # a larger fraction strictly contains the smaller one (nested samples)
+    s_big = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.6).collect()}
+    assert s1 <= s_big
+
+
+def test_different_salts_decorrelate(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.5, salt="a").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.5, salt="b").collect()}
+    assert s1 != s2  # overwhelmingly likely for independent hashes

@@ -144,6 +144,37 @@ def test_simhash_portable_hamming(spark, corpus):
     assert ham["far"] > ham["near"]
 
 
+def test_jaccard_prefix_filter_matches_allpairs_random_corpus(spark):
+    """Randomized (seeded) corpus: 120 docs built by mutating a handful
+    of base texts — prefix filtering must still return the EXACT brute
+    force pair set across a spread of sizes, overlaps and thresholds."""
+    import random
+
+    from ehr_data_pipeline_spark.operators.text_dedup import jaccard_pairs_prefix
+
+    rng = random.Random(42)
+    words = [f"w{i:03d}" for i in range(80)]
+    bases = [" ".join(rng.choices(words, k=rng.randint(8, 40))) for _ in range(12)]
+    rows = []
+    for i in range(120):
+        t = bases[rng.randrange(len(bases))].split()
+        for _ in range(rng.randrange(3)):  # up to 2 point mutations
+            t[rng.randrange(len(t))] = rng.choice(words)
+        rows.append((i, " ".join(t)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        brute = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(corpus, threshold=thr).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs_prefix(corpus, threshold=thr).collect()
+        }
+        assert pref == brute, f"threshold {thr}"
+        assert len(brute) > 0
+
+
 def test_near_dup_components_transitive_chain(spark):
     """A~B and B~C (A~C never emitted) must still land in ONE component
     labeled by the minimum id; disconnected pairs stay separate."""
