@@ -446,6 +446,78 @@ def ivf_knn(
     )
 
 
+def brute_force_knn_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy — the vectorized
+    alternative to :func:`brute_force_knn` for when per-element Catalyst
+    folds become the bottleneck (wide vectors × large corpora): each
+    mapInPandas batch scores ALL queries against its corpus slice with
+    ONE BLAS matmul instead of |Q|·|C| interpreted folds, then a partial
+    top-k per partition bounds the shuffle to k rows per (query,
+    partition); the final window rank merges partials. Same output
+    contract and the same ROUND(cosine,6)+id tiebreak as the native path
+    (equivalence asserted in tests). The query set collects to the driver
+    and broadcasts inside the closure — same smallness assumption the
+    native path's F.broadcast makes."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [[float(x) for x in r[1]] for r in q_rows]
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        import numpy as np
+
+        qm = np.asarray(q_mat, dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qid = np.asarray(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(qn @ cn.T, 6)  # |Q| × |batch|
+            cid = pdf[id_col].to_numpy()
+            frames = []
+            for i in range(len(qid)):
+                mask = cid != qid[i]
+                s = sims[i][mask]
+                ids = cid[mask]
+                # partial top-k (value desc, id asc) within the batch
+                order = np.lexsort((ids, -s))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid[i],
+                            "neighbor_id": ids[order],
+                            "cosine": s[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partials = ensure_min_partitions(corpus).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: struct(q: array<tinyint>,
     scale: double) with q = round(v · 127/max|v|). Halves (float32) or

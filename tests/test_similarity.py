@@ -46,6 +46,28 @@ def test_brute_force_knn_shape(emb):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_brute_force_knn_arrow_matches_native(emb):
+    """The numpy/Arrow vectorized path must return the identical result
+    set as the Catalyst-fold path: same neighbors, same ranks, same
+    6-decimal cosines (both rank on ROUND(cosine,6) with id tiebreak)."""
+    from ehr_data_pipeline_spark.operators.similarity import brute_force_knn_arrow
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    native = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_knn(emb, queries, k=3).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_knn_arrow(emb, queries, k=3).collect()
+    }
+    assert set(native) == set(arrow)
+    for key, (nid, cos) in native.items():
+        aid, acos = arrow[key]
+        assert nid == aid, key
+        assert abs(cos - acos) < 1e-9, key
+
+
 def test_lsh_knn_recall_vs_exact(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {
