@@ -1,5 +1,6 @@
 """FHIR bundle pipeline: explicit nested read schema (``schema``), bundle
 reader + resourceType router (``ingest``), per-entity nested-field
-extractors (``extract``), cleaning composition (``clean``), and per-table
-quality-check suites (``quality``) — the reference pipeline's capability
-surface as lazy Catalyst plans."""
+extractors (``extract``), cleaning composition (``clean``), per-table
+quality-check suites (``quality``), and the end-to-end composition
+(``pipeline``) — the reference pipeline's capability surface as lazy
+Catalyst plans."""

@@ -174,3 +174,61 @@ def bucketed_range_join(
     return joined.drop(
         "__bucket", "__rbucket", "__lo", "__hi", *[f"__r_{k}" for k in on]
     )
+
+
+def gapfill_time_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense time-spine gap filling — the hypertable/resample operator:
+    every (bucket, group) cell of the [min, max] time range exists in the
+    output, with zero-filled counts, the bucket's decimal-exact value sum
+    (NULL where the bucket is empty), and a last-observation-carried-
+    forward column for downstream interpolation.
+
+    Construction is all native: the spine is ONE row (global min/max
+    truncated to ``unit``) exploded through ``sequence`` — the range
+    never materializes on the driver; the group dimension broadcasts
+    (distinct group keys are tiny by definition); the observed buckets
+    left-join onto the dense grid; LOCF is ``last(ignorenulls)`` over an
+    unbounded-preceding window per group. Shuffles: one for the bucket
+    aggregate, one window per group — the spine cross join is
+    broadcast-only. At 100 TB the aggregate dominates and partial
+    aggregation applies; the spine stays proportional to range/step, not
+    to row count."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket_start")
+    )
+    groups = df.select(group_col).distinct()
+    grid = spine.crossJoin(F.broadcast(groups))
+    observed = df.groupBy(bucket.alias("bucket_start"), F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["bucket_start", group_col], "left")
+        .select(
+            "bucket_start",
+            group_col,
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )

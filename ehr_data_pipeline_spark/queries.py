@@ -2023,6 +2023,46 @@ def error_recent_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM b
+    ), g AS (
+      SELECT DISTINCT event_type FROM events
+    ), grid AS (
+      SELECT bucket_start, event_type FROM spine CROSS JOIN g
+    ), a AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grid.bucket_start, grid.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           a.sv AS sum_value,
+           last_value(a.sv IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+    FROM grid LEFT JOIN a USING (bucket_start, event_type)
+    """,
+    tags=("time-series", "gapfill", "locf"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine with zero-filled counts and LOCF value sums
+    (operators/temporal.py gapfill_time_series) — the resample/hypertable
+    operator: silent gaps become explicit rows, so downstream
+    interpolation and charting never misread missingness as zero. The
+    spine derives from one global min/max row exploded via sequence
+    (never driver-side), the group dimension broadcasts, LOCF is
+    last(ignorenulls) per group."""
+    from ehr_data_pipeline_spark.operators.temporal import gapfill_time_series
+
+    return gapfill_time_series(_t(spark, sf_dir, "events"))
+
+
+@register(
     "media_meta_profile",
     oracle="""
     WITH assets AS (

@@ -124,3 +124,36 @@ def test_bucketed_range_join_matches_plain(spark):
         )
         got = {(r["event_id"], r["click_ts"]) for r in bucketed.collect()}
         assert got == pairs, f"bucket_seconds={bucket_seconds}"
+
+
+def test_gapfill_zero_fills_and_carries_forward(spark):
+    """Holes in the series become explicit rows: n_events = 0,
+    sum_value NULL, and the LOCF column carries the last observed sum;
+    leading gaps (before any observation) stay NULL."""
+    from ehr_data_pipeline_spark.operators.temporal import gapfill_time_series
+
+    rows = [
+        # group "a": observations at hours 1 and 4 -> holes at 2, 3
+        (datetime(2024, 1, 1, 1, 15), "a", 10.0),
+        (datetime(2024, 1, 1, 4, 5), "a", 7.0),
+        # group "b": single observation at hour 3 -> leading gap rows
+        (datetime(2024, 1, 1, 3, 30), "b", 2.5),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["event_type"], r["bucket_start"].hour): r
+        for r in gapfill_time_series(df).collect()
+    }
+    # dense grid: hours 1..4 x groups {a, b}
+    assert len(out) == 8
+    assert out[("a", 1)]["n_events"] == 1 and out[("a", 1)]["sum_value"] == 10.0
+    for h in (2, 3):
+        r = out[("a", h)]
+        assert r["n_events"] == 0 and r["sum_value"] is None
+        assert r["sum_value_locf"] == 10.0  # carried forward
+    assert out[("a", 4)]["sum_value_locf"] == 7.0
+    # leading gap: nothing to carry yet
+    for h in (1, 2):
+        assert out[("b", h)]["sum_value_locf"] is None
+    assert out[("b", 3)]["sum_value_locf"] == 2.5
+    assert out[("b", 4)]["n_events"] == 0 and out[("b", 4)]["sum_value_locf"] == 2.5
