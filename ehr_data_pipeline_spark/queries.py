@@ -1648,6 +1648,47 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_top_tfidf_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1
+    ), dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS dft FROM t GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS nd FROM documents
+    ), s AS (
+      SELECT c.doc_id, c.term,
+             ROUND((CAST(c.tc AS DOUBLE) / CAST(dl.len AS DOUBLE))
+                   * ln(CAST(nd AS DOUBLE) / CAST(dft AS DOUBLE)), 6) AS tfidf
+      FROM cnt c JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, rank, tfidf FROM r WHERE rank <= 3
+    """,
+    tags=("text", "tfidf", "relevance"),
+)
+def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text_analysis.py
+    tfidf_top_terms): one token explode → term counts, doc lengths,
+    document frequencies → score join → window top-k on the ROUNDED
+    score with a term tiebreak (deterministic and engine-portable; ln
+    agrees to 1 ulp). The corpus-size scalar broadcasts like the Q22
+    threshold."""
+    from ehr_data_pipeline_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_split_counts",
     oracle="""
     SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc

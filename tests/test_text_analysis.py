@@ -130,3 +130,53 @@ def test_winnow_short_text_yields_one_fingerprint(spark):
     df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
     fps = winnow_fingerprints(df, "doc_id", "text").collect()[0]["fps"]
     assert len(fps) == 1
+
+
+def test_scrub_pii_masks_all_categories(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        pii_match_flags,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "contact Jo.Smith+hr@example.co.uk or call 415-555-1234 x2"),
+        (2, "ssn 123-45-6789 on file; intl +1 (206) 555-0100"),
+        (3, "no sensitive content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean"),
+        *pii_match_flags(F.col("text")),
+    ).collect()}
+    assert "<EMAIL>" in out[1]["clean"] and "@" not in out[1]["clean"]
+    assert "<PHONE>" in out[1]["clean"] and "555-1234" not in out[1]["clean"]
+    assert "<SSN>" in out[2]["clean"] and "123-45-6789" not in out[2]["clean"]
+    assert "<PHONE>" in out[2]["clean"]
+    assert out[3]["clean"] == "no sensitive content here"
+    assert out[1]["has_email"] and out[1]["has_phone"] and not out[1]["has_ssn"]
+    assert out[2]["has_ssn"] and not out[3]["has_email"]
+    # masking is idempotent: a second pass changes nothing
+    again = df.select(scrub_pii(scrub_pii(F.col("text"))).alias("c")).collect()
+    once = df.select(scrub_pii(F.col("text")).alias("c")).collect()
+    assert [r["c"] for r in again] == [r["c"] for r in once]
+
+
+def test_tfidf_rare_terms_outrank_common(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import tfidf_top_terms
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "the bird flew over the mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'the' appears in every doc -> idf 0 -> can never be a top term
+    assert all(r["term"] != "the" for r in out)
+    # each doc's unique word ranks first
+    firsts = {d: sorted(rs, key=lambda r: r["rank"])[0]["term"] for d, rs in by_doc.items()}
+    assert firsts[1] == "cat" and firsts[2] in ("dog", "rug") and firsts[3] in ("bird", "flew")
