@@ -1648,6 +1648,57 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(cnt) AS n_bigrams,
+           COUNT(*) AS n_distinct_bigrams,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS dup_bigram_ratio,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top_bigram_share
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    rules): fraction of duplicated word bigrams and the share of the
+    single most frequent bigram — high values mark boilerplate/spam for
+    corpus filtering. One explode + per-(doc, bigram) count + per-doc
+    rollup; both ratios round to 6 decimals for engine parity."""
+    from ehr_data_pipeline_spark.operators.text_analysis import ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    bi = d.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 2)).alias("g")
+    )
+    c = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("dup_bigram_ratio"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+@register(
     "doc_top_tfidf_terms",
     oracle="""
     WITH t AS (
