@@ -410,6 +410,72 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, how many of its
+    word ``n``-grams appear in ANY benchmark document (the standard
+    13-gram overlap rule from GPT-3/PaLM data curation). A contaminated
+    doc shares eval content verbatim and must be dropped before
+    training.
+
+    Plan shape: both sides hash their n-grams (portable md5, in-row),
+    the benchmark's DISTINCT hash set is semi-join-shaped — corpus
+    n-grams inner-join it on the hash (shuffle on hash, or broadcast
+    when the benchmark is small, which it always is relative to a
+    training corpus), then a per-doc count. Returns
+    (doc_id, n_ngrams, n_contaminated, contamination_ratio) for docs
+    with at least ``min_shared`` hits."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        portable_hash60,
+        whitespace_tokens,
+    )
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        # let-bind the token array: the gram lambda must not capture the
+        # regex tokenization or it re-runs per n-gram position
+        def grams_of(toks: Column) -> Column:
+            g = F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+            # guard: sequence(1, x<=0) DESCENDS instead of being empty
+            return F.when(F.size(toks) >= n, g).otherwise(
+                F.array().cast("array<bigint>")
+            )
+
+        grams = let_bound(whitespace_tokens(F.col(text_col)), grams_of)
+        return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gh"))
+
+    corpus_grams = gram_hashes(ensure_min_partitions(corpus))
+    bench_set = gram_hashes(benchmark).select("gh").distinct()
+    totals = corpus_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_set), "gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_shared)
+    )
+    return (
+        hits.join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_ngrams").cast("double"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
 def near_dup_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

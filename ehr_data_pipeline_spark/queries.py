@@ -1648,6 +1648,51 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_benchmark_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), cg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 12, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))::BIGINT
+             )) AS gh
+      FROM t
+    ), bg AS (
+      SELECT DISTINCT gh FROM cg WHERE doc_id % 50 = 0
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams FROM cg GROUP BY 1
+    ), hits AS (
+      SELECT cg.doc_id, COUNT(*) AS n_contaminated
+      FROM cg JOIN bg USING (gh) GROUP BY 1
+    )
+    SELECT h.doc_id, t.n_ngrams, h.n_contaminated,
+           ROUND(CAST(h.n_contaminated AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE), 6)
+             AS contamination_ratio
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+    tags=("decontamination", "ngram-overlap", "training-data"),
+)
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM 13-gram rule): flag corpus
+    docs sharing any 13-gram with the benchmark set — here a
+    deterministic 2% doc subset (doc_id % 50 = 0) standing in for an
+    eval suite. The benchmark's distinct gram-hash set broadcasts
+    (always tiny vs a training corpus); the corpus side is one narrow
+    hash pass + per-doc counts. Benchmark members self-report ~1.0
+    contamination, near-dups of them surface with high ratios — exactly
+    the leak-detection behavior a curation run needs."""
+    from ehr_data_pipeline_spark.operators.text_dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(d, bench)
+
+
+@register(
     "doc_repetition_stats",
     oracle="""
     WITH t AS (

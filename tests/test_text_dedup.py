@@ -239,3 +239,24 @@ def test_curate_corpus_funnel_minhash_path_matches_exact(spark):
     mh = {r["stage"]: r["n_docs"]
           for r in curate_corpus_funnel(docs, method="minhash").collect()}
     assert exact == mh
+
+
+def test_ngram_contamination_flags_verbatim_overlap(spark):
+    """A doc containing a benchmark 13-gram verbatim is flagged with the
+    right gram counts; clean docs and sub-13-token docs are not."""
+    from ehr_data_pipeline_spark.operators.text_dedup import ngram_contamination
+
+    bench_text = " ".join(f"b{i}" for i in range(20))  # 20 tokens, 8 13-grams
+    leaked = "intro words " + " ".join(f"b{i}" for i in range(13)) + " outro"
+    clean = " ".join(f"c{i}" for i in range(30))
+    short = "just a few tokens here"
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, clean), (3, short)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench).collect()}
+    assert set(out) == {1}  # only the leaked doc is flagged
+    r = out[1]
+    # leaked doc has 16 tokens -> 4 13-grams; exactly 1 matches the benchmark
+    assert r["n_ngrams"] == 4 and r["n_contaminated"] == 1
+    assert abs(r["contamination_ratio"] - 0.25) < 1e-9
