@@ -123,6 +123,23 @@ def test_argmin_window_rank_pushdown(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark gram-set must broadcast (it is tiny vs the corpus);
+    the corpus side must never cartesian-join."""
+    plan = plan_of(spark, "doc_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_is_broadcast_only(spark):
+    """The dense spine × groups grid must come from broadcasts — the
+    only shuffles are the bucket aggregate and the LOCF window."""
+    plan = plan_of(spark, "events_hourly_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds × groups grid
+    assert "BroadcastHashJoin" in plan  # grid ⋈ observed buckets
+
+
 def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
     """The replicated (exploded) side of a salted join must not add a
     shuffle beyond the join's own exchange."""
