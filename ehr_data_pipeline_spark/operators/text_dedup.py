@@ -410,6 +410,27 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the shape a CONTINUOUS ingest needs:
+    drop new-batch docs whose normalized-content fingerprint already
+    exists in the historical index (anti join), and within the batch
+    keep one row per fingerprint (hash-agg, deterministic would use
+    keep_first). Returns ``(fresh_rows, new_index_entries)`` — append
+    the latter to the index table; the index stores ONLY fingerprints,
+    so at 100 TB it is a fraction of corpus size and, written bucketed
+    by fingerprint (sinks.write_bucketed), the anti join prunes to
+    co-located buckets with no shuffle of the history."""
+    fp = fingerprint128(F.col(text_col))
+    b = batch.withColumn(fp_col, fp).dropDuplicates([fp_col])
+    fresh = b.join(index.select(fp_col), fp_col, "left_anti")
+    return fresh.drop(fp_col), fresh.select(fp_col)
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

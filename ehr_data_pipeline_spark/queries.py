@@ -2200,6 +2200,50 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_weekly_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week_start FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week_start) AS cohort_week FROM weeks GROUP BY 1
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, w.week_start) AS BIGINT) AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM weeks w JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("retention", "cohort", "time"),
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics shape:
+    users cohorted by first active week, counted in every later week
+    they return. Two shuffles (distinct user-weeks, then the cohort
+    groupBy); the cohort table joins back on user_id (AQE broadcasts it
+    at small SF, shuffles at scale — both fine, the key is uniform).
+    Week arithmetic uses date_trunc('week') (ISO Monday) which the
+    oracle mirrors exactly."""
+    e = _t(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week_start").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    (F.unix_timestamp("week_start") - F.unix_timestamp("cohort_week"))
+                    / (7 * 86400)
+                )
+            ).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
     "media_meta_profile",
     oracle="""
     WITH assets AS (

@@ -260,3 +260,30 @@ def test_ngram_contamination_flags_verbatim_overlap(spark):
     # leaked doc has 16 tokens -> 4 13-grams; exactly 1 matches the benchmark
     assert r["n_ngrams"] == 4 and r["n_contaminated"] == 1
     assert abs(r["contamination_ratio"] - 0.25) < 1e-9
+
+
+def test_dedup_against_index_incremental_batches(spark):
+    """Two-batch ingest: batch 2 drops docs already seen in batch 1 (by
+    normalized content), keeps genuinely new ones, and returns the index
+    delta to append — replaying all batches equals one-shot dedup."""
+    from ehr_data_pipeline_spark.operators.text_dedup import dedup_against_index
+
+    empty_index = spark.createDataFrame([], "fp string")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha  Beta GAMMA")],
+        "doc_id long, text string",
+    )
+    fresh1, idx1 = dedup_against_index(b1, empty_index)
+    assert fresh1.count() == 2  # 1 and 3 are normalization-duplicates
+    b2 = spark.createDataFrame(
+        [(10, "delta epsilon"),          # dup of batch-1 content
+         (11, "zeta eta theta"),         # new
+         (12, "ZETA eta  theta")],       # in-batch dup of 11
+        "doc_id long, text string",
+    )
+    fresh2, idx2 = dedup_against_index(b2, idx1)
+    ids2 = {r["doc_id"] for r in fresh2.collect()}
+    assert len(ids2) == 1 and ids2 <= {11, 12}  # one survivor of the pair
+    # union of index deltas = one-shot dedup of the union
+    total_index = idx1.unionByName(idx2)
+    assert total_index.count() == 3  # three distinct contents overall
