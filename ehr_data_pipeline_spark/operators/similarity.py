@@ -446,6 +446,32 @@ def ivf_knn(
     )
 
 
+def _round_half_up_6(arr):
+    """Match Spark's ``ROUND(double, 6)`` exactly: Catalyst rounds via
+    ``BigDecimal.valueOf(x)`` — the SHORTEST decimal representation of the
+    double — with HALF_UP (half away from zero). ``np.round`` is half-even
+    and disagrees on .xxxxxx5 boundaries. Bulk path is vectorized
+    half-away-from-zero; only values within epsilon of a .5 boundary take
+    the exact per-element decimal path (``repr(float)`` is the same
+    shortest representation), so parity holds bit-for-bit at BLAS speed."""
+    import numpy as np
+
+    scaled = np.abs(arr) * 1e6
+    fast = np.sign(arr) * np.floor(scaled + 0.5) / 1e6
+    frac = scaled - np.floor(scaled)
+    boundary = np.abs(frac - 0.5) < 1e-6
+    if boundary.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quantum = Decimal("0.000001")
+        idx = np.nonzero(boundary)
+        fast[idx] = [
+            float(Decimal(repr(float(x))).quantize(quantum, rounding=ROUND_HALF_UP))
+            for x in arr[idx]
+        ]
+    return fast
+
+
 def brute_force_knn_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -484,7 +510,7 @@ def brute_force_knn_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = np.round(qn @ cn.T, 6)  # |Q| × |batch|
+            sims = _round_half_up_6(qn @ cn.T)  # |Q| × |batch|
             cid = pdf[id_col].to_numpy()
             frames = []
             for i in range(len(qid)):
@@ -551,10 +577,19 @@ def label_centroids(
 ) -> DataFrame:
     """Per-label mean vector — the assignment step of IVF-style coarse
     quantization (and a useful clustering report on its own). One shuffle
-    on the label; the mean is computed component-wise with exact decimal
-    sums so it is order-independent (and oracle-checkable)."""
+    on the label; components are quantized to 1e-7 fixed-point BIGINTs
+    before summing, so the aggregate is exact integer math —
+    order-independent across partitions (and oracle-checkable) — then two
+    IEEE divisions produce the double mean."""
     comps = [
-        F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"c{d}")
+        (
+            F.sum(
+                F.round(F.element_at(F.col(vec_col), d + 1).cast("double") * 1e7)
+                .cast("bigint")
+            ).cast("double")
+            / F.lit(1e7)
+            / F.count(F.lit(1))
+        ).alias(f"c{d}")
         for d in range(dim)
     ]
     return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *comps)

@@ -350,11 +350,13 @@ def tfidf_top_terms(
 
 
 # PII masking: conservative, engine-agnostic regexes (no lookarounds, so
-# the same pattern runs under Java regex and RE2 alike)
+# the same pattern runs under Java regex and RE2 alike). Insertion order IS
+# the masking order (scrub_pii chains in dict order): most-specific first,
+# so the SSN pattern runs before the looser phone pattern.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
     "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
 }
 
 

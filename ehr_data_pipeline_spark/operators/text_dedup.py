@@ -153,6 +153,7 @@ def jaccard_pairs_prefix(
     text_col: str = "text",
     threshold: float = 0.6,
     k: int = DEFAULT_SHINGLE_K,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs without all-pairs: prefix filtering
     (AllPairs/PPJoin, Chaudhuri et al. / Xiao et al.). Output is
@@ -175,13 +176,21 @@ def jaccard_pairs_prefix(
     window per doc (rank by rarity), the bucket join, candidate distinct,
     and two verification joins — all key-partitioned, nothing all-pairs.
     This is the exact-result scale path; minhash_lsh_pairs trades exact
-    recall for even fewer candidates."""
+    recall for even fewer candidates.
+
+    ``persist_shingles`` caches the hashed shingle sets, which the plan
+    reads three times (df-count pass + two verification joins). The cache
+    is referenced by the RETURNED lazy plan, so it stays in the cache
+    registry until the caller drops the result / clears the cache — pass
+    ``False`` for a cache-free plan (3× shingle recompute) in long-lived
+    sessions that call this many times."""
     from pyspark.sql.window import Window
 
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
-    base = base.persist()
+    if persist_shingles:
+        base = base.persist()
     e = base.select("id", F.size("sh").alias("nsh"), F.explode("sh").alias("g"))
     dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
@@ -497,11 +506,24 @@ def ngram_contamination(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint()``-ed frame.
+    ``Dataset.unpersist()`` only consults the CacheManager and is a no-op
+    for checkpoint blocks; the LogicalRDD's backing RDD must be
+    unpersisted directly. Best-effort (internal accessor): on failure the
+    blocks are reclaimed by the ContextCleaner when the frame is GC'd."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def near_dup_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into dedup GROUPS (transitively: if A~B and
@@ -518,7 +540,23 @@ def near_dup_components(
     ≤ 3). Each round is one join + one groupBy, both shuffling on node
     id; labels persist between rounds and the convergence check is a
     cheap count. No driver-side iteration over ROWS ever — the loop is
-    over PLANS (the classic Spark pattern for iterative algorithms)."""
+    over PLANS (the classic Spark pattern for iterative algorithms).
+
+    If labels are still changing after ``max_iter`` rounds, the result
+    would SPLIT true components — ``strict=True`` (default) raises
+    ``RuntimeError`` instead of returning it; ``strict=False`` emits a
+    warning for callers that accept partial merging.
+
+    Each round's labels are ``localCheckpoint``-ed, NOT just persisted:
+    the label frame feeds twice into the next round, so without lineage
+    truncation the analyzed plan doubles per round (2^rounds nodes) and
+    plan stringification alone OOMs the driver past ~8 rounds — a real
+    100 TB landmine for deep graphs, not a style point. Intermediate
+    rounds' checkpoint blocks are released eagerly; the returned frame's
+    blocks live until the caller drops it (ContextCleaner reclaims on
+    GC)."""
+    import warnings
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -527,8 +565,9 @@ def near_dup_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -543,7 +582,7 @@ def near_dup_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -552,11 +591,22 @@ def near_dup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"near_dup_components did not converge in {max_iter} rounds — "
+            "labels were still propagating, so components would be split. "
+            "Raise max_iter (rounds needed = graph diameter)."
+        )
+        if strict:
+            _release_local_checkpoint(labels)
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -624,3 +674,70 @@ def simhash_bands(sim: Column, n_bands: int = 4, total_bits: int = 64) -> list[C
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    n_bands: int = DEFAULT_BANDS,
+    total_bits: int = 60,
+    portable: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs via band-bucket join — the sketch-based
+    scale path for Hamming-distance dedup. Each doc's sketch splits into
+    ``n_bands`` chunk keys; candidate pairs are docs sharing ANY chunk
+    (shuffle on (band_idx, band_value) only — never all-pairs), then the
+    exact Hamming distance filters candidates to ``<= max_distance``.
+
+    EXACT, not approximate, when ``max_distance < n_bands``: a pair with
+    at most n_bands−1 differing bits must leave one band untouched
+    (pigeonhole), so it is guaranteed to share a bucket — recall 1.0 and
+    precision 1.0 (verification filter). That makes the default
+    (distance ≤ 3, 4 bands) fully oracle-checkable against an all-pairs
+    SQL twin.
+
+    Scale: sketches are 60/64-bit bigints — the candidate state per row
+    is one long, not a shingle set, so this is the cheapest near-dup
+    family member at 100 TB; hot buckets (common band values from
+    boilerplate) are the skew risk, handled by AQE skew-join same as the
+    MinHash bands. ``portable=True`` uses the md5-derived hash family
+    (DuckDB-replayable); ``False`` uses xxhash64 (cheaper, Spark-only,
+    ``total_bits`` must then be 64)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    tokens = whitespace_tokens(F.col(text_col))
+    sim = simhash60_portable(tokens) if portable else simhash64(tokens)
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), sim.alias("__sim")
+    )
+    e = base.select(
+        "id",
+        "__sim",
+        F.posexplode(
+            F.array(*simhash_bands(F.col("__sim"), n_bands, total_bits))
+        ).alias("band_idx", "band_val"),
+    )
+    a = e.select(
+        F.col("id").alias("doc_a"), F.col("__sim").alias("__sa"),
+        "band_idx", "band_val",
+    )
+    b = e.select(
+        F.col("id").alias("doc_b"), F.col("__sim").alias("__sb"),
+        "band_idx", "band_val",
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # sketches are functionally dependent on the ids
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        candidates.select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("__sa"), F.col("__sb")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -70,6 +70,14 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions or default_parallelism()
     )
+    if master and master.startswith("local"):
+        # local mode: the driver JVM IS the cluster — PySpark's 1g default
+        # heap causes flaky OOMs under 32 concurrent task threads. Only
+        # effective pre-launch, so set it here where we create the session;
+        # on a real cluster spark-submit owns executor/driver sizing.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for key, value in conf.items():

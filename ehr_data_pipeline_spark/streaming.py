@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ehr_data_pipeline_spark.tables import NANOS_TS_COLS
+from ehr_data_pipeline_spark.tables import NANOS_TS_COLS, _normalize_event_time
 
 
 def _as_glob(path: str) -> str:
@@ -67,8 +67,8 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_glob(path))
     for col in NANOS_TS_COLS.get("events", ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        if col in df.columns:
+            df = _normalize_event_time(df, col)
     return df
 
 

@@ -30,10 +30,25 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
-# natively — read as long nanos (legacy.parquet.nanosAsLong) and floor to
-# micros, matching DuckDB's truncating nanos→micros conversion
+# event-time columns whose physical parquet type has drifted across driver
+# data generations: TIMESTAMP(NANOS) (read as long nanos via
+# legacy.parquet.nanosAsLong, floored to micros to match DuckDB's truncating
+# conversion) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+# TIMESTAMP_NTZ by Spark 4). Both are normalized to plain TIMESTAMP so every
+# downstream plan — including streaming watermarks, which reject NTZ event
+# time — is layout-agnostic.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _normalize_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a drifted event-time column to TIMESTAMP (session TZ is
+    pinned to UTC in ENGINE_CONF, so the NTZ→TZ cast is value-preserving)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":  # TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 # sessions whose runtime conf we already normalized (avoid re-setting conf
 # on the driver for every single load_table call)
@@ -47,8 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _CONF_APPLIED.add(key)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        if col in df.columns:
+            df = _normalize_event_time(df, col)
     return df
 
 

@@ -50,7 +50,14 @@ def test_q3_topk_avoids_global_sort(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["doc_minhash_lsh_pairs", "doc_winnow_pairs", "emb_lsh_knn", "emb_ivf_knn"],
+    [
+        "doc_minhash_lsh_pairs",
+        "doc_winnow_pairs",
+        "emb_lsh_knn",
+        "emb_ivf_knn",
+        "doc_simhash_band_pairs",
+        "emb_lsh_neardup_pairs",
+    ],
 )
 def test_candidate_pair_operators_join_within_buckets(spark, name):
     """The near-dup/ANN scale path must join on bucket/cell keys — any

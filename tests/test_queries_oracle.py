@@ -49,6 +49,20 @@ def test_entry_smoke(spark):
     assert set(o) <= set(q)
 
 
+def test_sweep_priority_order_and_completeness():
+    """The driver sweeps the first 50 exported queries: every
+    SWEEP_PRIORITY name must exist (no typos silently dropping a query),
+    lead the export order, and the export must still cover the whole
+    registry — nothing is lost by the reorder, only re-sequenced."""
+    from ehr_data_pipeline_spark.queries import SWEEP_PRIORITY, queries
+
+    assert set(SWEEP_PRIORITY) <= set(REGISTRY)
+    exported = list(queries())
+    assert exported[: len(SWEEP_PRIORITY)] == list(SWEEP_PRIORITY)
+    assert set(exported) == set(REGISTRY)
+    assert len(exported) == len(REGISTRY)
+
+
 def test_approx_count_distinct_tracks_exact(spark):
     """The 100 TB path for event_type_reach: HLL++ sketch within 5% of
     the exact distinct count on every group."""

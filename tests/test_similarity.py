@@ -68,6 +68,33 @@ def test_brute_force_knn_arrow_matches_native(emb):
         assert abs(cos - acos) < 1e-9, key
 
 
+def test_round_half_up_matches_spark_round_on_ties(spark):
+    """The Arrow path's rounding must agree with Catalyst's
+    ROUND(double, 6) — HALF_UP on the shortest decimal representation —
+    including constructed .xxxxxx5 boundaries (where np.round's half-even
+    disagrees) and negatives (HALF_UP = away from zero)."""
+    import numpy as np
+
+    from ehr_data_pipeline_spark.operators.similarity import _round_half_up_6
+
+    vals = [
+        0.1234565, -0.1234565,       # .5 boundary, both signs
+        0.9999995, -0.9999995,       # boundary rounding up to 1.0
+        0.1234575, -0.1234575,       # odd next digit (half-even would keep)
+        0.0000005, -0.0000005,       # boundary at zero
+        0.1234564999, 0.1234565001,  # just below/above the boundary
+        0.123456, 1.0, -1.0, 0.0, 0.7071067811865476,
+    ]
+    ours = _round_half_up_6(np.asarray(vals, dtype=np.float64))
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, x double")
+    spark_rounded = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 6).alias("r")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert ours[i] == spark_rounded[i], f"value {v!r}: ours={ours[i]} spark={spark_rounded[i]}"
+
+
 def test_lsh_knn_recall_vs_exact(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {

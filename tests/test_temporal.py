@@ -103,8 +103,9 @@ def test_asof_rejects_bad_direction(quotes, trades):
 def test_bucketed_range_join_matches_plain(spark):
     """The keyless-scale formulation must be exact: same pairs as the
     equi-key range join on real events, regardless of bucket width."""
-    e = spark.read.parquet(f"{SF}/events.parquet")
-    e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ehr_data_pipeline_spark.tables import load_table
+
+    e = load_table(spark, SF, "events")
     errors = e.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )

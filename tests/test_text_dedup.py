@@ -175,6 +175,39 @@ def test_jaccard_prefix_filter_matches_allpairs_random_corpus(spark):
         assert len(brute) > 0
 
 
+def test_simhash_band_pairs_exact_below_band_count(spark, corpus):
+    """With max_distance < n_bands the band-bucket join is EXACT
+    (pigeonhole): identical pair set and distances to the all-pairs
+    Hamming join, while shuffling only on band keys."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        simhash60_portable,
+        simhash_near_dup_pairs,
+    )
+
+    sketch = corpus.select(
+        "doc_id",
+        simhash60_portable(whitespace_tokens(F.col("text"))).alias("s"),
+    )
+    a = sketch.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sketch.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            hamming64(F.col("sa"), F.col("sb")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(corpus, max_distance=3).collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0  # the exact-dup triple sketches identically
+
+
 def test_near_dup_components_transitive_chain(spark):
     """A~B and B~C (A~C never emitted) must still land in ONE component
     labeled by the minimum id; disconnected pairs stay separate."""
@@ -185,6 +218,67 @@ def test_near_dup_components_transitive_chain(spark):
     )
     comp = {r["id"]: r["component"] for r in near_dup_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_near_dup_components_unconverged_raises(spark):
+    """A path graph of diameter 9 cannot finish min-label propagation in
+    2 rounds — strict mode must refuse to return split components;
+    strict=False warns and returns the partial labels."""
+    import warnings
+
+    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(path, max_iter=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = near_dup_components(path, max_iter=2, strict=False)
+        assert partial.count() == 10
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and with enough rounds the same graph converges to one component
+    full = {r["component"] for r in near_dup_components(path, max_iter=20).collect()}
+    assert full == {1}
+
+
+def test_near_dup_components_releases_cache(spark):
+    """The iterative loop persists edges + per-round labels; on return
+    everything must be released — only pre-existing cache entries (e.g.
+    fixture persists from other tests) may remain."""
+    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    out = near_dup_components(pairs)
+    assert out.count() == 5
+    assert jsc.getPersistentRDDs().size() <= before + 1  # localCheckpoint blocks
+
+
+def test_jaccard_prefix_persist_flag_same_result(corpus):
+    """persist_shingles=False must be a pure performance trade: identical
+    pairs, and no new entry left in the cache registry."""
+    from ehr_data_pipeline_spark.operators.text_dedup import jaccard_pairs_prefix
+
+    spark = corpus.sparkSession
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    cached = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(corpus, threshold=0.6).collect()
+    }
+    uncached = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(
+            corpus, threshold=0.6, persist_shingles=False
+        ).collect()
+    }
+    assert uncached == cached and len(uncached) > 0
+    # the persist_shingles=True call adds exactly its shingle cache; the
+    # False call must add nothing beyond that
+    assert jsc.getPersistentRDDs().size() <= before + 1
 
 
 def test_drop_duplicates_any_keeps_one_per_key(spark):
