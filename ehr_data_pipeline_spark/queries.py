@@ -2683,6 +2683,219 @@ def part_cheapest_line_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    tags=("exists", "semi-join", "decorrelation"),
+)
+def order_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS decorrelated to a LEFT SEMI
+    join: orders in a one-year window counted per priority when at least
+    one of their lines was returned. The semi join stops probing a key on
+    first match (no row multiplication, unlike an inner join + distinct)
+    and both sides carry their filters down to the scan; one shuffle on
+    orderkey, one on the 5-value priority rollup."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+    tags=("scalar-subquery", "argmax", "decorrelation"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar subquery over an aggregated view: the
+    supplier(s) whose quarter revenue equals the maximum. The max comes
+    from an unpartitioned window over the per-supplier ROLLUP, not a
+    separate aggregate branch: a two-branch plan re-scans lineitem (no
+    exchange reuse across the diverged subtrees), while the window moves
+    only supplier-cardinality rows to one partition — at 100 TB a second
+    fact scan costs incomparably more than single-partitioning a
+    dimension-sized rollup. Revenue stays DECIMAL through the equality
+    (exact, order-independent); supplier broadcasts."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("r")
+    )
+    rev = rev.withColumn("max_r", F.max("r").over(Window.partitionBy()))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.filter(F.col("r") == F.col("max_r"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "part_revenue_share",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(r) AS DOUBLE) AS t FROM pr
+    )
+    SELECT l_partkey AS p_partkey, CAST(r AS DOUBLE) AS part_revenue
+    FROM pr, tot
+    WHERE CAST(r AS DOUBLE) > t * 0.002
+    """,
+    tags=("scalar-subquery", "having", "share-of-total"),
+)
+def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a fraction of the grand total:
+    parts contributing more than 0.2% of all revenue. Per-part rollup
+    once; the grand total is the SUM of the rollup (re-aggregated, not a
+    second lineitem scan) broadcast as one row. Sums are decimal-exact;
+    the threshold compare is one IEEE multiply on identical operands in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("decimal(38,6)")
+        .alias("r")
+    )
+    tot = pr.agg(F.sum("r").cast("double").alias("t"))
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(F.col("r").cast("double") > F.col("t") * 0.002)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("r").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+@register(
+    "brand_size_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("not-in", "anti-join", "distinct-agg"),
+)
+def brand_size_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN decorrelated to a LEFT ANTI join plus a
+    grouped COUNT DISTINCT: how many distinct suppliers serve each
+    (brand, size), excluding the deny-listed (negative-balance)
+    suppliers. The deny list is tiny and broadcast (NOT IN with no nulls
+    possible on the key ⇒ anti join is exact); part is broadcast; the
+    distinct agg is Spark's two-phase partial-distinct — at 100 TB swap
+    in approx_count_distinct for the sketch path."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "leftanti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER w AS balance_quartile,
+           percent_rank() OVER w AS balance_pct_rank,
+           cume_dist() OVER w AS balance_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "ntile", "rank-family"),
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family window breadth: per-nation balance quartile
+    (NTILE), percent_rank and cume_dist in ONE window pass (same
+    partition + order ⇒ single sort, three functions). The order key
+    includes c_custkey so the total order is unique — without it NTILE's
+    bucket assignment of tied balances is engine-dependent. One shuffle
+    on nation, per-partition sort, no global sort."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.cume_dist().over(w).alias("balance_cume_dist"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+    tags=("window", "lag", "temporal"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis via LAG: days since each customer's
+    previous order (null for the first). The order key includes
+    o_orderkey so same-day orders have a deterministic predecessor.
+    datediff and DuckDB's date_diff('day') agree on midnight
+    timestamps; one shuffle on custkey."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
 # The driver's correctness sweep covers the first 50 exported queries only.
 # These entries have never had a driver row (registered after slot 50 in
 # rounds 1-3, or new this round), so they lead the export order until each

@@ -147,6 +147,57 @@ def test_gapfill_grid_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan  # grid ⋈ observed buckets
 
 
+def test_exists_decorrelates_to_semi_join_with_pushed_filters(spark):
+    """Q4 shape: the EXISTS must plan as LeftSemi (no row multiplication)
+    with both the date range and the returnflag filter at their scans."""
+    plan = plan_of(spark, "order_priority_with_returns")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_single_fact_scan(spark):
+    """Q15 shape: the windowed max must keep lineitem scanned ONCE — a
+    separate max-aggregate branch re-scans the fact (no exchange reuse
+    across diverged subtrees)."""
+    plan = plan_of(spark, "top_revenue_supplier")
+    assert plan.count("Scan parquet") == 2  # lineitem + supplier, once each
+    assert "Window" in plan
+
+
+def test_revenue_share_reuses_rollup_exchange(spark):
+    """Q11 shape: the grand total re-aggregates the per-part rollup; at
+    runtime AQE must reuse the rollup's exchange so lineitem is scanned
+    once (ReusedExchange), and the 1-row total joins as a broadcast
+    nested loop (the scalar-broadcast pattern)."""
+    df = REGISTRY["part_revenue_share"].fn(spark, SF)
+    df.collect()  # finalize AQE so reuse is visible in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar × rollup
+
+
+def test_not_in_decorrelates_to_broadcast_anti_join(spark):
+    plan = plan_of(spark, "brand_size_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan  # deny-list filter at the scan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["customer_balance_quartiles", "customer_order_gaps"]
+)
+def test_rank_family_single_window_pass(spark, name):
+    """All window functions share one (partition, order) ⇒ exactly one
+    Window node, one exchange, one sort — never a pass per function."""
+    plan = plan_of(spark, name)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
+
+
 def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
     """The replicated (exploded) side of a salted join must not add a
     shuffle beyond the join's own exchange."""
