@@ -167,6 +167,49 @@ def dedup_events_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream equi-key INTERVAL join: each left event pairs with
+    the same key's right events in ``[left_time - lookback, left_time]``
+    — the streaming twin of ``operators.temporal.range_join`` (batch
+    output is the correctness oracle, asserted in tests).
+
+    This is the join class where Structured Streaming NEEDS both pieces
+    of metadata to bound state: the watermarks tell the store how late
+    either side can still arrive, and the time-range predicate tells it
+    how long a buffered row can still find partners — together each side
+    buffers only ``watermark + lookback`` of history, so state is
+    O(arrival rate × horizon), not O(stream length). Without the range
+    condition Spark rejects/unbounded-buffers a stream-stream join.
+    ``right_time`` must differ from ``left_time`` in name (the range
+    predicate references both sides); key columns are deduplicated to
+    the left side in the output. Inner join: late rows beyond the
+    watermark drop, the standard trade."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = None
+    for k in keys:
+        eq = lw[k] == rw[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(right_time) >= F.col(left_time) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_time) <= F.col(left_time))
+    )
+    joined = lw.join(rw, cond, "inner")
+    for k in keys:
+        joined = joined.drop(rw[k])
+    return joined
+
+
 EWMA_OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, ewma double, last_event_us bigint"
 )

@@ -243,6 +243,50 @@ def test_user_value_ewma_state_accumulates_across_microbatches(
         assert r["ewma"] == want[k]["ewma"]
 
 
+def test_stream_stream_interval_join_matches_batch_range_join(checkpointed):
+    """Stream-stream interval join (error ⋈ same-user clicks within the
+    trailing 10 minutes) drained with availableNow must produce exactly
+    the batch range_join pairs — the state-bounded streaming twin of the
+    batch operator."""
+    from ehr_data_pipeline_spark.operators.temporal import range_join
+    from ehr_data_pipeline_spark.streaming import interval_join_stream
+
+    spark = checkpointed
+    batch = load_table(spark, SF, "events")
+    b_err = batch.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    b_clk = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    lo, hi = F.col("ts") - F.expr("INTERVAL 10 MINUTES"), F.col("ts")
+    want = {
+        (r["event_id"], r["click_ts"])
+        for r in range_join(
+            b_err, b_clk, on=["user_id"], right_time="click_ts", lo=lo, hi=hi
+        ).collect()
+    }
+    assert want  # non-degenerate at this SF
+
+    s_err = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "user_id", "ts")
+    s_clk = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.col("ts").alias("click_ts"))
+    joined = interval_join_stream(
+        s_err, s_clk, on="user_id", left_time="ts", right_time="click_ts",
+        lookback="10 minutes",
+    )
+    assert joined.isStreaming
+    run_to_memory(joined, "interval_joined", output_mode="append")
+    got = {
+        (r["event_id"], r["click_ts"])
+        for r in spark.sql("SELECT * FROM interval_joined").collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_drops_redelivered_events(checkpointed, tmp_path):
     """A doubled input (every event delivered twice) through
     dropDuplicatesWithinWatermark must emit exactly the batch-distinct
