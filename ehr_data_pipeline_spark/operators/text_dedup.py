@@ -231,7 +231,7 @@ def curate_corpus_funnel(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.8,
     k: int = DEFAULT_SHINGLE_K,
-    method: str = "exact",
+    method: str = "prefix",
 ) -> DataFrame:
     """The composed LLM-corpus curation pipeline — the operators above
     chained the way a training-data run chains them, reported as a funnel
@@ -247,11 +247,13 @@ def curate_corpus_funnel(
        order-deterministic and transitively safe (a kept doc's dups all
        reference a lower id).
 
-    ``method`` picks the pair generator: ``"exact"`` is the all-pairs
-    Jaccard — O(n²), the oracle-checkable small-corpus path;
-    ``"minhash"`` is the 100 TB path (LSH band-bucket candidates, exact
-    Jaccard verification — same (doc_a, doc_b, jaccard) contract, so the
-    funnel semantics are identical up to LSH recall)."""
+    ``method`` picks the pair generator: ``"prefix"`` (default) is the
+    lossless PPJoin prefix filter — EXACTLY the all-pairs result while
+    joining only rare shingles, so it is both the scale path and
+    oracle-checkable; ``"exact"`` is the brute-force all-pairs Jaccard
+    (verification only, O(n²)); ``"minhash"`` trades exact recall for
+    the fewest candidates (LSH band buckets, exact verification — same
+    (doc_a, doc_b, jaccard) contract, identical up to LSH recall)."""
     from ehr_data_pipeline_spark.operators.text_analysis import text_stats
 
     base = df.select(id_col, text_col)
@@ -262,6 +264,8 @@ def curate_corpus_funnel(
     e = q.join(keep, id_col, "left_semi")
     if method == "exact":
         pairs = jaccard_pairs(e, id_col, text_col, jaccard_threshold, k)
+    elif method == "prefix":
+        pairs = jaccard_pairs_prefix(e, id_col, text_col, jaccard_threshold, k)
     elif method == "minhash":
         pairs = minhash_lsh_pairs(
             e, id_col, text_col, threshold=jaccard_threshold, k=k

