@@ -80,3 +80,76 @@ def row_count_observer(df: DataFrame, name: str) -> tuple[DataFrame, "object"]:
 
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Distribution-drift monitor between two snapshots of the same
+    column (yesterday's ingest vs today's, train split vs incoming):
+    fixed-width histogram of ``[lo, hi)`` with under/overflow buckets,
+    plus the per-bucket chi-square contribution
+    ``(n_b - e_b)^2 / e_b`` where ``e_b`` scales snapshot A's count to
+    B's total — large contributions localize WHERE the distribution
+    moved; their sum is the classic chi-square drift statistic.
+
+    Chi-square (not PSI/KL) on purpose: the statistic uses only
+    +,-,*,/ on exactly-counted integers, so the report is bit-identical
+    across engines — PSI's logarithm differs per libm and would break
+    the oracle hash. Fixed-width bucketing (not quantiles) keeps the
+    bucket id a narrow per-row expression; both inputs aggregate in ONE
+    union pass (shuffle on ~n_buckets rows). Rows with a null metric are
+    excluded. ``drift_chi2`` is null for buckets B populates but A does
+    not (infinite-surprise bucket — report it, don't hide it)."""
+    width = (hi - lo) / n_buckets
+
+    def bucket(c: Column) -> Column:
+        b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+        return (
+            F.when(c < lo, F.lit(-1))
+            .when(b >= n_buckets, F.lit(n_buckets))
+            .otherwise(b)
+        )
+
+    tagged = df_a.select(
+        bucket(F.col(col)).alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).where(F.col(col).isNotNull()).unionByName(
+        df_b.select(
+            bucket(F.col(col)).alias("bucket"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        ).where(F.col(col).isNotNull())
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("__a").cast("bigint").alias("n_a"),
+        F.sum("__b").cast("bigint").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("__ta"),
+        F.sum("n_b").cast("double").alias("__tb"),
+    )
+    expected = F.col("n_a").cast("double") * F.col("__tb") / F.col("__ta")
+    chi2 = F.when(
+        F.col("n_a") > 0,
+        F.round(
+            (F.col("n_b").cast("double") - expected)
+            * (F.col("n_b").cast("double") - expected)
+            / expected,
+            6,
+        ),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            "n_a",
+            "n_b",
+            chi2.alias("drift_chi2"),
+        )
+    )

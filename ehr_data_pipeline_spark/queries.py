@@ -2905,6 +2905,50 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_drift",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN value < 0 THEN -1
+                  WHEN CAST(floor(value / 25.0) AS INT) >= 20 THEN 20
+                  ELSE CAST(floor(value / 25.0) AS INT) END AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS b
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT bucket, CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+      FROM t GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM c
+    )
+    SELECT bucket,
+           0.0 + bucket * 25.0 AS bucket_lo,
+           n_a, n_b,
+           CASE WHEN n_a > 0 THEN
+             ROUND((CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE) * tb / ta)
+                   * (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE) * tb / ta)
+                   / (CAST(n_a AS DOUBLE) * tb / ta), 6)
+           END AS drift_chi2
+    FROM c, tot
+    """,
+    tags=("quality", "drift", "histogram"),
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square histogram comparison of the
+    value column between the first and second half of the event stream
+    (split at a fixed date) — the per-bucket contributions localize WHERE
+    the distribution moved. Chi-square over exactly-counted integers
+    keeps the report bit-identical across engines (PSI/KL's logarithm
+    differs per libm); one union-aggregate pass, ~n_buckets result
+    rows."""
+    from ehr_data_pipeline_spark.operators.quality import histogram_drift
+
+    e = _t(spark, sf_dir, "events")
+    early = e.filter(F.col("ts") < "2024-01-16")
+    late = e.filter(F.col("ts") >= "2024-01-16")
+    return histogram_drift(early, late, "value", lo=0.0, hi=500.0, n_buckets=20)
+
+
+@register(
     "user_event_type_scd2",
     oracle="""
     WITH e AS (

@@ -105,3 +105,20 @@ def test_approx_percentile_tracks_exact(spark):
     for r in rows:
         assert abs(r["approx_p50"] - r["exact_p50"]) <= 1.0
         assert abs(r["approx_p95"] - r["exact_p95"]) <= 1.0
+
+
+def test_histogram_drift_known_counts(spark):
+    """Hand-built drift: doubled mass in one bucket, an A-only bucket,
+    a B-only bucket (null chi2), and under/overflow routing."""
+    from ehr_data_pipeline_spark.operators.quality import histogram_drift
+
+    a = spark.createDataFrame([(v,) for v in [1.0, 1.5, 5.0, 5.5, -3.0, 99.0]], "x double")
+    b = spark.createDataFrame([(v,) for v in [1.2, 1.3, 1.7, 1.9, 12.0, 150.0]], "x double")
+    out = {r["bucket"]: r for r in histogram_drift(a, b, "x", 0.0, 100.0, 10).collect()}
+    # bucket 0 ([0,10)): A=4, B=4; expected = 4*6/6 = 4 -> chi2 0
+    assert (out[0]["n_a"], out[0]["n_b"], out[0]["drift_chi2"]) == (4, 4, 0.0)
+    assert out[-1]["n_a"] == 1 and out[-1]["n_b"] == 0      # underflow only in A
+    assert out[1]["n_a"] == 0 and out[1]["n_b"] == 1        # B-only bucket
+    assert out[1]["drift_chi2"] is None                      # infinite surprise -> null
+    assert out[10]["n_b"] == 1                               # overflow bucket
+    assert out[9]["n_a"] == 1                                # 99.0 in [90,100)
