@@ -3058,6 +3058,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "order_priority_grouping_sets",
     "part_cheapest_line_supplier",
     "fhir_pipeline_cleaned_patients",
+    # new this round — no driver row exists yet for any of these either
+    "order_priority_with_returns",
+    "top_revenue_supplier",
+    "part_revenue_share",
+    "brand_size_supplier_variety",
+    "customer_balance_quartiles",
+    "customer_order_gaps",
+    "user_event_type_scd2",
+    "user_rolling_week_totals",
+    "events_value_drift",
 )
 
 
