@@ -70,7 +70,13 @@ def write_jdbc(
     DataFrame schema — the Spark equivalent of the reference's
     ``CREATE TABLE`` block (json_pipeline.py:736-860) — then batch-inserts
     ``batchsize`` rows per round trip per partition (≙ ``execute_values``,
-    ``:863-892``, but distributed)."""
+    ``:863-892``, but distributed).
+
+    Test-coverage note: the build environment ships no JDBC driver jar
+    and no database, so tests cover option/DDL assembly and column
+    normalization but not a live round trip — the first run against a
+    real database should smoke-test ``mode='overwrite'`` DDL emission
+    and the ``numPartitions`` connection fan-in cap."""
     writer = normalize_columns(df).write.format("jdbc").mode(mode)
     for k, v in jdbc_options(url, table, batchsize, num_partitions, properties).items():
         writer = writer.option(k, v)

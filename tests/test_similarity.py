@@ -224,3 +224,35 @@ def test_int8_quantization_zero_vector_safe(spark):
     assert row["qs"]["scale"] == 0.0
     assert list(row["qs"]["q"]) == [0, 0, 0]
     assert list(row["back"]) == [0.0, 0.0, 0.0]
+
+
+def test_ivf_cell_partitioned_index_prunes_reads(spark, emb, tmp_path):
+    """The 100 TB IVF story made concrete: write the corpus partitioned
+    by cell id once, and a probe-limited search reads ONLY the probed
+    cell directories — PartitionFilters at the scan, not a post-scan
+    filter over the whole index."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _centroid_dists,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, n_list=8, n_iters=2)
+    indexed = emb.select(
+        "vec_id",
+        "embedding",
+        _centroid_dists(F.col("embedding"), cents)[0]["cid"].alias("cid"),
+    )
+    path = str(tmp_path / "ivf_index")
+    indexed.write.partitionBy("cid").parquet(path)
+
+    import glob
+
+    n_cells = len(glob.glob(f"{path}/cid=*"))
+    assert n_cells >= 4  # Lloyd produced a real partitioning
+
+    probed = spark.read.parquet(path).filter(F.col("cid").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cid" in pf[1].split("]")[0]  # pruning at the scan
+    assert "Filter" not in plan.split("Scan parquet")[0]  # no post-scan cid filter
+    assert probed.count() == indexed.filter(F.col("cid").isin([0, 1])).count() > 0
