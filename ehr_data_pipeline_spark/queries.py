@@ -3071,9 +3071,35 @@ SWEEP_PRIORITY: tuple[str, ...] = (
 )
 
 
+_SWEEP_WINDOW = 50
+
+
+def _recorded_rounds() -> int:
+    """Rounds with a recorded driver sweep (CORRECTNESS_r*.json at the
+    repo root). Stable within a round: the driver writes the round's file
+    only after its sweep runs."""
+    import glob as _glob
+
+    return len(
+        _glob.glob(_os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "CORRECTNESS_r*.json"))
+    )
+
+
 def _sweep_order() -> list[str]:
+    """Priority entries (never driver-checked) first; the rest ROTATE by
+    one window's worth of slots per recorded round, so the queries past
+    the driver's 50-entry sweep window cycle back into coverage across
+    rounds instead of being permanently demoted (the full oracle replica
+    in tests/test_queries_oracle.py covers every entry every CI run
+    regardless). Remove entries from SWEEP_PRIORITY once their green
+    driver row exists — the rotation then spreads coverage evenly."""
     prioritized = [n for n in SWEEP_PRIORITY if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in SWEEP_PRIORITY]
+    open_slots = max(0, _SWEEP_WINDOW - len(prioritized))
+    if rest and open_slots:
+        shift = (_recorded_rounds() * open_slots) % len(rest)
+        rest = rest[shift:] + rest[:shift]
     return prioritized + rest
 
 
