@@ -428,18 +428,27 @@ def dedup_against_index(
     index: DataFrame,
     text_col: str = "text",
     fp_col: str = "fp",
+    id_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup — the shape a CONTINUOUS ingest needs:
     drop new-batch docs whose normalized-content fingerprint already
     exists in the historical index (anti join), and within the batch
-    keep one row per fingerprint (hash-agg, deterministic would use
-    keep_first). Returns ``(fresh_rows, new_index_entries)`` — append
+    keep one row per fingerprint. With ``id_col`` the survivor is the
+    MINIMUM id (deterministic keep-first — reruns and oracles agree);
+    without it ``dropDuplicates`` keeps an arbitrary row (cheapest).
+    Returns ``(fresh_rows, new_index_entries)`` — append
     the latter to the index table; the index stores ONLY fingerprints,
     so at 100 TB it is a fraction of corpus size and, written bucketed
     by fingerprint (sinks.write_bucketed), the anti join prunes to
     co-located buckets with no shuffle of the history."""
+    from ehr_data_pipeline_spark.operators.dedup import keep_first
+
     fp = fingerprint128(F.col(text_col))
-    b = batch.withColumn(fp_col, fp).dropDuplicates([fp_col])
+    b = batch.withColumn(fp_col, fp)
+    if id_col is None:
+        b = b.dropDuplicates([fp_col])
+    else:
+        b = keep_first(b, keys=[fp_col], order_by=[F.col(id_col).asc()])
     fresh = b.join(index.select(fp_col), fp_col, "left_anti")
     return fresh.drop(fp_col), fresh.select(fp_col)
 

@@ -2905,6 +2905,78 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_incremental_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), idx AS (
+      SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM n WHERE doc_id % 2 = 1 GROUP BY fp
+    )
+    SELECT b.doc_id, b.fp FROM b ANTI JOIN idx USING (fp)
+    """,
+    tags=("dedup", "incremental", "index"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a fingerprint index — the
+    continuous-ingest shape: even-id docs stand in for the historical
+    index (fingerprints only), odd-id docs are the arriving batch;
+    output is the batch's FRESH docs (min-id survivor per in-batch
+    duplicate group, then anti join vs the index). At 100 TB the index
+    is written bucketed by fingerprint so the anti join prunes to
+    co-located buckets and the history never shuffles."""
+    from ehr_data_pipeline_spark.operators.text_dedup import dedup_against_index
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    from ehr_data_pipeline_spark.operators.text_analysis import fingerprint128
+
+    index = history.select(fingerprint128(F.col("text")).alias("fp")).distinct()
+    fresh, _new_entries = dedup_against_index(batch, index, id_col="doc_id")
+    return fresh.select(
+        "doc_id",
+        fingerprint128(F.col("text")).alias("fp"),
+    )
+
+
+@register(
+    "emb_ivf_knn_fullprobe",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    p AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
+    """,
+    tags=("similarity", "knn", "ivf"),
+)
+def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with every cell probed IS the exact search — so the whole IVF
+    machinery (Lloyd training, cell assignment, probe join, re-rank)
+    hash-checks against the brute-force SQL twin, the same way the
+    SimHash band join is checked via its pigeonhole-exact configuration.
+    The registered n_probe=4 variant (emb_ivf_knn) remains the scale
+    path whose recall is asserted in tests."""
+    from ehr_data_pipeline_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_list=8, n_probe=8
+    )
+
+
+@register(
     "events_value_drift",
     oracle="""
     WITH t AS (
@@ -3068,6 +3140,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "user_event_type_scd2",
     "user_rolling_week_totals",
     "events_value_drift",
+    "doc_incremental_dedup",
+    "emb_ivf_knn_fullprobe",
 )
 
 
