@@ -307,6 +307,43 @@ def user_value_ewma_batch(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(fold, EWMA_OUTPUT_SCHEMA)
 
 
+def parquet_batch_sink(path: str):
+    """foreachBatch writer for exactly-once parquet output: each
+    microbatch lands in its own ``batch_id=N`` directory with
+    ``mode=overwrite``, so a REPLAYED batch (failure between sink write
+    and checkpoint commit — the at-least-once window every foreachBatch
+    sink has) overwrites its own directory instead of appending
+    duplicates. Idempotent replay + source tracking = exactly-once
+    end-to-end. Readers get the union via a plain recursive parquet read
+    with ``batch_id`` as a partition column; compact with
+    ``sinks.compact_parquet`` once a day when batch dirs accumulate."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write
+
+
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's current input into an idempotent per-batch
+    parquet layout (:func:`parquet_batch_sink`) with an ``availableNow``
+    trigger and a REAL checkpoint — restartable: a second run over the
+    same checkpoint processes only files that arrived since."""
+    query = (
+        df.writeStream.foreachBatch(parquet_batch_sink(path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

@@ -309,3 +309,56 @@ def test_stream_dedup_drops_redelivered_events(checkpointed, tmp_path):
     n_expected = events.count()
     assert got.count() == n_expected
     assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_parquet_batch_sink_exactly_once_and_replay_idempotent(
+    checkpointed, tmp_path
+):
+    """Multi-microbatch drain into the per-batch parquet layout must
+    reproduce the input exactly (no dup/loss across batches); restarting
+    over the same checkpoint with no new files writes nothing; and a
+    simulated REPLAY of a batch id (the failure window of any
+    foreachBatch sink) leaves the table unchanged — overwrite, not
+    append."""
+    from ehr_data_pipeline_spark.streaming import parquet_batch_sink, run_to_parquet
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    src = tmp_path / "sink_src"
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "f1"))
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "f2"))
+
+    out, ckpt = str(tmp_path / "sink_out"), str(tmp_path / "sink_ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_to_parquet(stream, out, ckpt)
+
+    import glob
+
+    batch_dirs = glob.glob(f"{out}/batch_id=*")
+    assert len(batch_dirs) >= 2  # paced into multiple microbatches
+    back = spark.read.parquet(out).drop("batch_id")
+    assert back.count() == events.count()
+    assert {r["event_id"] for r in back.select("event_id").collect()} == {
+        r["event_id"] for r in events.select("event_id").collect()
+    }
+
+    # restart over the same checkpoint, no new input -> nothing changes
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).drop("batch_id").count() == events.count()
+
+    # simulate a replayed microbatch: rerun batch 0's write with the same
+    # batch id — the directory is overwritten, not appended (materialize
+    # the batch first: the real replay re-reads the SOURCE, not the sink)
+    src_batch = spark.read.parquet(f"{out}/batch_id=0")
+    first_batch = spark.createDataFrame(src_batch.collect(), src_batch.schema)
+    parquet_batch_sink(out)(first_batch, 0)
+    assert spark.read.parquet(out).drop("batch_id").count() == events.count()
