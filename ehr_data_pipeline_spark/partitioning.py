@@ -28,3 +28,69 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(
+    cols: "Sequence[tuple[Column | str, float, float]]",
+    bits: int = 16,
+) -> "Column":
+    """Z-order (Morton) interleave key for multi-column data skipping.
+
+    Each ``(col, lo, hi)`` is quantized to ``bits`` levels over
+    ``[lo, hi]`` (clamped), then the columns' bits are interleaved
+    MSB-first, so sorting by the key clusters rows that are close in
+    EVERY dimension. Written with ``write_zordered``, each parquet file
+    then covers a small hyper-rectangle of the key space, and parquet
+    min/max row-group stats prune multi-column range predicates that a
+    single-column sort can only prune on its leading column — the
+    data-skipping layout for 100 TB scans filtered on two or three
+    correlated dimensions (e.g. user_id × day, lat × lon).
+
+    Pure bit arithmetic on longs (shift/and/or in codegen, no UDF);
+    ``bits × len(cols)`` must fit a signed bigint (≤ 62). Nulls quantize
+    to cell 0 (they sort first, same as a plain sort)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if bits * n > 62:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed bigint")
+    levels = (1 << bits) - 1
+    quantized = []
+    for c, lo, hi in cols:
+        c = F.col(c) if isinstance(c, str) else c
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        cell = F.floor(scaled * levels).cast("bigint")
+        cell = F.least(F.greatest(cell, F.lit(0)), F.lit(levels))
+        quantized.append(F.coalesce(cell, F.lit(0)))
+    key = F.lit(0).cast("bigint")
+    for b in range(bits - 1, -1, -1):  # MSB first
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + (n - 1 - i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: "Sequence[tuple[str, float, float]]",
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by its Z-order key: range-partition on the
+    key (each output file owns a contiguous key range = a small
+    hyper-rectangle), sort within partitions (tight row-group min/max),
+    drop the key from the stored schema. ``n_files`` defaults to the
+    current partition count."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits))
+    n = n_files or keyed.rdd.getNumPartitions()
+    (
+        keyed.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
