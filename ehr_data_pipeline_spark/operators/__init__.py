@@ -2,5 +2,6 @@
 families + connected-component clustering (``text_dedup``), text analysis
 + winnowing fingerprints (``text_analysis``), embedding similarity search
 (``similarity``), deterministic sampling / dataset splits (``sampling``),
-temporal joins (``temporal``), multimodal binary columns (``multimodal``),
-quality profiling (``quality``), and skew mitigation (``skew``)."""
+temporal joins (``temporal``), SCD2 versioned dimensions (``scd``),
+multimodal binary columns (``multimodal``), quality profiling + drift
+monitoring (``quality``), and skew mitigation (``skew``)."""

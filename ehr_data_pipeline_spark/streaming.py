@@ -25,7 +25,8 @@ Design:
 
 The events schema is read from the parquet footer once on the driver
 (streaming file sources require an explicit schema) and the same
-nanos→micros timestamp normalization as ``tables.load_table`` is applied,
+event-time normalization (nanos→micros / NTZ→UTC) as ``tables.load_table``
+is applied,
 so batch and stream see byte-identical rows.
 """
 
