@@ -198,6 +198,39 @@ def test_rank_family_single_window_pass(spark, name):
     assert plan.count("Sort ") == 1
 
 
+def test_disjunctive_bands_push_derived_ranges_to_scans(spark):
+    """Q19 shape: Catalyst must derive per-side slices of the OR — the
+    quantity envelope at the lineitem scan, the brand/size union at the
+    part scan — with the cross-side disjunction as the join residual,
+    never a cartesian."""
+    plan = plan_of(spark, "branded_quantity_band_revenue")
+    # the OR of quantity ranges reaches the lineitem parquet scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nation_pair_volume_broadcasts_all_dims(spark):
+    """Q7 shape: four broadcast joins (customer, supplier, nation ×2);
+    the only shuffle joins are orders⋈lineitem."""
+    plan = plan_of(spark, "nation_pair_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["linestatus_priority_classes", "nation1_market_share"]
+)
+def test_conditional_agg_single_pass(spark, name):
+    """Q12/Q8 shapes: both CASE classes (or numerator + denominator)
+    fold into ONE grouped aggregate — a single partial_sum stage, no
+    per-class scan or union."""
+    plan = plan_of(spark, name)
+    assert "partial_sum" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") <= 3
+
+
 def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
     """The replicated (exploded) side of a salted join must not add a
     shuffle beyond the join's own exchange."""
