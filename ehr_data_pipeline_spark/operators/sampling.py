@@ -82,3 +82,40 @@ def deterministic_sample(
     return df.filter(
         hash_split_bucket(F.col(key_col), salt) < round(fraction * N_BUCKETS)
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "strata",
+) -> DataFrame:
+    """EXACT stratified sample: ``ceil(fraction · n_s)`` rows from every
+    stratum ``s`` — the class-balanced draw a training pipeline needs
+    when plain hash sampling would under-represent small strata (a
+    fraction-of-bucket filter only hits the target count in expectation,
+    and for a 30-row stratum the variance is the whole stratum).
+
+    Rows are ranked within their stratum by the portable keyed hash
+    (deterministic, key-stable, engine-replayable) and the top
+    ``ceil(f·n_s)`` by hash order are kept — so the selection is a
+    uniform draw with an exact per-stratum quota, stable across runs and
+    repartitionings, with the key as tiebreak for a total order. One
+    shuffle on the stratum (window) — at 100 TB strata are usually
+    coarse (language, source, label), so the window partitions are large
+    but few; skewed giant strata fall back to plain hash sampling, where
+    the relative error is negligible at that size."""
+    from pyspark.sql.window import Window
+
+    h = portable_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    n = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rk", "__n")
+    )

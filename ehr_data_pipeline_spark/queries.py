@@ -2977,6 +2977,37 @@ def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, event_type,
+             ('0x' || substr(md5('strata:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM events
+    ), r AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_id, event_type FROM r WHERE rk <= CEIL(0.1 * n)
+    """,
+    tags=("sampling", "stratified", "window"),
+)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified 10% sample per event_type: rows ranked within
+    their stratum by the portable keyed hash, top ceil(0.1·n_s) kept —
+    an exact per-stratum quota (plain hash sampling only hits it in
+    expectation; small strata can miss badly), deterministic and
+    key-stable, replayed hash-for-hash by the DuckDB twin."""
+    from ehr_data_pipeline_spark.operators.sampling import stratified_sample_exact
+
+    e = _t(spark, sf_dir, "events")
+    return stratified_sample_exact(
+        e, strata_col="event_type", key_col="event_id", fraction=0.1
+    ).select("event_id", "event_type")
+
+
+@register(
     "events_value_drift",
     oracle="""
     WITH t AS (
@@ -3341,6 +3372,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "nation_pair_trade_volume",
     "nation1_market_share",
     "branded_quantity_band_revenue",
+    "events_stratified_sample",
 )
 
 

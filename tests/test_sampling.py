@@ -58,3 +58,33 @@ def test_different_salts_decorrelate(spark):
     s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.5, salt="a").collect()}
     s2 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.5, salt="b").collect()}
     assert s1 != s2  # overwhelmingly likely for independent hashes
+
+
+def test_stratified_sample_exact_quota_and_stability(spark):
+    """Every stratum yields exactly ceil(f*n_s) rows (a plain hash
+    sample cannot guarantee this for small strata), and the selection is
+    key-stable: re-running and re-partitioning pick the same rows."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.sampling import stratified_sample_exact
+    from ehr_data_pipeline_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    samp = stratified_sample_exact(e, "event_type", "event_id", 0.2)
+    got = {
+        r["event_type"]: r["n"]
+        for r in samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["event_type"]: -(-r["n"] * 2 // 10)  # ceil(0.2 * n)
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    ids1 = {r["event_id"] for r in samp.select("event_id").collect()}
+    ids2 = {
+        r["event_id"]
+        for r in stratified_sample_exact(
+            e.repartition(13), "event_type", "event_id", 0.2
+        ).select("event_id").collect()
+    }
+    assert ids1 == ids2 and len(ids1) > 0
