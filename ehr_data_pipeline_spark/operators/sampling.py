@@ -101,7 +101,10 @@ def stratified_sample_exact(
     (deterministic, key-stable, engine-replayable) and the top
     ``ceil(f·n_s)`` by hash order are kept — so the selection is a
     uniform draw with an exact per-stratum quota, stable across runs and
-    repartitionings, with the key as tiebreak for a total order. One
+    repartitionings, with the key as tiebreak for a total order. The
+    quota multiplies in DECIMAL (fraction quantized to 6 decimal
+    places), not doubles — ``0.07 * 100`` in IEEE is 7.000000000000001
+    and a float ceil would over-sample such strata by one row. One
     shuffle on the stratum (window) — at 100 TB strata are usually
     coarse (language, source, label), so the window partitions are large
     but few; skewed giant strata fall back to plain hash sampling, where
@@ -113,9 +116,10 @@ def stratified_sample_exact(
     )
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     n = Window.partitionBy(strata_col)
+    quota = F.ceil(F.lit(fraction).cast("decimal(9,6)") * F.col("__n"))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .filter(F.col("__rk") <= quota)
         .drop("__rk", "__n")
     )

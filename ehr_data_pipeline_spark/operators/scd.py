@@ -55,11 +55,17 @@ def scd2_compress(
 ) -> DataFrame:
     """Compress an event log into SCD2 version rows.
 
-    Output: keys + attrs + (valid_from, valid_to, is_current, n_events).
-    A version starts whenever ANY tracked attribute differs (null-safe)
-    from the previous event of the same key in (ts, tiebreak) order.
-    ``tiebreak`` must make the order total when ts alone has duplicates —
-    otherwise run boundaries are nondeterministic."""
+    Output: keys + attrs + (version, valid_from, valid_to, is_current,
+    n_events). A version starts whenever ANY tracked attribute differs
+    (null-safe) from the previous event of the same key in
+    (ts, tiebreak) order; ``version`` is the 1-based run index in that
+    order — the column that makes the version sequence a TOTAL order
+    even when consecutive runs share a valid_from (several changes
+    inside one timestamp, split by the tiebreak): valid_to/is_current
+    derive from lead over ``version``, never over the tie-prone
+    timestamp. ``tiebreak`` must make the event order total when ts
+    alone has duplicates — otherwise run boundaries are
+    nondeterministic."""
     keys = list(keys)
     attrs = list(attrs)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
@@ -77,10 +83,11 @@ def scd2_compress(
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    wv = Window.partitionBy(*keys).orderBy("valid_from")
+    wv = Window.partitionBy(*keys).orderBy("__run")
     return g.select(
         *keys,
         *attrs,
+        F.col("__run").cast("bigint").alias("version"),
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
@@ -104,24 +111,26 @@ def scd2_apply_batch(
     attrs = list(attrs)
     upd = scd2_compress(batch, keys, attrs, ts_col, tiebreak)
 
-    wu = Window.partitionBy(*keys).orderBy("valid_from")
-    upd = upd.withColumn("__rn", F.row_number().over(wu))
-    first_upd = upd.filter(F.col("__rn") == 1).select(
+    # the batch's first run per key is version == 1 by construction —
+    # no tie-prone valid_from ranking needed
+    first_upd = upd.filter(F.col("version") == 1).select(
         *[F.col(k).alias(f"__fk_{k}") for k in keys],
         *[F.col(a).alias(f"__fa_{a}") for a in attrs],
-        F.col("valid_from").alias("__f_from"),
         F.col("n_events").alias("__f_n"),
     )
 
     closed = dim.filter(~F.col("is_current"))
     cur = dim.filter(F.col("is_current"))
 
+    # null-safe key joins: scd2_compress groups null key values into one
+    # group, so the merge must match them too (plain == would silently
+    # treat a null-keyed open version as "no batch arrived")
     join_cond = F.lit(True)
     for k in keys:
-        join_cond = join_cond & (F.col(k) == F.col(f"__fk_{k}"))
+        join_cond = join_cond & F.col(k).eqNullSafe(F.col(f"__fk_{k}"))
     cur = cur.join(first_upd, join_cond, "left")
 
-    same = _attrs_equal("", "__fa_", attrs) & F.col("__f_from").isNotNull()
+    same = _attrs_equal("", "__fa_", attrs) & F.col("__f_n").isNotNull()
     # open version: untouched (no batch for the key), extended (batch
     # starts with identical attrs — absorb its first run's count), or
     # unchanged-row-passed-through (batch changes attrs; the window
@@ -129,32 +138,58 @@ def scd2_apply_batch(
     adjusted_cur = cur.select(
         *keys,
         *attrs,
+        "version",
         "valid_from",
         F.when(same, F.col("n_events") + F.col("__f_n"))
         .otherwise(F.col("n_events"))
         .alias("n_events"),
         same.alias("__absorbed_first"),
     )
-    absorbed_keys = adjusted_cur.filter(F.col("__absorbed_first")).select(
-        *[F.col(k).alias(f"__ak_{k}") for k in keys]
+    offsets = adjusted_cur.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.col("version").alias("__base_v"),
+        F.col("__absorbed_first").alias("__abs"),
+    )
+    absorbed_keys = offsets.filter(F.col("__abs")).select(
+        *[F.col(f"__ok_{k}").alias(f"__ak_{k}") for k in keys]
     )
     # drop the batch's first run for keys whose open version absorbed it
     anti_cond = F.lit(True)
     for k in keys:
-        anti_cond = anti_cond & (F.col(k) == F.col(f"__ak_{k}"))
-    surviving_upd = upd.join(
-        absorbed_keys, anti_cond & (F.col("__rn") == 1), "left_anti"
-    ).select(*keys, *attrs, "valid_from", "n_events")
-
-    stitched = (
-        closed.select(*keys, *attrs, "valid_from", "n_events")
-        .unionByName(adjusted_cur.select(*keys, *attrs, "valid_from", "n_events"))
-        .unionByName(surviving_upd)
+        anti_cond = anti_cond & F.col(k).eqNullSafe(F.col(f"__ak_{k}"))
+    off_cond = F.lit(True)
+    for k in keys:
+        off_cond = off_cond & F.col(k).eqNullSafe(F.col(f"__ok_{k}"))
+    surviving_upd = (
+        upd.join(absorbed_keys, anti_cond & (F.col("version") == 1), "left_anti")
+        # renumber appended runs after the key's existing history: the
+        # open version keeps its number, batch run v becomes base + v
+        # (minus one when run 1 was absorbed into the open version)
+        .join(offsets, off_cond, "left")
+        .select(
+            *keys,
+            *attrs,
+            (
+                F.coalesce(F.col("__base_v"), F.lit(0))
+                + F.col("version")
+                - F.when(F.coalesce(F.col("__abs"), F.lit(False)), 1).otherwise(0)
+            ).alias("version"),
+            "valid_from",
+            "n_events",
+        )
     )
-    wv = Window.partitionBy(*keys).orderBy("valid_from")
+
+    cols = [*keys, *attrs, "version", "valid_from", "n_events"]
+    stitched = (
+        closed.select(*cols)
+        .unionByName(adjusted_cur.select(*cols))
+        .unionByName(surviving_upd.select(*cols))
+    )
+    wv = Window.partitionBy(*keys).orderBy("version")
     return stitched.select(
         *keys,
         *attrs,
+        "version",
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),

@@ -232,6 +232,7 @@ def curate_corpus_funnel(
     jaccard_threshold: float = 0.8,
     k: int = DEFAULT_SHINGLE_K,
     method: str = "prefix",
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """The composed LLM-corpus curation pipeline — the operators above
     chained the way a training-data run chains them, reported as a funnel
@@ -265,7 +266,12 @@ def curate_corpus_funnel(
     if method == "exact":
         pairs = jaccard_pairs(e, id_col, text_col, jaccard_threshold, k)
     elif method == "prefix":
-        pairs = jaccard_pairs_prefix(e, id_col, text_col, jaccard_threshold, k)
+        # persist_shingles passes through: long-lived sessions invoking
+        # the funnel repeatedly can opt out of the per-call shingle cache
+        pairs = jaccard_pairs_prefix(
+            e, id_col, text_col, jaccard_threshold, k,
+            persist_shingles=persist_shingles,
+        )
     elif method == "minhash":
         pairs = minhash_lsh_pairs(
             e, id_col, text_col, threshold=jaccard_threshold, k=k

@@ -83,8 +83,6 @@ def write_zordered(
     hyper-rectangle), sort within partitions (tight row-group min/max),
     drop the key from the stored schema. ``n_files`` defaults to the
     current partition count."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     keyed = df.withColumn("__zkey", zorder_key(cols, bits))
     n = n_files or keyed.rdd.getNumPartitions()
     (

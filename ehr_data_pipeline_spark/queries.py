@@ -1143,13 +1143,13 @@ _FHIR_FIXTURE_DIR = _os.path.join(
     "fhir",
 )
 
-# DuckDB regex twins of functions/validation.py (data_quality_checker.py
-# :50,54,67-72 in the reference)
-_DT_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[-+]\d{2}:\d{2}$"
-_D_RE = r"^\d{4}-\d{2}-\d{2}$"
-_PHONE_RE = (
-    r"(?:^\(\d{3}\)\s?\d{3}-\d{4}( x\d+)?$)|(?:^\d{3}-\d{3}-\d{4}( x\d+)?$)"
-    r"|(?:^\d{3}\.\d{3}\.\d{4}( x\d+)?$)|(?:^1-\d{3}-\d{3}-\d{4}( x\d+)?$)"
+# the oracle reuses the ENGINE's validator regexes verbatim (RE2-safe
+# patterns, no lookarounds) so an edit to functions/validation.py can
+# never silently desynchronize the DuckDB twin from the Spark pipeline
+from ehr_data_pipeline_spark.functions.validation import (  # noqa: E402
+    DATE_RE as _D_RE,
+    DATETIME_RE as _DT_RE,
+    PHONE_RE as _PHONE_RE,
 )
 
 
@@ -2989,7 +2989,8 @@ def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM h
     )
-    SELECT event_id, event_type FROM r WHERE rk <= CEIL(0.1 * n)
+    SELECT event_id, event_type FROM r
+    WHERE rk <= CEIL(CAST(0.1 AS DECIMAL(9,6)) * n)
     """,
     tags=("sampling", "stratified", "window"),
 )
@@ -3069,20 +3070,22 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(ts) AS valid_from, COUNT(*) AS n_events
       FROM r GROUP BY 1, 2, 3
     )
-    SELECT user_id, event_type, valid_from,
+    SELECT user_id, event_type, CAST(run_id AS BIGINT) AS version, valid_from,
            lead(valid_from) OVER wv AS valid_to,
            (lead(valid_from) OVER wv IS NULL) AS is_current,
            n_events
     FROM g
-    WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from)
+    WINDOW wv AS (PARTITION BY user_id ORDER BY run_id)
     """,
     tags=("scd2", "gaps-and-islands", "window"),
 )
 def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 version history — gaps-and-islands run compression of
     each user's event_type: consecutive equal values collapse into one
-    version row with half-open [valid_from, valid_to) and an open
-    is_current tail. The incremental twin (``scd2_apply_batch``) merges
+    version row with half-open [valid_from, valid_to), an explicit
+    1-based version number (the total order valid_to derives from —
+    valid_from alone ties when several changes share a timestamp) and an
+    open is_current tail. The incremental twin (``scd2_apply_batch``) merges
     new batches in O(|versions| + |batch|) without touching history —
     property-tested incremental == full-rebuild in tests/test_scd.py.
     One key-partitioned window lineage, event_id tiebreak for total

@@ -100,7 +100,8 @@ def test_scd2_apply_batch_equals_full_rebuild(spark):
     full = scd2_compress(e, **args)
     merged = scd2_apply_batch(scd2_compress(b1, **args), b2, **args)
 
-    cols = ["user_id", "event_type", "valid_from", "valid_to", "is_current", "n_events"]
+    cols = ["user_id", "event_type", "version", "valid_from", "valid_to",
+            "is_current", "n_events"]
     f = {tuple(r) for r in full.select(*cols).collect()}
     m = {tuple(r) for r in merged.select(*cols).collect()}
     assert m == f and len(f) > 0
@@ -118,8 +119,60 @@ def test_scd2_apply_batch_new_and_absent_keys(spark):
         "user_id long, ts timestamp, event_type string, event_id long",
     )
     args = dict(keys=["user_id"], attrs=["event_type"], ts_col="ts", tiebreak="event_id")
-    merged = _rows(scd2_apply_batch(scd2_compress(b1, **args), b2, **args))
+    out = scd2_apply_batch(scd2_compress(b1, **args), b2, **args)
+    merged = _rows(out)
     assert merged[(1, 0)] == ("a", 5, False, 1)   # closed by the batch
     assert merged[(1, 5)] == ("b", None, True, 1)
     assert merged[(2, 0)] == ("x", None, True, 1)  # untouched
     assert merged[(3, 5)] == ("z", None, True, 1)  # new key
+    # appended runs continue the key's version sequence; new keys start at 1
+    versions = {
+        (r["user_id"], r["event_type"]): r["version"] for r in out.collect()
+    }
+    assert versions == {(1, "a"): 1, (1, "b"): 2, (2, "x"): 1, (3, "z"): 1}
+
+
+def test_scd2_same_timestamp_runs_total_order(spark):
+    """Three runs inside ONE timestamp (tiebreak-split) must still get a
+    deterministic version chain: valid_to/is_current derive from the
+    version number, not from the tie-prone valid_from."""
+    rows = [
+        (1, _ts(0), "a", 1),
+        (1, _ts(1), "b", 2),
+        (1, _ts(1), "a", 3),
+        (1, _ts(1), "b", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = sorted(
+        scd2_compress(df, ["user_id"], ["event_type"], "ts", tiebreak="event_id")
+        .collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["version"], r["event_type"]) for r in out] == [
+        (1, "a"), (2, "b"), (3, "a"), (4, "b"),
+    ]
+    assert [r["is_current"] for r in out] == [False, False, False, True]
+    # the three tied runs chain half-open intervals at the shared instant
+    assert out[1]["valid_to"] == out[2]["valid_from"] == out[2]["valid_to"]
+
+
+def test_scd2_apply_batch_null_keys_merge(spark):
+    """Null key values are one group in compress — the merge must treat
+    them the same (null-safe joins), extending the open null-key version
+    instead of duplicating it."""
+    b1 = spark.createDataFrame(
+        [(None, _ts(0), "a", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    b2 = spark.createDataFrame(
+        [(None, _ts(5), "a", 2), (None, _ts(6), "b", 3)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    args = dict(keys=["user_id"], attrs=["event_type"], ts_col="ts", tiebreak="event_id")
+    full = {tuple(r) for r in scd2_compress(
+        b1.unionByName(b2), **args).collect()}
+    merged = {tuple(r) for r in scd2_apply_batch(
+        scd2_compress(b1, **args), b2, **args).collect()}
+    assert merged == full and len(full) == 2
