@@ -2977,6 +2977,45 @@ def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stream_offset,
+           stream_offset // 2048 AS seq_id,
+           stream_offset % 2048 AS offset_in_seq
+    FROM p
+    """,
+    tags=("packing", "prefix-sum", "training-data"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents concatenate in
+    doc_id order and each lands in the 2048-token chunk its first token
+    falls in (concat-then-chunk). The stream offset is a DISTRIBUTED
+    two-phase prefix sum — per-bucket totals, a tiny cumsum over bucket
+    offsets, then a partitioned within-bucket window — never the
+    single-partition global window the oracle's simple
+    ``SUM() OVER (ORDER BY)`` formulation would plan; the DuckDB twin
+    proves the two formulations agree to the row."""
+    from ehr_data_pipeline_spark.operators.packing import pack_sequences
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", F.size(whitespace_tokens(F.col("text"))), budget=2048
+    )
+
+
+@register(
     "events_stratified_sample",
     oracle="""
     WITH h AS (
@@ -3376,6 +3415,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "nation1_market_share",
     "branded_quantity_band_revenue",
     "events_stratified_sample",
+    "doc_pack_sequences",
 )
 
 

@@ -1,0 +1,80 @@
+"""Sequence packing / distributed prefix sum: two-phase formulation must
+equal the single-window formulation exactly, with no row-scale data
+through a single partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ehr_data_pipeline_spark.operators.packing import (
+    distributed_prefix_sum,
+    pack_sequences,
+)
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-phase == naive unpartitioned window on sparse, gappy ids
+    across several bucket counts (incl. more buckets than rows)."""
+    rows = [(i * 7 + (i % 3), (i % 13) + 1) for i in range(500)]  # gappy ids
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("p")
+        ).collect()
+    }
+    for n_buckets in (1, 4, 64, 1000):
+        got = {
+            r["id"]: r["prefix_sum"]
+            for r in distributed_prefix_sum(df, "id", "v", n_buckets).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    """Known token counts: docs land in the chunk their first token
+    falls in; offsets chain exactly; a doc may straddle into the next
+    chunk (concat-then-chunk, like the real loader)."""
+    df = spark.createDataFrame(
+        [(0, "a " * 1000), (1, "b " * 1500), (2, "c " * 100), (3, "d " * 5000)],
+        "doc_id long, text string",
+    )
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", F.size(whitespace_tokens(F.col("text"))), budget=2048
+        ).collect()
+    }
+    assert out[0]["stream_offset"] == 0 and out[0]["seq_id"] == 0
+    assert out[1]["stream_offset"] == 1000 and out[1]["seq_id"] == 0  # straddles
+    assert out[2]["stream_offset"] == 2500 and out[2]["seq_id"] == 1
+    assert out[3]["stream_offset"] == 2600 and out[3]["seq_id"] == 1
+    assert out[3]["offset_in_seq"] == 2600 - 2048
+
+
+def test_prefix_sum_no_global_single_partition_window(spark):
+    """The plan's only unpartitioned window runs over the bucket totals
+    (n_buckets rows), never the input rows: every row-scale Window node
+    must carry a partition spec."""
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, v long")
+    plan = (
+        distributed_prefix_sum(df, "id", "v", 16)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    window_lines = [
+        line.strip() for line in plan.splitlines() if line.strip().startswith(("Window", "+- Window"))
+    ]
+    assert len(window_lines) == 2
+    for line in window_lines:
+        if "sum(v#" in line:
+            # the row-scale window must carry a partition spec
+            # (format: Window [exprs], [partition], [order] — 3 groups)
+            assert line.count("], [") == 2, line
+        else:
+            # the unpartitioned window consumes only the bucket totals
+            assert "sum(__btotal" in line, line
+            assert line.count("], [") == 1, line
