@@ -39,6 +39,8 @@ def distributed_prefix_sum(
     integers; bucket ranges derive from the max id (one driver-sized
     aggregate, like centroid training)."""
     max_id = df.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:  # empty input: the prefix sum of nothing is nothing
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
     width = max(1, (int(max_id) + n_buckets) // n_buckets)
     b = df.withColumn("__bucket", (F.col(id_col) / width).cast("bigint"))
 

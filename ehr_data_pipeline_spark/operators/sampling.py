@@ -107,8 +107,11 @@ def stratified_sample_exact(
     and a float ceil would over-sample such strata by one row. One
     shuffle on the stratum (window) — at 100 TB strata are usually
     coarse (language, source, label), so the window partitions are large
-    but few; skewed giant strata fall back to plain hash sampling, where
-    the relative error is negligible at that size."""
+    but few. Every stratum goes through the window here; for a skewed
+    GIANT stratum (billions of rows in one window partition) the caller
+    should route that stratum to :func:`deterministic_sample` instead —
+    at that size plain hash sampling's relative quota error is
+    negligible and it avoids the single-partition sort."""
     from pyspark.sql.window import Window
 
     h = portable_hash60(

@@ -71,10 +71,15 @@ def scd2_compress(
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order)
 
-    changed = F.lit(False)
+    # the first event of a key must ALWAYS open run 1 — detected via
+    # lag(ts) being null (ts is never null for an event). Detecting it
+    # through attr inequality alone fails when the first event's tracked
+    # attrs are all null: eqNullSafe(null, lag=null) is true, the run
+    # counter would start at 0, and scd2_apply_batch's version==1
+    # first-run selection would miss the key entirely.
+    changed = F.lag(ts_col).over(w).isNull()
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
-    # the first event of a key has lag null => eqNullSafe false => change
     run = F.sum(F.when(changed, 1).otherwise(0)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

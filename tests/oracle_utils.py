@@ -30,8 +30,12 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        # collapse -0.0 vs 0.0 representation differences
-        return v + 0.0
+        # Driver-faithful typing: the driver hashes typed serializations, so
+        # an int-valued float (DuckDB HUGEINT -> pandas float64 -> "123.0")
+        # MISMATCHES a true int ("123"). Tag floats so 123.0 != 123 here too —
+        # this is the bug class that cost r2/r4 hash-red rows
+        # (doc_repetition_stats, media_meta_profile, doc_pack_sequences).
+        return ("__float__", v + 0.0)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
     if isinstance(v, list):

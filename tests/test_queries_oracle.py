@@ -28,6 +28,27 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     compare_spark_vs_oracle(df, con, spec.oracle, name=name)
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_types_no_hugeint(con, name):
+    """Oracle type lint: a bare SUM(BIGINT) in DuckDB types as HUGEINT,
+    which pandas renders as float64 ("123.0") while Spark's BIGINT renders
+    "123" — a guaranteed driver hash-red even when every value is equal.
+    This exact class cost red rows in rounds 2 AND 4 (doc_repetition_stats,
+    media_meta_profile, doc_pack_sequences). Every oracle must therefore
+    yield no HUGEINT/UHUGEINT column — wrap wide sums in
+    CAST(... AS BIGINT)."""
+    rel = con.sql(REGISTRY[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not bad, (
+        f"{name}: oracle columns typed HUGEINT (driver hash-red foot-gun), "
+        f"CAST them to BIGINT: {bad}"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]

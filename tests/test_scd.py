@@ -176,3 +176,29 @@ def test_scd2_apply_batch_null_keys_merge(spark):
     merged = {tuple(r) for r in scd2_apply_batch(
         scd2_compress(b1, **args), b2, **args).collect()}
     assert merged == full and len(full) == 2
+
+
+def test_scd2_all_null_attrs_first_event(spark):
+    """A key whose FIRST event has all-null tracked attrs must still open
+    run 1 (lag(ts)-null detection): attr inequality alone sees
+    eqNullSafe(null, lag=null) == true and would start the counter at 0,
+    breaking scd2_apply_batch's version==1 first-run selection. Covers
+    both compress (1-based versions) and the merge invariant."""
+    b1 = spark.createDataFrame(
+        [(1, _ts(0), None, 1), (1, _ts(1), None, 2), (1, _ts(2), "a", 3)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    args = dict(keys=["user_id"], attrs=["event_type"], ts_col="ts", tiebreak="event_id")
+    dim = scd2_compress(b1, **args)
+    versions = sorted((r["version"], r["event_type"]) for r in dim.collect())
+    assert versions == [(1, None), (2, "a")]
+
+    # batch whose first run is ALSO all-null, on a new key and on the
+    # existing key (extends the open 'a'? no — changes back to null)
+    b2 = spark.createDataFrame(
+        [(1, _ts(5), None, 4), (2, _ts(5), None, 5), (2, _ts(6), "z", 6)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    full = {tuple(r) for r in scd2_compress(b1.unionByName(b2), **args).collect()}
+    merged = {tuple(r) for r in scd2_apply_batch(dim, b2, **args).collect()}
+    assert merged == full and len(full) == 5
