@@ -67,6 +67,59 @@ def distributed_prefix_sum(
     )
 
 
+def deterministic_shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int = 256,
+    salt: str = "shuffle",
+    out_col: str = "train_order",
+) -> DataFrame:
+    """Global training-shuffle rank: every row gets its 0-based position
+    in keyed-hash order — the deterministic, key-stable "shuffled" read
+    order a training run consumes (same hash family as the split/sample
+    operators, so the order replays on any engine and never changes
+    under repartitioning or incremental ingest).
+
+    The rank is the two-phase distributed shape, NOT the naive
+    ``ROW_NUMBER() OVER (ORDER BY hash)`` whose unpartitioned window
+    drags the whole table through one task: the 60-bit hash is uniform,
+    so its top bits range-partition it into ``n_buckets`` equal slices —
+    per-bucket counts (one narrow aggregate), a tiny cumsum over
+    n_buckets rows gives each bucket's starting rank, broadcast back,
+    and a partitioned within-bucket row_number finishes. ``n_buckets``
+    must be a power of two (bucket = hash >> (60 - log2(n)))."""
+    from ehr_data_pipeline_spark.operators.text_analysis import portable_hash60
+
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1
+    h = portable_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    b = df.withColumn("__h", h).withColumn(
+        "__bucket", F.shiftright(F.col("__h"), shift)
+    )
+
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(wb), F.lit(0)).cast("bigint").alias("__off"),
+    )
+
+    ww = Window.partitionBy("__bucket").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.row_number().over(ww) - 1).cast("bigint"),
+        )
+        .drop("__bucket", "__h", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

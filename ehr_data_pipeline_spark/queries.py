@@ -3153,6 +3153,149 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One whitespace-token-count SQL fragment shared by the training-layout
+# oracles (identical to whitespace_tokens: lower, collapse whitespace,
+# trim, split on single space).
+_WS_TOKENS_SQL = (
+    "len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+)
+
+# Target token mixture for the registered domain-mixing query. Budgets
+# saturate at every test sf (each lang holds >= 2x its budget in tokens
+# at sf0.001, more at larger sf), so the output is the deterministic
+# budget-cut sample, not the whole domain.
+_MIXTURE_SHARES = {"en": 0.5, "fr": 0.2, "de": 0.15, "es": 0.1, "zh": 0.05}
+_MIXTURE_BUDGET = 8000
+
+
+@register(
+    "doc_domain_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CASE lang WHEN 'en' THEN 4000 WHEN 'fr' THEN 1600
+                       WHEN 'de' THEN 1200 WHEN 'es' THEN 800
+                       WHEN 'zh' THEN 400 END AS budget
+      FROM documents
+      WHERE lang IN ('en', 'fr', 'de', 'es', 'zh')
+    ), p AS (
+      SELECT doc_id, lang AS domain, n_tokens, budget,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, domain, n_tokens FROM p WHERE tokens_before < budget
+    """,
+    tags=("mixing", "sampling", "training-data"),
+)
+def doc_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted domain mixture (the pretraining data-mixing step):
+    each language contributes documents in keyed-hash order until its
+    share of the 8000-token budget is met — token share, not row share,
+    is what a mixture spec means, and the budget-crossing document is
+    included so every domain lands within one doc of target. Exact,
+    key-stable, and the md5 draw order replays in the oracle. One
+    window shuffle on the domain (operators/mixing.py scale notes)."""
+    from ehr_data_pipeline_spark.operators.mixing import domain_mixture_sample
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_mixture_sample(
+        d,
+        domain_col="lang",
+        id_col="doc_id",
+        token_count=F.size(whitespace_tokens(F.col("text"))),
+        shares=_MIXTURE_SHARES,
+        total_token_budget=_MIXTURE_BUDGET,
+    )
+
+
+@register(
+    "doc_length_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END
+                + CASE WHEN n_tokens >= 32 THEN 1 ELSE 0 END
+                + CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END AS INTEGER)
+               AS len_bucket,
+             h
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_tokens, len_bucket,
+             ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY h, doc_id) - 1 AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tokens, len_bucket,
+           CAST(rn // 32 AS BIGINT) AS batch_no,
+           CAST(rn % 32 AS INTEGER) AS pos_in_batch
+    FROM r
+    """,
+    tags=("batching", "training-data", "window"),
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (the padding-minimizing loader
+    layout): documents fall into token-length bands at edges 16/32/64,
+    and each band is numbered into batches of 32 in keyed-hash order —
+    similar-length docs share a batch, so pad-to-longest waste stays
+    bounded by the band width. Deterministic and SQL-replayable; one
+    window shuffle on the band (a handful of coarse partitions)."""
+    from ehr_data_pipeline_spark.operators.mixing import length_bucketed_batches
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return length_bucketed_batches(
+        d,
+        id_col="doc_id",
+        token_count=F.size(whitespace_tokens(F.col("text"))),
+        bucket_edges=[16, 32, 64],
+        batch_size=32,
+    )
+
+
+@register(
+    "doc_shuffle_order",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+             AS train_order
+    FROM t
+    """,
+    tags=("shuffle", "training-data", "prefix-sum"),
+)
+def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic training-shuffle rank: every document's
+    0-based position in keyed-hash order — the stable "shuffled" epoch
+    order a training run reads. The oracle's single ROW_NUMBER window is
+    exactly the plan the ENGINE must not run at scale: the Spark side is
+    the two-phase distributed rank (hash top-bits range-partition into
+    256 uniform buckets; per-bucket counts; a 256-row cumsum of starting
+    offsets; partitioned within-bucket row_number) — the rank sibling of
+    doc_pack_sequences' distributed prefix sum, plan-asserted in
+    tests/test_packing.py to keep row-scale data out of unpartitioned
+    windows."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        deterministic_shuffle_order,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle_order(d, "doc_id")
+
+
 @register(
     "events_stratified_sample",
     oracle="""
@@ -3612,6 +3755,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "user_event_type_scd2_merge",
     "emb_lsh_recall_report",
     "emb_ivf_recall_report",
+    "doc_domain_mixture_sample",
+    "doc_length_batches",
+    "doc_shuffle_order",
     # --- r4 hash-red rows whose oracle-typing fix lands this round:
     # re-checked immediately rather than waiting a rotation cycle ---
     "media_meta_profile",

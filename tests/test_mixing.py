@@ -1,0 +1,112 @@
+"""Training-mixture operators: token-budget domain sampling and
+length-bucketed batching on hand-built corpora with known token counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ehr_data_pipeline_spark.operators.mixing import (
+    domain_mixture_sample,
+    length_bucketed_batches,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, dom string, text string")
+
+
+def _tokens():
+    return F.size(F.split(F.col("text"), " "))
+
+
+def test_mixture_budget_cut_and_crossing_doc(spark):
+    """Each domain contributes docs in hash order until the budget is
+    reached; the budget-crossing doc is included, everything after it is
+    cut, and a domain with fewer tokens than budget keeps all docs."""
+    rows = (
+        # domain a: 5 docs x 10 tokens = 50 tokens, budget 25 -> in hash
+        # order the first 2 docs are under budget, the 3rd crosses at
+        # tokens_before=20 < 25, the 4th has tokens_before=30 -> cut
+        [(i, "a", "t " * 9 + "t") for i in range(5)]
+        # domain b: 2 docs x 10 = 20 tokens < budget 100 -> all kept
+        + [(10 + i, "b", "t " * 9 + "t") for i in range(2)]
+        # domain c: not in shares -> excluded entirely
+        + [(20, "c", "t " * 9 + "t")]
+    )
+    out = domain_mixture_sample(
+        _corpus(spark, rows),
+        domain_col="dom",
+        id_col="doc_id",
+        token_count=_tokens(),
+        shares={"a": 0.25, "b": 1.0},
+        total_token_budget=100,
+    ).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert set(by_dom) == {"a", "b"}
+    assert len(by_dom["a"]) == 3  # 2 under budget + the crossing doc
+    assert sum(r["n_tokens"] for r in by_dom["a"]) == 30  # within one doc of 25
+    assert len(by_dom["b"]) == 2  # under-budget domain keeps everything
+    assert all(r["n_tokens"] == 10 for r in out)
+
+
+def test_mixture_is_deterministic_and_key_stable(spark):
+    """The same keys survive on every run and under repartitioning —
+    the draw depends only on the key hash, not on partition layout."""
+    rows = [(i, "a", "x " * (i % 7 + 1) + "x") for i in range(100)]
+    args = dict(
+        domain_col="dom", id_col="doc_id", token_count=_tokens(),
+        shares={"a": 0.5}, total_token_budget=200,
+    )
+    base = {r["doc_id"] for r in domain_mixture_sample(_corpus(spark, rows), **args).collect()}
+    repart = {
+        r["doc_id"]
+        for r in domain_mixture_sample(
+            _corpus(spark, rows).repartition(13), **args
+        ).collect()
+    }
+    assert base == repart and 0 < len(base) < 100
+
+
+def test_length_batches_buckets_and_numbering(spark):
+    """Bucket index counts reached edges (>=); batches within a bucket
+    are batch_size rows in hash order with a trailing partial batch."""
+    rows = [(i, "d", "w " * (n - 1) + "w") for i, n in enumerate(
+        [3, 15, 16, 31, 32, 63, 64, 100] + [20] * 10
+    )]
+    out = length_bucketed_batches(
+        _corpus(spark, rows),
+        id_col="doc_id",
+        token_count=_tokens(),
+        bucket_edges=[16, 32, 64],
+        batch_size=4,
+    ).collect()
+    buckets = {r["doc_id"]: r["len_bucket"] for r in out}
+    assert buckets[0] == 0 and buckets[1] == 0          # 3, 15 < 16
+    assert buckets[2] == 1 and buckets[3] == 1          # 16, 31
+    assert buckets[4] == 2 and buckets[5] == 2          # 32, 63
+    assert buckets[6] == 3 and buckets[7] == 3          # 64, 100
+    # bucket 1 holds docs 2,3 plus the ten 20-token docs = 12 rows ->
+    # batches of 4: three full batches, positions 0..3 each
+    b1 = [r for r in out if r["len_bucket"] == 1]
+    assert len(b1) == 12
+    sizes: dict[int, int] = {}
+    for r in b1:
+        sizes[r["batch_no"]] = sizes.get(r["batch_no"], 0) + 1
+        assert 0 <= r["pos_in_batch"] < 4
+    assert sorted(sizes.items()) == [(0, 4), (1, 4), (2, 4)]
+    # positions within a batch are distinct
+    assert len({(r["batch_no"], r["pos_in_batch"]) for r in b1}) == 12
+
+
+def test_length_batches_trailing_partial_batch(spark):
+    rows = [(i, "d", "w w w") for i in range(7)]
+    out = length_bucketed_batches(
+        _corpus(spark, rows), id_col="doc_id", token_count=_tokens(),
+        bucket_edges=[100], batch_size=3,
+    ).collect()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["batch_no"]] = sizes.get(r["batch_no"], 0) + 1
+    assert sorted(sizes.items()) == [(0, 3), (1, 3), (2, 1)]

@@ -78,3 +78,75 @@ def test_prefix_sum_no_global_single_partition_window(spark):
             # the unpartitioned window consumes only the bucket totals
             assert "sum(__btotal" in line, line
             assert line.count("], [") == 1, line
+
+
+def test_shuffle_order_matches_global_rank(spark):
+    """Two-phase distributed rank == the naive unpartitioned ROW_NUMBER
+    over the same (hash, id) order, including on gappy ids."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        deterministic_shuffle_order,
+    )
+    from ehr_data_pipeline_spark.operators.text_analysis import portable_hash60
+
+    df = spark.createDataFrame(
+        [(i * 3 + (i % 2),) for i in range(300)], "doc_id long"
+    )
+    h = portable_hash60(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["o"]
+        for r in df.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("o")
+        ).collect()
+    }
+    for n_buckets in (1, 16, 256):
+        got = {
+            r["doc_id"]: r["train_order"]
+            for r in deterministic_shuffle_order(
+                df, "doc_id", n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"
+    # non-power-of-two bucket counts are a hard error, not silent skew
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle_order(df, "doc_id", n_buckets=100)
+
+
+def test_shuffle_order_no_global_single_partition_window(spark):
+    """Same contract as the prefix sum: the only unpartitioned window
+    consumes the n_buckets count rows; the row-scale row_number window
+    carries a partition spec."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        deterministic_shuffle_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = (
+        deterministic_shuffle_order(df, "doc_id", n_buckets=16)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    window_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith(("Window", "+- Window"))
+    ]
+    assert len(window_lines) == 2
+    for line in window_lines:
+        if "row_number" in line:
+            assert line.count("], [") == 2, line  # partitioned
+        else:
+            assert "sum(__n" in line, line  # bucket counts only
+            assert line.count("], [") == 1, line
+
+
+def test_prefix_sum_empty_input(spark):
+    """Empty input returns the empty frame with the output column typed
+    bigint instead of crashing on int(None)."""
+    df = spark.createDataFrame([], "id long, v long")
+    out = distributed_prefix_sum(df, "id", "v", 16)
+    assert out.count() == 0
+    assert dict(out.dtypes)["prefix_sum"] == "bigint"
