@@ -3297,6 +3297,59 @@ def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_signup_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'view'
+       AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+      GROUP BY s1.user_id, s1.t1
+    ), s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'click'
+       AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 48 HOUR
+      GROUP BY s2.user_id, s2.t1, s2.t2
+    ), s4 AS (
+      SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(e.ts) AS t4
+      FROM s3 LEFT JOIN events e
+        ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+       AND e.ts > s3.t3 AND e.ts <= s3.t1 + INTERVAL 48 HOUR
+      GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3
+    ), c AS (
+      SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3,
+             COUNT(t4) AS n4
+      FROM s4
+    )
+    SELECT 1 AS step, 'signup' AS step_name, CAST(n1 AS BIGINT) AS n_users,
+           CAST(n1 AS DOUBLE) / n1 AS conversion FROM c
+    UNION ALL SELECT 2, 'view', CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1 FROM c
+    UNION ALL SELECT 3, 'click', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1 FROM c
+    UNION ALL SELECT 4, 'purchase', CAST(n4 AS BIGINT), CAST(n4 AS DOUBLE) / n1 FROM c
+    """,
+    tags=("funnel", "sequence", "analytics"),
+)
+def events_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel signup → view → click → purchase
+    within 48 h of signup: per step, how many users' earliest-match
+    chains reach it, plus conversion from step 1. Greedy earliest
+    matching is exact (a chain exists iff the greedy one does) and
+    makes the whole funnel k-1 min-aggregate joins on user_id — one
+    shuffle key throughout, no per-user sequence scan
+    (operators/funnel.py scale notes)."""
+    from ehr_data_pipeline_spark.operators.funnel import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        e, steps=["signup", "view", "click", "purchase"], within="48 hours"
+    )
+
+
+@register(
     "events_stratified_sample",
     oracle="""
     WITH h AS (
@@ -3758,6 +3811,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_domain_mixture_sample",
     "doc_length_batches",
     "doc_shuffle_order",
+    "events_signup_funnel",
     # --- r4 hash-red rows whose oracle-typing fix lands this round:
     # re-checked immediately rather than waiting a rotation cycle ---
     "media_meta_profile",
