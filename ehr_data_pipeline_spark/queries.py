@@ -3869,6 +3869,386 @@ def branded_quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# The remaining TPC-H query shapes (Q6/Q9/Q10/Q14/Q18/Q20/Q21) — with these
+# the registry covers all 22 TPC-H shapes, adapted to this schema (no
+# partsupp table, no l_commitdate/l_receiptdate; adaptations documented on
+# each query).
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS DOUBLE) AS revenue_change,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "tpch-q6"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan-filter-aggregate with a conjunctive,
+    fully pushable predicate (date range + discount band + quantity cap):
+    the canonical predicate-pushdown benchmark. Scale notes: zero shuffle
+    beyond the final single-row partial-agg combine; every conjunct
+    reaches the parquet scan as a PushedFilter, so row groups outside the
+    shipdate year are never decoded. COUNT(*) rides along so the row is
+    non-degenerate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("decimal(38,6)").cast("double").alias("revenue_change"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "nation_year_profit",
+    oracle="""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                       - CAST(0.6 AS DECIMAL(18,6))
+                         * CAST(p.p_retailprice AS DECIMAL(18,6))
+                         * CAST(l.l_quantity AS DECIMAL(18,6)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+    tags=("join", "groupBy", "tpch-q9"),
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year: a 5-way join (fact + filtered part + supplier + nation + orders)
+    grouped on derived keys. Adaptation: no partsupp table in this schema,
+    so ps_supplycost is proxied by 0.6 × p_retailprice (the profit
+    expression keeps Q9's sum-of-differences form). Scale notes: the
+    '%red%' part filter prunes the fact early through the broadcast part
+    join; supplier/nation broadcast; only lineitem⋈orders shuffles on the
+    orderkey, then one agg shuffle on (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    amount = (
+        dec("l_extendedprice") * (1 - dec("l_discount"))
+        - F.lit(0.6).cast("decimal(18,6)") * dec("p_retailprice") * dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("decimal(38,6)").cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+                AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "groupBy", "topk", "tpch-q10"),
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the 20 customers who
+    lost the most revenue to returns in one quarter. 4-way join with the
+    quarter filter pushed into the orders scan and the returnflag filter
+    into lineitem; top-k via orderBy+limit plans TakeOrderedAndProject
+    (no global sort), with c_custkey as the total tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("join", "agg", "conditional", "tpch-q14"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: promo revenue share of one
+    ship month as a ratio of two conditional aggregates in a SINGLE pass
+    (no self-join, no second scan). Adaptation: p_type is a single word
+    in this schema, so the match is equality with 'PROMO' rather than
+    LIKE 'PROMO%'. Scale notes: month filter pushed to the fact scan,
+    part broadcast, one partial-agg combine to a single row; both sums
+    are exact DECIMAL so the final double division is order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("decimal(38,6)").cast("double")
+                / F.sum(revenue).cast("decimal(38,6)").cast("double")
+            ).cast("double").alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 180
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("join", "semi", "groupBy", "topk", "tpch-q18"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity exceeds a threshold (an IN-subquery over a grouped HAVING),
+    joined back to customer/orders and re-aggregated. Scale notes: the
+    qualifying set is computed with one agg shuffle on l_orderkey and
+    semi-joined to lineitem on the SAME key (no re-partition — exchange
+    reuse), customer joins post-aggregation row counts, and the top-100
+    is TakeOrderedAndProject with o_orderkey as the total tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 180)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH yr AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS tq,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominant_parts
+    FROM yr
+    JOIN tot ON tot.l_partkey = yr.l_partkey
+    JOIN supplier s ON s.s_suppkey = yr.l_suppkey
+    WHERE tot.n_supp >= 3 AND yr.q > 0.5 * tot.tq
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join", "correlated-agg", "tpch-q20"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — a correlated aggregate threshold (Q20's
+    'ps_availqty > 0.5 × the part's yearly shipped quantity') decorrelated
+    into two aggregations over the SAME filtered fact joined on the
+    correlation key. Adaptation: no partsupp, so the test is 'supplier
+    shipped more than half of the part's 1996 volume' over parts with ≥3
+    suppliers that year. Scale notes: both aggregates share one scan's
+    pushed date filter; the per-(supp,part) agg shuffles on a compound
+    key, the per-part agg on its prefix; supplier is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    yr = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("q"))
+    )
+    tot = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("tq"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        yr.join(tot, "l_partkey")
+        .filter((F.col("n_supp") >= 3) & (F.col("q") > 0.5 * F.col("tq")))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+
+
+@register(
+    "late_sole_supplier_ranking",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+    tags=("join", "exists", "anti", "tpch-q21"),
+)
+def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for finished
+    orders, the supplier was LATE (EXISTS another supplier on the order;
+    NOT EXISTS another LATE supplier — the double-correlated
+    EXISTS/NOT-EXISTS pair, decorrelated to a semi + anti join on the
+    order key). Adaptation: no l_receiptdate/l_commitdate in this schema,
+    so 'late' = shipped more than 90 days after the order date.
+    Scale notes: 'late' is aggregated to distinct (order, supp) pairs
+    first so the EXISTS joins never multiply rows; all three joins share
+    the l_orderkey shuffle key; the top-10 is TakeOrderedAndProject with
+    s_name as the tiebreak (s_name is unique in this schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("w_orderkey"), F.col("l_suppkey").alias("w_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("w_orderkey"), F.col("l_suppkey").alias("o_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    sole_late = (
+        l1.join(
+            others,
+            (l1.w_orderkey == others.w_orderkey)
+            & (others.o_suppkey != l1.w_suppkey),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("w_orderkey") == F.col("a_orderkey"))
+            & (F.col("a_suppkey") != F.col("w_suppkey")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("w_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
@@ -3917,14 +4297,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_dup_clusters",
     "doc_simhash",
     "doc_winnow_pairs",
-    # --- new in round 5 (never driver-checked) ---
-    "user_event_type_scd2_merge",
-    "emb_lsh_recall_report",
-    "emb_ivf_recall_report",
-    "doc_domain_mixture_sample",
-    "doc_length_batches",
-    "doc_shuffle_order",
-    "events_signup_funnel",
     # --- r4 hash-red rows whose oracle-typing fix lands this round:
     # re-checked immediately rather than waiting a rotation cycle ---
     "media_meta_profile",
@@ -3934,6 +4306,24 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "emb_lsh_knn",
     "emb_ivf_knn",
     "emb_lsh_neardup_pairs",
+    # --- new in round 5 (never driver-checked) ---
+    "user_event_type_scd2_merge",
+    "emb_lsh_recall_report",
+    "emb_ivf_recall_report",
+    "doc_domain_mixture_sample",
+    "doc_length_batches",
+    "doc_shuffle_order",
+    "events_signup_funnel",
+    # the three most DISTINCTIVE of the seven new TPC-H shapes (Q9's
+    # multi-join derived-key profit, Q20's correlated-agg threshold,
+    # Q21's double-correlated EXISTS/NOT-EXISTS). The priority list is
+    # capped at exactly the driver's 50-entry window: the other four new
+    # shapes (Q6/Q10/Q14/Q18 — each a variation of an already driver-green
+    # family: scan-agg, join-topk, conditional-ratio, semi+topk) run in
+    # the pytest oracle replica this round and head next round's list.
+    "nation_year_profit",
+    "dominant_part_suppliers",
+    "late_sole_supplier_ranking",
 )
 
 
