@@ -378,3 +378,119 @@ def pii_match_flags(col: Column, patterns: dict[str, str] | None = None) -> list
         col.rlike(pat).alias(f"has_{name}")
         for name, pat in (patterns or PII_PATTERNS).items()
     ]
+
+
+# Gopher corpus-filtering rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1): the
+# published per-document quality heuristics most LLM data pipelines apply
+# before dedup. Thresholds below are the paper's.
+GOPHER_REQUIRED_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(col: Column) -> dict[str, Column]:
+    """Per-document pass/fail flags for the seven Gopher quality rules,
+    entirely in native expressions (one narrow pass, no shuffle, no UDF):
+
+    - ok_word_count:    50 <= #whitespace words <= 100,000
+    - ok_mean_word_len: mean word length in [3, 10]
+    - ok_symbol_ratio:  (#'#' chars + #ellipses) / #words < 0.1
+    - ok_bullet_lines:  < 90% of lines start with a bullet (-, *, •)
+    - ok_ellipsis_lines:< 30% of lines end with an ellipsis
+    - ok_alpha_words:   >= 80% of words contain an alphabetic char
+    - ok_stopwords:     >= 2 of Gopher's required stopword set present
+
+    Every expression has an exact DuckDB twin (regexp_replace/extract_all,
+    list filter/transform), so rule-level counts are hash-checkable."""
+    ws = F.split(F.trim(col), r"\s+")
+    n_words = F.size(ws).cast("bigint")
+    nw_d = n_words.cast("double")
+    n_word_chars = F.length(F.regexp_replace(col, r"\s+", "")).cast("bigint")
+    mean_word_len = n_word_chars.cast("double") / nw_d
+    n_hash = F.length(F.regexp_replace(col, r"[^#]", "")).cast("bigint")
+    n_ellipsis = F.size(
+        F.regexp_extract_all(col, F.lit(r"\.{3}|…"), F.lit(0))
+    ).cast("bigint")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw_d
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.{3}|…)$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / nw_d
+    )
+    lws = F.transform(ws, lambda w: F.lower(w))
+    n_req_stop = sum(
+        (F.array_contains(lws, w).cast("bigint") for w in GOPHER_REQUIRED_STOPWORDS),
+        F.lit(0).cast("bigint"),
+    )
+    return {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "ok_symbol_ratio": symbol_ratio < 0.1,
+        "ok_bullet_lines": bullet_frac < 0.9,
+        "ok_ellipsis_lines": ellipsis_frac < 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_req_stop >= 2,
+    }
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents passing ALL Gopher rules — the production
+    filter; ``gopher_quality_flags`` exposes the per-rule booleans for
+    auditing which rule rejected a document."""
+    flags = gopher_quality_flags(F.col(text_col))
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.filter(keep)
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping fixed-size token-window chunks — the standard
+    RAG-indexing / context-window packing chunker. Chunk c covers tokens
+    [c*stride, c*stride + chunk_size) with stride = chunk_size - overlap;
+    every token index < n starts at most one chunk, so chunk boundaries
+    (and therefore chunk ids) are deterministic and replayable in SQL.
+
+    Scale notes: one narrow pass — split, sequence of starts, posexplode,
+    slice — all inside whole-stage codegen; output rows ≈ n_tokens/stride
+    per doc with NO shuffle introduced. Downstream embedding/indexing
+    repartitions as it pleases."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col),
+            ws.alias("__ws"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__ws"), F.col("__start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__ws")) - F.col("__start"), F.lit(chunk_size)
+            ).cast("bigint").alias("n_chunk_tokens"),
+        )
+    )

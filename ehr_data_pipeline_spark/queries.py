@@ -2047,6 +2047,132 @@ def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_RULES = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
+)
+
+
+def _gopher_flags_sql() -> str:
+    """DuckDB twin of ``text_analysis.gopher_quality_flags`` (same rules,
+    same operand types, so the boolean cutoffs are IEEE-identical)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        GOPHER_REQUIRED_STOPWORDS,
+    )
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(lws, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    return f"""
+    WITH f AS (
+      SELECT source,
+        regexp_split_to_array(trim(text), '\\s+') AS ws,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_word_chars,
+        CAST(length(regexp_replace(text, '[^#]', '', 'g')) AS BIGINT) AS n_hash,
+        CAST(len(regexp_extract_all(text, '\\.{{3}}|…')) AS BIGINT) AS n_ellipsis,
+        string_split(text, chr(10)) AS lines
+      FROM documents
+    ), g AS (
+      SELECT source,
+        (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+        (n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0)
+          AS ok_mean_word_len,
+        (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words < 0.1) AS ok_symbol_ratio,
+        (CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+              AS DOUBLE) / len(lines) < 0.9) AS ok_bullet_lines,
+        (CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.{{3}}|…)$')))
+              AS DOUBLE) / len(lines) < 0.3) AS ok_ellipsis_lines,
+        (CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
+        (({stop_sum}) >= 2) AS ok_stopwords
+      FROM (SELECT *, list_transform(ws, w -> lower(w)) AS lws FROM f)
+    )
+    """
+
+
+@register(
+    "doc_gopher_quality_report",
+    oracle=_gopher_flags_sql() + f"""
+    SELECT source, COUNT(*) AS n_docs,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS fail_{r[3:]}" for r in _GOPHER_RULES)},
+           CAST(SUM(CASE WHEN {" AND ".join(_GOPHER_RULES)} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_all
+    FROM g GROUP BY source
+    """,
+    tags=("text", "quality-gate", "gopher"),
+)
+def doc_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the seven Gopher corpus-filtering rules (Rae et
+    al. 2021 A1.1): document counts, per-rule rejection counts, and the
+    pass-all count — the first stage of an LLM curation funnel, with the
+    rule-level attribution operators like ``gopher_filter`` hide. One
+    narrow pass computes all flags, one agg shuffle on the low-cardinality
+    source key."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    return (
+        docs.select("source", *[c.alias(n) for n, c in flags.items()])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum((~F.col(n)).cast("bigint")).alias(f"fail_{n[3:]}")
+                for n in _GOPHER_RULES
+            ],
+            F.sum(
+                F.when(
+                    F.col(_GOPHER_RULES[0])
+                    & F.col(_GOPHER_RULES[1]) & F.col(_GOPHER_RULES[2])
+                    & F.col(_GOPHER_RULES[3]) & F.col(_GOPHER_RULES[4])
+                    & F.col(_GOPHER_RULES[5]) & F.col(_GOPHER_RULES[6]),
+                    1,
+                ).otherwise(0).cast("bigint")
+            ).alias("n_pass_all"),
+        )
+    )
+
+
+@register(
+    "doc_token_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, ws, UNNEST(range(0, len(ws), 24)) AS start FROM w
+    )
+    SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+           array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(LEAST(len(ws) - start, 32) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+    tags=("text", "chunking", "rag"),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (size 32, overlap 8) over every
+    document — the RAG-indexing / context-packing chunker
+    (``text_analysis.chunk_by_tokens``). Chunk boundaries are
+    deterministic functions of the token count, so the full chunk SET —
+    ids, texts, lengths — hash-checks against the SQL twin. Narrow
+    split→sequence→posexplode→slice pipeline, no shuffle."""
+    from ehr_data_pipeline_spark.operators.text_analysis import chunk_by_tokens
+
+    return chunk_by_tokens(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------

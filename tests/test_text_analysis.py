@@ -180,3 +180,90 @@ def test_tfidf_rare_terms_outrank_common(spark):
     # each doc's unique word ranks first
     firsts = {d: sorted(rs, key=lambda r: r["rank"])[0]["term"] for d, rs in by_doc.items()}
     assert firsts[1] == "cat" and firsts[2] in ("dog", "rug") and firsts[3] in ("bird", "flew")
+
+
+def test_gopher_flags_rule_by_rule(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the"] * 10 + ["with"] * 5 + ["token"] * 40)
+    cases = {
+        "good": (good, {}),
+        "too_short": ("the quick with fox", {"ok_word_count": False}),
+        "symbols": (
+            " ".join(["the", "with"] + ["#"] * 20 + ["word"] * 50),
+            {"ok_symbol_ratio": False, "ok_alpha_words": False},
+        ),
+        "bullets": (
+            "\n".join(["- the with item word line here ok fine"] * 60),
+            {"ok_bullet_lines": False},
+        ),
+        "ellipses": (
+            # 60 ellipses over 360 words also trips the symbol-ratio rule
+            "\n".join(["the with trailing words go on..."] * 60),
+            {"ok_ellipsis_lines": False, "ok_symbol_ratio": False},
+        ),
+        "no_stopwords": (
+            " ".join(["token"] * 60), {"ok_stopwords": False},
+        ),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "name string, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    rows = {
+        r["name"]: r
+        for r in df.select("name", *[c.alias(n) for n, c in flags.items()]).collect()
+    }
+    for name, (_, overrides) in cases.items():
+        for rule in rows[name].asDict():
+            if rule == "name":
+                continue
+            expected = overrides.get(rule, True)
+            assert rows[name][rule] == expected, (name, rule)
+
+
+def test_gopher_filter_keeps_only_all_pass(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import gopher_filter
+
+    good = " ".join(["the"] * 10 + ["with"] * 5 + ["token"] * 40)
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short the with")], "doc_id long, text string"
+    )
+    kept = gopher_filter(df).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_chunk_by_tokens_boundaries_and_overlap(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import chunk_by_tokens
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = chunk_by_tokens(df, chunk_size=8, overlap=2).orderBy("chunk_id").collect()
+    # stride 6: starts 0 and 6 → chunks of 8 and 4 tokens
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in out] == [(0, 8), (1, 4)]
+    assert out[0]["chunk_text"] == " ".join(words[0:8])
+    assert out[1]["chunk_text"] == " ".join(words[6:10])
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert out[0]["chunk_text"].split()[-2:] == out[1]["chunk_text"].split()[:2]
+
+
+def test_chunk_by_tokens_short_doc_single_chunk(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = chunk_by_tokens(df, chunk_size=8, overlap=2).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "a b c"
+    assert out[0]["n_chunk_tokens"] == 3
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    import pytest
+
+    from ehr_data_pipeline_spark.operators.text_analysis import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, chunk_size=4, overlap=4)
