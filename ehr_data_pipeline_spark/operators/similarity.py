@@ -544,6 +544,62 @@ def brute_force_knn_arrow(
     )
 
 
+def cosine_near_dup_pairs_arrow(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup detection via Arrow-batched numpy —
+    the vectorized twin of :func:`cosine_near_dup_pairs` for
+    verification/recall-measurement workloads where the interpreted
+    per-pair fold dominates: each mapInPandas batch scores its corpus
+    slice against the FULL corpus matrix with one BLAS matmul and emits
+    the (id_a < id_b, round(cosine,6) >= threshold) pairs. The corpus
+    matrix collects to the driver and broadcasts inside the closure —
+    the same all-pairs-verification smallness assumption the native twin
+    makes (the 100 TB path is :func:`lsh_near_dup_pairs`). Rounding uses
+    the HALF_UP parity helper, so values agree with the native path to
+    the same tolerance ``brute_force_knn_arrow`` is tested to."""
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = [r[0] for r in rows]
+    all_mat = [[float(x) for x in r[1]] for r in rows]
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def score(batches):
+        import numpy as np
+
+        fm = np.asarray(all_mat, dtype=np.float64)
+        fn = fm / np.linalg.norm(fm, axis=1, keepdims=True)
+        fid = np.asarray(all_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = _round_half_up_6(cn @ fn.T)  # |batch| × |corpus|
+            bid = pdf[id_col].to_numpy()
+            lo = bid[:, None] < fid[None, :]
+            hit = (sims >= threshold) & lo
+            bi, fj = np.nonzero(hit)
+            if len(bi):
+                yield pd.DataFrame(
+                    {
+                        "id_a": bid[bi],
+                        "id_b": fid[fj],
+                        "cosine": sims[bi, fj],
+                    }
+                )
+
+    return ensure_min_partitions(df).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: struct(q: array<tinyint>,
     scale: double) with q = round(v · 127/max|v|). Halves (float32) or

@@ -2554,7 +2554,7 @@ def emb_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     from ehr_data_pipeline_spark.operators.similarity import (
         brute_force_knn,
-        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_arrow,
         lsh_knn,
         lsh_near_dup_pairs,
     )
@@ -2567,9 +2567,13 @@ def emb_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id"],
         "lsh_knn", 20, 3, 0.8,
     )
-    # same plane/table config as the registered emb_lsh_neardup_pairs
+    # same plane/table config as the registered emb_lsh_neardup_pairs;
+    # the exact side uses the Arrow matmul twin (pair-set-identical to
+    # cosine_near_dup_pairs, equivalence-tested) — the report only needs
+    # the exact pair SET, and one BLAS matmul beats 12.5M interpreted
+    # cosine folds ~3x at sf0.1
     pair_row = _recall_row(
-        cosine_near_dup_pairs(emb, threshold=0.4),
+        cosine_near_dup_pairs_arrow(emb, threshold=0.4),
         lsh_near_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8),
         ["id_a", "id_b"],
         "lsh_neardup_pairs", None, None, 0.7,

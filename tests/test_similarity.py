@@ -256,3 +256,21 @@ def test_ivf_cell_partitioned_index_prunes_reads(spark, emb, tmp_path):
     assert len(pf) == 2 and "cid" in pf[1].split("]")[0]  # pruning at the scan
     assert "Filter" not in plan.split("Scan parquet")[0]  # no post-scan cid filter
     assert probed.count() == indexed.filter(F.col("cid").isin([0, 1])).count() > 0
+
+
+def test_cosine_near_dup_pairs_arrow_matches_native(spark):
+    from ehr_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nat = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    arw = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs_arrow(emb, threshold=0.4).collect()
+    }
+    assert nat == arw  # same pair set AND bit-identical rounded cosines
