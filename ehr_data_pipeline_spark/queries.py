@@ -2173,6 +2173,46 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_unigram_lm_scores",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM freq
+    ), per_doc AS (
+      SELECT ex.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(round(log2(CAST(freq.cnt AS DOUBLE)) * 10000) AS BIGINT)) AS BIGINT) AS sum_q
+      FROM ex JOIN freq ON freq.tok = ex.tok
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens * CAST(round(log2(CAST(total_tokens AS DOUBLE)) * 10000) AS BIGINT)
+                - sum_q AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * 10000.0) AS avg_neg_logp_bits
+    FROM per_doc, total
+    """,
+    tags=("text", "quality-score", "language-model"),
+)
+def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram LM quality score (bits/token under the
+    corpus's own unigram distribution) — the CCNet-style perplexity
+    filter with a self-trained model (``text_analysis.unigram_lm_scores``).
+    Cross-engine determinism via 1e-4-bit fixed-point token logs summed
+    as BIGINTs (libm log2 is not bit-identical across engines; the
+    quantized integer sums are)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------

@@ -267,3 +267,26 @@ def test_chunk_by_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_by_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_unigram_lm_scores_known_corpus(spark):
+    import math
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    # corpus: "a a b" + "b c" → freqs: a=2, b=2, c=1, N=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    q = lambda x: round(math.log2(x) * 10000)
+    # doc 1: bits = (3*q(5) - (q(2)+q(2)+q(2))) / (3*1e4)
+    exp1 = (3 * q(5) - 3 * q(2)) / (3 * 1e4)
+    exp2 = (2 * q(5) - (q(2) + q(1))) / (2 * 1e4)
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+    assert abs(rows[1]["avg_neg_logp_bits"] - exp1) < 1e-12
+    assert abs(rows[2]["avg_neg_logp_bits"] - exp2) < 1e-12
+    # rare-token doc scores strictly worse (higher bits)
+    assert rows[2]["avg_neg_logp_bits"] > rows[1]["avg_neg_logp_bits"]
