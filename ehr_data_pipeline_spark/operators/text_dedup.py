@@ -407,6 +407,135 @@ def minhash_signature(hs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Colum
     )
 
 
+def _band_entries(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, nsh, band_idx, band_key) inverted-index entries from an
+    (id, sh, sig) MinHash index frame — one row per (doc, band), the
+    LSH banding construction shared by the all-pairs and incremental
+    near-dup paths."""
+    rows = num_hashes // bands
+    return sig.select(
+        "id",
+        F.size("sh").alias("nsh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(",", *[
+                            F.element_at(F.col("sig"), i * rows + j + 1).cast("string")
+                            for j in range(rows)
+                        ]).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "nsh", "band.band_idx", "band.band_key")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """The persistent MinHash near-dup index for a corpus: one
+    (id, sh, sig) row per doc with a non-empty shingle set. At 100 TB
+    this is built ONCE, written bucketed (sinks.write_bucketed) and
+    appended to per ingest batch — `near_dedup_against_index` joins new
+    batches against it without touching the historical texts."""
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        hashed_shingle_set(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return base.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+
+
+def near_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    persist_index: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental NEAR-dup dedup — the continuous-ingest twin of
+    ``dedup_against_index`` (which is exact-only): drop new-batch docs
+    whose shingle-set Jaccard reaches ``threshold`` against the
+    historical MinHash index (``build_minhash_index`` output) or against
+    a lower-id doc of the same batch.
+
+    Drop rule, stated precisely because it is the SQL-replayable
+    contract: a batch doc drops iff it band-collides AND verifies
+    J >= threshold against ANY index doc, or against ANY lower-id batch
+    doc — each test evaluated INDEPENDENTLY (a doc dropped via a doc
+    that was itself dropped still drops: dedup stays conservative and
+    order-deterministic, no sequential dependency between batch rows).
+
+    Scale: both candidate joins are band-bucket joins (never all-pairs);
+    the index side ships only (band entries + shingle arrays of actual
+    candidates); returns ``(fresh_rows, new_index_entries)`` — append
+    the latter to the index table, exactly like the exact-dedup variant."""
+    bidx = build_minhash_index(batch, id_col, text_col, k, num_hashes)
+    if persist_index:
+        bidx = bidx.persist()
+    bb = _band_entries(bidx, num_hashes, bands)
+    ib = _band_entries(index, num_hashes, bands)
+
+    def size_ok():
+        return F.least(F.col("a.nsh"), F.col("b.nsh")) >= (
+            F.lit(threshold) * F.greatest(F.col("a.nsh"), F.col("b.nsh"))
+        )
+
+    hist_cand = (
+        bb.alias("a")
+        .join(
+            ib.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & size_ok(),
+        )
+        .select(F.col("a.id").alias("batch_id"), F.col("b.id").alias("other_id"))
+    )
+    self_cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.id") < F.col("a.id"))
+            & size_ok(),
+        )
+        .select(F.col("a.id").alias("batch_id"), F.col("b.id").alias("other_id"))
+    )
+    candidates = hist_cand.unionByName(self_cand).distinct()
+    lookup = index.select("id", "sh").unionByName(bidx.select("id", "sh"))
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union_sz = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    dropped = (
+        candidates.join(bidx.alias("sa"), F.col("batch_id") == F.col("sa.id"))
+        .join(lookup.alias("sb"), F.col("other_id") == F.col("sb.id"))
+        .filter(
+            inter.cast("double") / union_sz.cast("double") >= F.lit(threshold)
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    fresh = batch.join(dropped, id_col, "left_anti")
+    new_entries = bidx.join(
+        fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return fresh, new_entries
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -437,7 +566,6 @@ def minhash_lsh_pairs(
     not recomputed per run at all: write it once as a table bucketed by
     band key (sinks.write_bucketed) and the candidate join prunes
     buckets with no shuffle."""
-    rows = num_hashes // bands
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -446,24 +574,7 @@ def minhash_lsh_pairs(
         sig = sig.persist()
     base = sig.select("id", "sh")
 
-    banded = sig.select(
-        "id",
-        F.size("sh").alias("nsh"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.concat_ws(",", *[
-                            F.element_at(F.col("sig"), i * rows + j + 1).cast("string")
-                            for j in range(rows)
-                        ]).alias("band_key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "nsh", "band.band_idx", "band.band_key")
+    banded = _band_entries(sig, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     # size-ratio pruning (PPJoin-style): J(A,B) <= min(|A|,|B|)/max(...),
@@ -485,13 +596,17 @@ def minhash_lsh_pairs(
     )
 
     sh = base
+    # |A∪B| = |A|+|B|−|A∩B| for distinct shingle arrays: one array build
+    # saved per candidate vs jaccard()'s array_union (identical value)
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union_sz = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (
         candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",
             "doc_b",
-            jaccard(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
+            (inter.cast("double") / union_sz.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -3363,6 +3363,54 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_incremental_near_dedup",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    hsx AS (
+      SELECT doc_id, sh, sh AS hs FROM s WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id, sh, {_MINHASH_SIG_SQL} AS sg FROM hsx
+    ),
+    dropped AS (
+      SELECT DISTINCT a.doc_id
+      FROM sig a JOIN sig b ON b.doc_id < a.doc_id
+      WHERE a.doc_id >= 250
+        AND (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
+             OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS DOUBLE) >= 0.6
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+    tags=("dedup", "incremental", "minhash", "near-dup", "index"),
+)
+def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup against a persisted MinHash index —
+    the near-dup completion of `doc_incremental_dedup`'s exact-only
+    shape: docs with id < 250 stand in for the indexed history
+    (`build_minhash_index` output), the rest arrive as the batch; a
+    batch doc drops iff it band-collides and verifies Jaccard >= 0.6
+    against any indexed doc or any lower-id batch doc (independent
+    evaluation — see `near_dedup_against_index`). Because the history
+    split uses ids below every batch id, the oracle states the whole
+    drop rule as one 'exists a lower-id band-colliding near-dup' join.
+    Output: the batch's fresh doc ids."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    history = build_minhash_index(d.filter(F.col("doc_id") < 250))
+    batch = d.filter(F.col("doc_id") >= 250)
+    fresh, _new_entries = near_dedup_against_index(batch, history)
+    return fresh.select("doc_id")
+
+
+@register(
     "emb_ivf_knn_fullprobe",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -381,3 +381,45 @@ def test_dedup_against_index_incremental_batches(spark):
     # union of index deltas = one-shot dedup of the union
     total_index = idx1.unionByName(idx2)
     assert total_index.count() == 3  # three distinct contents overall
+
+
+def test_near_dedup_against_index_drop_rules(spark):
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark shuffles and joins"
+    hist = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    index = build_minhash_index(hist)
+    batch = spark.createDataFrame(
+        [
+            (10, text_a),            # dup of the index -> drops
+            (11, text_b),            # novel -> fresh
+            (12, text_b),            # dup of lower-id batch doc 11 -> drops
+            (13, "ab"),              # shorter than k: empty shingles -> fresh
+        ],
+        "doc_id long, text string",
+    )
+    fresh, new_entries = near_dedup_against_index(batch, index)
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [11, 13]
+    # index entries only for fresh docs with non-empty shingle sets
+    assert sorted(r["id"] for r in new_entries.collect()) == [11]
+
+
+def test_near_dedup_against_index_independent_evaluation(spark):
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    # doc 21 duplicates the index (drops); doc 22 duplicates doc 21 —
+    # it must STILL drop even though its lower-id witness was dropped
+    text = "some long enough shared content that shingles heavily overlap"
+    hist = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(21, text), (22, text)], "doc_id long, text string"
+    )
+    fresh, _ = near_dedup_against_index(batch, build_minhash_index(hist))
+    assert fresh.count() == 0
