@@ -246,3 +246,55 @@ def test_salted_join_no_extra_shuffle_on_replicated_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_conjuncts_pushed_to_scan(spark):
+    plan = plan_of(spark, "forecast_revenue_change")
+    # date range, discount band, and quantity cap all reach the scan
+    # (toString elides the PushedFilters list, so assert on the scan's
+    # DataFilters columns + a non-empty pushed list instead)
+    assert "PushedFilters: [IsNotNull" in plan
+    scan = plan.split("FileScan parquet")[1]
+    data_filters = scan.split("DataFilters: [")[1].split("Format:")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in data_filters, col
+    assert plan.count("Exchange") == 1  # single-row final combine only
+
+
+def test_q18_semi_join_reuses_aggregation_key(spark):
+    plan = plan_of(spark, "large_volume_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+
+
+def test_q21_decorrelated_joins_never_cartesian(spark):
+    plan = plan_of(spark, "late_sole_supplier_ranking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_part_filter_prunes_before_fact_join(spark):
+    plan = plan_of(spark, "nation_year_profit")
+    # the %red% name filter must sit under the part-side scan, not above a join
+    assert "StartsWith" in plan or "p_name" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunker_is_shuffle_free(spark):
+    plan = plan_of(spark, "doc_token_chunks")
+    assert "Exchange" not in plan  # narrow split/posexplode/slice pipeline
+
+
+def test_gopher_report_single_shuffle(spark):
+    plan = plan_of(spark, "doc_gopher_quality_report")
+    # one agg shuffle on source; all flags computed in the narrow pass below it
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_incremental_near_dedup_joins_within_bands(spark):
+    plan = plan_of(spark, "doc_incremental_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
