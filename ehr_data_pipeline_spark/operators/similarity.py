@@ -560,20 +560,31 @@ def cosine_near_dup_pairs_arrow(
     the same all-pairs-verification smallness assumption the native twin
     makes (the 100 TB path is :func:`lsh_near_dup_pairs`). Rounding uses
     the HALF_UP parity helper, so values agree with the native path to
-    the same tolerance ``brute_force_knn_arrow`` is tested to."""
+    the same tolerance ``brute_force_knn_arrow`` is tested to.
+
+    The corpus collects EAGERLY (at construction, like the kNN twin) and
+    ships to executors as a numpy sparkContext.broadcast — one transfer
+    and one driver-side normalization, not a pickled list-of-lists
+    re-converted inside every task."""
+    import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    all_ids = [r[0] for r in rows]
-    all_mat = [[float(x) for x in r[1]] for r in rows]
     out_schema = "id_a long, id_b long, cosine double"
+    rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    fm = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (
+            np.asarray([r[0] for r in rows]),
+            fm / np.linalg.norm(fm, axis=1, keepdims=True),
+        )
+    )
 
     def score(batches):
         import numpy as np
 
-        fm = np.asarray(all_mat, dtype=np.float64)
-        fn = fm / np.linalg.norm(fm, axis=1, keepdims=True)
-        fid = np.asarray(all_ids)
+        fid, fn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue

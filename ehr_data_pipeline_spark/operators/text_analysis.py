@@ -395,9 +395,13 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
 
     - ok_word_count:    50 <= #whitespace words <= 100,000
     - ok_mean_word_len: mean word length in [3, 10]
-    - ok_symbol_ratio:  (#'#' chars + #ellipses) / #words < 0.1
-    - ok_bullet_lines:  < 90% of lines start with a bullet (-, *, •)
-    - ok_ellipsis_lines:< 30% of lines end with an ellipsis
+    - ok_symbol_ratio:  (#'#' chars + #ellipses) / #words <= 0.1
+    - ok_bullet_lines:  <= 90% of lines start with a bullet (-, *, •)
+    - ok_ellipsis_lines:<= 30% of lines end with an ellipsis
+
+    The paper REMOVES documents strictly above each ratio, so a document
+    exactly at a published boundary passes (non-strict comparisons here
+    and in the SQL twin).
     - ok_alpha_words:   >= 80% of words contain an alphabetic char
     - ok_stopwords:     >= 2 of Gopher's required stopword set present
 
@@ -436,9 +440,9 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     return {
         "ok_word_count": (n_words >= 50) & (n_words <= 100000),
         "ok_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
-        "ok_symbol_ratio": symbol_ratio < 0.1,
-        "ok_bullet_lines": bullet_frac < 0.9,
-        "ok_ellipsis_lines": ellipsis_frac < 0.3,
+        "ok_symbol_ratio": symbol_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
         "ok_alpha_words": alpha_frac >= 0.8,
         "ok_stopwords": n_req_stop >= 2,
     }

@@ -2079,11 +2079,11 @@ def _gopher_flags_sql() -> str:
         (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
         (n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0)
           AS ok_mean_word_len,
-        (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words < 0.1) AS ok_symbol_ratio,
+        (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1) AS ok_symbol_ratio,
         (CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
-              AS DOUBLE) / len(lines) < 0.9) AS ok_bullet_lines,
+              AS DOUBLE) / len(lines) <= 0.9) AS ok_bullet_lines,
         (CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.{{3}}|…)$')))
-              AS DOUBLE) / len(lines) < 0.3) AS ok_ellipsis_lines,
+              AS DOUBLE) / len(lines) <= 0.3) AS ok_ellipsis_lines,
         (CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
               AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
         (({stop_sum}) >= 2) AS ok_stopwords
@@ -2116,11 +2116,11 @@ def doc_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_quality_flags,
     )
 
+    from functools import reduce
+
     docs = _t(spark, sf_dir, "documents")
     flags = gopher_quality_flags(F.col("text"))
-    pass_all = None
-    for c in flags.values():
-        pass_all = c if pass_all is None else (pass_all & c)
+    pass_all = reduce(lambda a, n: a & F.col(n), _GOPHER_RULES, F.lit(True))
     return (
         docs.select("source", *[c.alias(n) for n, c in flags.items()])
         .groupBy("source")
@@ -2131,13 +2131,7 @@ def doc_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for n in _GOPHER_RULES
             ],
             F.sum(
-                F.when(
-                    F.col(_GOPHER_RULES[0])
-                    & F.col(_GOPHER_RULES[1]) & F.col(_GOPHER_RULES[2])
-                    & F.col(_GOPHER_RULES[3]) & F.col(_GOPHER_RULES[4])
-                    & F.col(_GOPHER_RULES[5]) & F.col(_GOPHER_RULES[6]),
-                    1,
-                ).otherwise(0).cast("bigint")
+                F.when(pass_all, 1).otherwise(0).cast("bigint")
             ).alias("n_pass_all"),
         )
     )

@@ -274,3 +274,14 @@ def test_cosine_near_dup_pairs_arrow_matches_native(spark):
         for r in cosine_near_dup_pairs_arrow(emb, threshold=0.4).collect()
     }
     assert nat == arw  # same pair set AND bit-identical rounded cosines
+
+
+def test_cosine_near_dup_pairs_arrow_empty_input(spark):
+    from ehr_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_arrow,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cosine_near_dup_pairs_arrow(empty)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]

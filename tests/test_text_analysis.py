@@ -290,3 +290,27 @@ def test_unigram_lm_scores_known_corpus(spark):
     assert abs(rows[2]["avg_neg_logp_bits"] - exp2) < 1e-12
     # rare-token doc scores strictly worse (higher bits)
     assert rows[2]["avg_neg_logp_bits"] > rows[1]["avg_neg_logp_bits"]
+
+
+def test_gopher_boundary_ratios_pass(spark):
+    """Gopher removes docs strictly ABOVE each ratio — a doc exactly at a
+    published boundary passes (review finding r5)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    # 50 words, 5 of them '#': symbol ratio exactly 0.1
+    sym = " ".join(["the", "with"] + ["#"] * 5 + ["word"] * 43)
+    # 10 lines, 9 bullets: bullet fraction exactly 0.9
+    bul = "\n".join(["- the with line ok"] * 9 + ["plain final line"])
+    # 10 lines, 3 with trailing ellipsis: fraction exactly 0.3
+    ell = "\n".join(["the with more words here..."] * 3 + ["plain line"] * 7)
+    df = spark.createDataFrame(
+        [(1, sym), (2, bul), (3, ell)], "doc_id long, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]).collect()}
+    assert rows[1]["ok_symbol_ratio"]
+    assert rows[2]["ok_bullet_lines"]
+    assert rows[3]["ok_ellipsis_lines"]
