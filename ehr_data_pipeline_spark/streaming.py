@@ -364,3 +364,91 @@ def run_to_memory(
     )
     query.awaitTermination(timeout_sec)
     return query
+
+
+def scd2_dimension_sink(
+    dim_path: str,
+    keys: "Sequence[str]",
+    attrs: "Sequence[str]",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+):
+    """foreachBatch maintainer for an SCD2 dimension fed by an event
+    stream — the streaming composition of ``operators.scd``: every
+    microbatch merges into the dimension with the O(|versions|+|batch|)
+    incremental ``scd2_apply_batch`` (never re-reading the raw history),
+    and the result lands in an epoch directory keyed by batch_id.
+
+    Exactly-once via the same idempotent-epoch argument as
+    ``parquet_batch_sink``: a batch reads the LATEST EPOCH STRICTLY BELOW
+    its own batch_id and overwrites its own epoch, so a replayed batch
+    (crash between write and checkpoint commit) recomputes from the same
+    predecessor and overwrites the same directory — byte-stable, no
+    duplication. Requires the stream's event time to be append-only per
+    key across batches (``scd2_apply_batch``'s contract; a file source
+    fed by time-ordered drops satisfies it — late events need a rebuild
+    of the affected keys, the standard warehouse trade).
+
+    Epoch discovery uses a filesystem listing (sufficient for path-based
+    deployments and tests); swap for a catalog/transaction log where one
+    exists. Read the current dimension with :func:`read_scd2_dimension`."""
+    from ehr_data_pipeline_spark.operators.scd import (
+        scd2_apply_batch,
+        scd2_compress,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = [e for e in _scd2_epochs(dim_path) if e < batch_id]
+        if prev:
+            dim = spark.read.parquet(f"{dim_path}/epoch={max(prev)}")
+            out = scd2_apply_batch(dim, batch_df, keys, attrs, ts_col, tiebreak)
+        else:
+            out = scd2_compress(batch_df, keys, attrs, ts_col, tiebreak)
+        out.write.mode("overwrite").parquet(f"{dim_path}/epoch={batch_id}")
+
+    return write
+
+
+def _scd2_epochs(dim_path: str) -> "list[int]":
+    import glob as _glob
+    import os
+
+    return [
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in _glob.glob(f"{dim_path}/epoch=*")
+    ]
+
+
+def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
+    """The current SCD2 dimension: the highest-epoch directory (each epoch
+    is a complete merged snapshot, so no union across epochs)."""
+    epochs = _scd2_epochs(dim_path)
+    if not epochs:
+        raise FileNotFoundError(f"no SCD2 epochs under {dim_path}")
+    return spark.read.parquet(f"{dim_path}/epoch={max(epochs)}")
+
+
+def run_scd2_maintenance(
+    events: DataFrame,
+    dim_path: str,
+    checkpoint: str,
+    keys: "Sequence[str]",
+    attrs: "Sequence[str]",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input into the SCD2 dimension with an
+    ``availableNow`` trigger and a real checkpoint — restartable: a later
+    run over the same checkpoint merges only newly arrived files."""
+    query = (
+        events.writeStream.foreachBatch(
+            scd2_dimension_sink(dim_path, keys, attrs, ts_col, tiebreak)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

@@ -362,3 +362,69 @@ def test_parquet_batch_sink_exactly_once_and_replay_idempotent(
     first_batch = spark.createDataFrame(src_batch.collect(), src_batch.schema)
     parquet_batch_sink(out)(first_batch, 0)
     assert spark.read.parquet(out).drop("batch_id").count() == events.count()
+
+
+def test_scd2_stream_maintenance_matches_full_rebuild(checkpointed, tmp_path):
+    """Streaming SCD2 maintenance (foreachBatch + incremental merge) over
+    time-ordered file drops must equal scd2_compress over all events;
+    restarting the same checkpoint after a new drop merges only the new
+    file; replaying a batch id is byte-stable (idempotent epochs)."""
+    from ehr_data_pipeline_spark.operators.scd import scd2_compress
+    from ehr_data_pipeline_spark.streaming import (
+        read_scd2_dimension,
+        run_scd2_maintenance,
+        scd2_dimension_sink,
+    )
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 8)
+    c1, c2 = events.selectExpr(
+        "CAST(percentile(CAST(ts AS DOUBLE), 0.4) AS TIMESTAMP)",
+        "CAST(percentile(CAST(ts AS DOUBLE), 0.8) AS TIMESTAMP)",
+    ).collect()[0]
+    src = tmp_path / "scd_src"
+    events.filter(F.col("ts") < c1).write.parquet(str(src / "f1"))
+    events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).write.parquet(
+        str(src / "f2")
+    )
+
+    keys, attrs = ["user_id"], ["event_type"]
+    dim_path = str(tmp_path / "scd_dim")
+    ckpt = str(tmp_path / "scd_ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_scd2_maintenance(stream, dim_path, ckpt, keys, attrs,
+                         tiebreak="event_id")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select(
+            "user_id", "event_type", "version", "valid_from", "valid_to",
+            "is_current", "n_events").collect())
+
+    expect2 = scd2_compress(events.filter(F.col("ts") < c2), keys, attrs,
+                            tiebreak="event_id")
+    assert canon(read_scd2_dimension(spark, dim_path)) == canon(expect2)
+
+    # late drop + restart over the same checkpoint: only f3 merges
+    events.filter(F.col("ts") >= c2).write.parquet(str(src / "f3"))
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_scd2_maintenance(stream2, dim_path, ckpt, keys, attrs,
+                         tiebreak="event_id")
+    full = scd2_compress(events, keys, attrs, tiebreak="event_id")
+    final = canon(read_scd2_dimension(spark, dim_path))
+    assert final == canon(full)
+
+    # replay of the highest batch id recomputes from the same predecessor
+    from ehr_data_pipeline_spark.streaming import _scd2_epochs
+
+    last = max(_scd2_epochs(dim_path))
+    sink = scd2_dimension_sink(dim_path, keys, attrs, tiebreak="event_id")
+    sink(events.filter(F.col("ts") >= c2), last)
+    assert canon(read_scd2_dimension(spark, dim_path)) == final
