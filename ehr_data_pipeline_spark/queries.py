@@ -2828,6 +2828,48 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frame_sample_plan",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(doc_id % 10 + 2 AS INT) AS n_frames,
+             CAST((doc_id % 7) * 16 + 32 AS INT) AS width,
+             CAST((doc_id % 5) * 16 + 32 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT asset_id, CAST(f.frame_idx AS INT) AS frame_idx, width, height,
+           md5(text || CAST(f.frame_idx AS VARCHAR)) AS frame_payload_md5
+    FROM v, UNNEST(range(0, n_frames, 2)) AS f(frame_idx)
+    """,
+    tags=("multimodal", "video", "frame-sample"),
+)
+def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling PLAN for video assets, hash-checked end to end
+    without any decode: ``sample_frames`` fans each video out to its
+    every-2nd frame indices (sequence+explode, pure JVM) and derives the
+    per-frame payload; this query emits (asset, frame_idx, dims, payload
+    md5), so the fan-out arithmetic and per-frame payload derivation —
+    the Spark-side plumbing the fake codec sits behind — have a full SQL
+    twin. The decode itself stays in the rows-only
+    ``media_image_features`` (numpy is not SQL-expressible)."""
+    from ehr_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_assets,
+    )
+
+    frames = sample_frames(
+        synthesize_assets(_t(spark, sf_dir, "documents")), every_n=2
+    )
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.md5(F.col("content")).alias("frame_payload_md5"),
+    )
+
+
+@register(
     "media_meta_profile",
     oracle="""
     WITH assets AS (
@@ -4529,10 +4571,14 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # the three most DISTINCTIVE of the seven new TPC-H shapes (Q9's
     # multi-join derived-key profit, Q20's correlated-agg threshold,
     # Q21's double-correlated EXISTS/NOT-EXISTS). The priority list is
-    # capped at exactly the driver's 50-entry window: the other four new
-    # shapes (Q6/Q10/Q14/Q18 — each a variation of an already driver-green
-    # family: scan-agg, join-topk, conditional-ratio, semi+topk) run in
-    # the pytest oracle replica this round and head next round's list.
+    # capped at exactly the driver's 50-entry window; the remaining
+    # round-5 additions run in the pytest oracle replica this round and
+    # MUST head round 6's priority list: forecast_revenue_change,
+    # returned_item_top_customers, promo_revenue_ratio,
+    # large_volume_orders (the other four TPC-H shapes — each a
+    # variation of an already driver-green family), plus
+    # doc_gopher_quality_report, doc_token_chunks, doc_unigram_lm_scores,
+    # and doc_incremental_near_dedup.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",
