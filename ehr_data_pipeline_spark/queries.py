@@ -2828,6 +2828,58 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_image_channel_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS asset_id,
+             CAST((doc_id % 7) * 16 + 32 AS INT) AS width,
+             CAST((doc_id % 5) * 16 + 32 AS INT) AS height,
+             sha256(text) AS hx
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT asset_id, width, height, hx,
+             UNNEST(range(0, CAST(width AS BIGINT) * height)) AS i
+      FROM img
+    ), by AS (
+      SELECT asset_id, width, height,
+             ('0x' || substr(hx, ((3 * i) % 32) * 2 + 1, 2))::INT AS r,
+             ('0x' || substr(hx, ((3 * i + 1) % 32) * 2 + 1, 2))::INT AS g,
+             ('0x' || substr(hx, ((3 * i + 2) % 32) * 2 + 1, 2))::INT AS b
+      FROM px
+    )
+    SELECT asset_id, width, height,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r,
+           CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_g,
+           CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_b
+    FROM by GROUP BY asset_id, width, height
+    """,
+    tags=("multimodal", "image", "features"),
+)
+def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel means from the REAL mapInPandas decode+feature path
+    (`extract_image_features` minus the perceptual hash), hash-checked:
+    the deterministic fake decoder expands sha256(payload) into the
+    pixel array, so the oracle recomputes each channel mean as exact
+    integer byte sums over the digest cycle ((3i+c) mod 32 indexing) —
+    numpy's pairwise float64 sum of uint8 values is exact at every step,
+    so sum/n is the bit-identical IEEE division on both engines. This
+    closes the multimodal oracle gap to just the aHash bitmap
+    (`media_image_features`, whose block-vs-global-mean comparisons sit
+    on float ties for periodic synthetic payloads — not replayable)."""
+    from ehr_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_assets,
+    )
+
+    feats = extract_image_features(
+        synthesize_assets(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select(
+        "asset_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@register(
     "media_frame_sample_plan",
     oracle="""
     WITH v AS (
