@@ -2828,6 +2828,63 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_cms_accuracy",
+    oracle="""
+    WITH rows_ AS (SELECT UNNEST(range(0, 4)) AS row),
+    cells AS (
+      SELECT r.row,
+             ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bucket,
+             COUNT(*) AS cnt
+      FROM events e, rows_ r
+      GROUP BY 1, 2
+    ), exact_ AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id ASC LIMIT 20
+    ), addr AS (
+      SELECT t.user_id, t.exact_cnt, r.row,
+             ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                                 || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bucket
+      FROM exact_ t, rows_ r
+    )
+    SELECT a.user_id, a.exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cnt) - a.exact_cnt AS BIGINT) AS overestimate
+    FROM addr a JOIN cells c ON c.row = a.row AND c.bucket = a.bucket
+    GROUP BY a.user_id, a.exact_cnt
+    """,
+    tags=("sketch", "count-min", "approx-with-exact-oracle"),
+)
+def user_cms_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report: build a 4×64 CM sketch over
+    event user_ids (``operators.sketches`` — the mergeable frequency
+    sketch), estimate the 20 heaviest users, and report estimate vs exact
+    with the one-sided error (estimate ≥ exact always; the md5 bucket
+    hash is deterministic, so this APPROXIMATE structure has an EXACT
+    DuckDB twin — the sketch, the estimates, and the error column all
+    hash-check)."""
+    from ehr_data_pipeline_spark.operators.sketches import cm_build, cm_estimate
+
+    e = _t(spark, sf_dir, "events")
+    sketch = cm_build(e, "user_id", depth=4, width=64)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cm_estimate(sketch, top, "user_id", depth=4, width=64)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+@register(
     "media_image_channel_stats",
     oracle="""
     WITH img AS (
