@@ -232,3 +232,67 @@ def gapfill_time_series(
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
         )
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    bucket: str = "hour",
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucketed rollup in MERGEABLE partial form (the hypertable /
+    continuous-aggregate building block): per (bucket_start, keys) —
+    n_events, n_values, exact DECIMAL sum, min, max. Every statistic is
+    mergeable, so rollups of disjoint event slices combine cell-wise
+    with :func:`rollup_merge` instead of re-reading history; derived
+    statistics (avg) come from :func:`rollup_finalize` at read time.
+    One shuffle on the (bucket, keys) grain with map-side combine."""
+    v = F.col(value_col)
+    return (
+        events.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(v).alias("n_values"),
+            F.sum(v.cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value_dec"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+    )
+
+
+def rollup_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial rollups cell-wise — the O(|affected buckets|)
+    continuous-aggregate maintenance step: union + one groupBy on the
+    grain; counts and exact decimal sums add, min/max take extremes.
+    Invariant (oracle-checked by events_hourly_rollup_merge):
+    merge(rollup(A), rollup(B)) == rollup(A ∪ B) for disjoint slices."""
+    grain = [c for c in existing.columns
+             if c not in ("n_events", "n_values", "sum_value_dec",
+                          "min_value", "max_value")]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*grain)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("n_values").cast("bigint").alias("n_values"),
+            F.sum("sum_value_dec").cast("decimal(38,6)").alias("sum_value_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def rollup_finalize(rollup: DataFrame) -> DataFrame:
+    """Read-time statistics from the mergeable partials: double sum and
+    the derived average (one IEEE division of exact operands — identical
+    in any engine)."""
+    sum_d = F.col("sum_value_dec").cast("double")
+    return rollup.select(
+        *[c for c in rollup.columns if c != "sum_value_dec"],
+        sum_d.alias("sum_value"),
+        F.when(F.col("n_values") > 0, sum_d / F.col("n_values").cast("double"))
+         .alias("avg_value"),
+    )

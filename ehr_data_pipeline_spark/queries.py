@@ -2828,6 +2828,49 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_rollup_merge",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(value) AS n_values,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CASE WHEN COUNT(value) > 0
+                THEN CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                          AS DECIMAL(38,6)) AS DOUBLE)
+                     / CAST(COUNT(value) AS DOUBLE) END AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("rollup", "hypertable", "incremental", "mergeable"),
+)
+def events_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable rollup pattern):
+    the hourly rollup is maintained INCREMENTALLY — the existing rollup
+    of the first half of the stream merges cell-wise with the rollup of
+    the newly-arrived second half (``operators.temporal.rollup_merge``,
+    O(|affected buckets|), history never re-read) — and the oracle is
+    the FULL one-shot rollup, so the merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B) invariant is the hash check itself. Mergeable partials
+    (counts, exact DECIMAL sums, min/max) make the merge exact; avg is
+    derived at read time."""
+    from ehr_data_pipeline_spark.operators.temporal import (
+        rollup_finalize,
+        rollup_merge,
+        time_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cut = e.selectExpr(
+        "CAST(percentile(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS c"
+    ).collect()[0]["c"]
+    first = time_rollup(e.filter(F.col("ts") < cut))
+    second = time_rollup(e.filter(F.col("ts") >= cut))
+    return rollup_finalize(rollup_merge(first, second))
+
+
+@register(
     "user_cms_accuracy",
     oracle="""
     WITH rows_ AS (SELECT UNNEST(range(0, 4)) AS row),

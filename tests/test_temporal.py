@@ -158,3 +158,62 @@ def test_gapfill_zero_fills_and_carries_forward(spark):
         assert out[("b", h)]["sum_value_locf"] is None
     assert out[("b", 3)]["sum_value_locf"] == 2.5
     assert out[("b", 4)]["n_events"] == 0 and out[("b", 4)]["sum_value_locf"] == 2.5
+
+
+def test_rollup_merge_equals_full_rollup_with_nulls(spark):
+    from datetime import datetime
+
+    from ehr_data_pipeline_spark.operators.temporal import (
+        rollup_finalize,
+        rollup_merge,
+        time_rollup,
+    )
+
+    rows = [
+        (datetime(2026, 1, 1, 10, 5), "a", 1.5),
+        (datetime(2026, 1, 1, 10, 50), "a", None),   # null value: counted
+        (datetime(2026, 1, 1, 10, 59), "b", 2.0),    # in n_events only
+        (datetime(2026, 1, 1, 11, 1), "a", -3.25),
+        (datetime(2026, 1, 1, 11, 2), "a", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    split = datetime(2026, 1, 1, 11, 0)
+    merged = rollup_finalize(
+        rollup_merge(
+            time_rollup(df.filter(F.col("ts") < split)),
+            time_rollup(df.filter(F.col("ts") >= split)),
+        )
+    )
+    full = rollup_finalize(time_rollup(df))
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert canon(merged) == canon(full)
+    got = {(r["bucket_start"].hour, r["event_type"]): r for r in merged.collect()}
+    a10 = got[(10, "a")]
+    assert a10["n_events"] == 2 and a10["n_values"] == 1
+    assert a10["avg_value"] == 1.5  # null excluded from the divisor
+    a11 = got[(11, "a")]
+    assert a11["sum_value"] == 0.75 and a11["min_value"] == -3.25
+
+
+def test_rollup_merge_empty_delta_is_identity(spark):
+    from datetime import datetime
+
+    from ehr_data_pipeline_spark.operators.temporal import (
+        rollup_finalize,
+        rollup_merge,
+        time_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 9, 0), "a", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    base = time_rollup(df)
+    empty = time_rollup(df.filter(F.lit(False)))
+    merged = rollup_finalize(rollup_merge(base, empty))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rollup_finalize(base).collect())
+    )
