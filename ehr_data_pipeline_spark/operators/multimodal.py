@@ -156,12 +156,17 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
-def extract_image_features(assets: DataFrame) -> DataFrame:
+def extract_image_features(
+    assets: DataFrame, with_phash: bool = True
+) -> DataFrame:
     """Decode → per-channel means + a 64-bit average-hash fingerprint
     (an 8×8 block-mean > global-mean bitmap — the standard perceptual
     aHash), as Arrow-batched ``mapInPandas``. Non-image rows are filtered
     JVM-side *before* the Python stage so no payload bytes cross Arrow
-    for rows that don't need decoding."""
+    for rows that don't need decoding. ``with_phash=False`` skips the
+    per-image block loop (phash64 = null) for callers that only need the
+    channel statistics — e.g. the hash-checked
+    ``media_image_channel_stats`` driver row."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -172,16 +177,22 @@ def extract_image_features(assets: DataFrame) -> DataFrame:
             for row in batch.itertuples(index=False):
                 w, h = int(row.width), int(row.height)
                 img = decode_rgb(row.content, w, h)
-                gray = img.mean(axis=2)
-                # 8x8 block means → bits where block > global mean
-                bh, bw = max(h // 8, 1), max(w // 8, 1)
-                blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(
-                    axis=(1, 3)
-                )
-                bits = (blocks > blocks.mean()).flatten()
-                phash = 0
-                for b in bits:
-                    phash = (phash << 1) | int(b)
+                if with_phash:
+                    gray = img.mean(axis=2)
+                    # 8x8 block means → bits where block > global mean
+                    bh, bw = max(h // 8, 1), max(w // 8, 1)
+                    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(
+                        axis=(1, 3)
+                    )
+                    bits = (blocks > blocks.mean()).flatten()
+                    phash = 0
+                    for b in bits:
+                        phash = (phash << 1) | int(b)
+                    phash_out = np.int64(
+                        phash - (1 << 64 if phash >= 1 << 63 else 0)
+                    )
+                else:
+                    phash_out = None
                 out.append(
                     (
                         row.asset_id,
@@ -190,7 +201,7 @@ def extract_image_features(assets: DataFrame) -> DataFrame:
                         float(img[:, :, 0].mean()),
                         float(img[:, :, 1].mean()),
                         float(img[:, :, 2].mean()),
-                        np.int64(phash - (1 << 64 if phash >= 1 << 63 else 0)),
+                        phash_out,
                     )
                 )
             yield pd.DataFrame(

@@ -33,14 +33,15 @@ DEFAULT_WIDTH = 64
 
 
 def cm_bucket(col: Column, row: int, width: int) -> Column:
-    """Bucket of ``col`` in hash row ``row``: first 8 md5 hex chars of
-    'row:value' mod width — engine-portable (DuckDB:
-    ``('0x' || substr(md5(row || ':' || v), 1, 8))::BIGINT % width``)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    return h % F.lit(width)
+    """Bucket of ``col`` in hash row ``row``: the engine-portable 32-bit
+    md5 hash (shared with the shingle/minhash family —
+    ``text_dedup.base_shingle_hash``) of 'row:value', mod width. DuckDB
+    twin: ``('0x' || substr(md5(row || ':' || v), 1, 8))::BIGINT % width``."""
+    from ehr_data_pipeline_spark.operators.text_dedup import base_shingle_hash
+
+    return base_shingle_hash(
+        F.concat(F.lit(f"{row}:"), col.cast("string"))
+    ) % F.lit(width)
 
 
 def cm_build(
@@ -73,6 +74,8 @@ def cm_build(
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum of sketches built with the same (depth, width) —
     sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly."""
+    if not sketches:
+        raise ValueError("cm_merge requires at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

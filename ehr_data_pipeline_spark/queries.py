@@ -2862,11 +2862,16 @@ def events_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events")
+    # the split point stays LAZY (a broadcast one-row cross join) so this
+    # fn keeps the registry contract of returning one unexecuted plan —
+    # an eager percentile collect here would run a Spark job at
+    # plan-construction time for every EXPLAIN/plan-audit caller
     cut = e.selectExpr(
-        "CAST(percentile(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS c"
-    ).collect()[0]["c"]
-    first = time_rollup(e.filter(F.col("ts") < cut))
-    second = time_rollup(e.filter(F.col("ts") >= cut))
+        "CAST(percentile(CAST(ts AS DOUBLE), 0.5) AS TIMESTAMP) AS __cut"
+    )
+    with_cut = e.crossJoin(F.broadcast(cut))
+    first = time_rollup(with_cut.filter(F.col("ts") < F.col("__cut")))
+    second = time_rollup(with_cut.filter(F.col("ts") >= F.col("__cut")))
     return rollup_finalize(rollup_merge(first, second))
 
 
@@ -2918,7 +2923,11 @@ def user_cms_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
         .limit(20)
     )
-    est = cm_estimate(sketch, top, "user_id", depth=4, width=64)
+    # estimate over ALL distinct users (one scan), then join the top-20:
+    # passing `top` into cm_estimate would re-execute the orderBy+limit
+    # subplan on both sides of the join (no reuse across diverged
+    # subtrees — the same single-scan reasoning as top_revenue_supplier)
+    est = cm_estimate(sketch, e, "user_id", depth=4, width=64)
     return top.join(est, "user_id").select(
         "user_id",
         "exact_cnt",
@@ -2972,7 +2981,7 @@ def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     feats = extract_image_features(
-        synthesize_assets(_t(spark, sf_dir, "documents"))
+        synthesize_assets(_t(spark, sf_dir, "documents")), with_phash=False
     )
     return feats.select(
         "asset_id", "width", "height", "mean_r", "mean_g", "mean_b"

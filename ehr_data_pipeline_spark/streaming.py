@@ -410,22 +410,39 @@ def scd2_dimension_sink(
     return write
 
 
-def _scd2_epochs(dim_path: str) -> "list[int]":
+def _scd2_epochs(dim_path: str, complete_only: bool = False) -> "list[int]":
+    """Epoch ids under ``dim_path`` via a driver-local listing. Local
+    paths ONLY: on a remote filesystem the local glob would silently see
+    nothing and every batch would discard all accumulated history, so a
+    scheme-qualified path is an error, not a silent wrong answer — swap
+    this listing for a catalog/Hadoop-FS call in such deployments.
+    ``complete_only`` keeps epochs whose parquet write finished (the
+    _SUCCESS marker), protecting READERS from a crash mid-write of the
+    newest epoch (the sink itself is safe either way: it reads strictly
+    below its own batch id and overwrites its own directory)."""
     import glob as _glob
     import os
 
+    if "://" in dim_path:
+        raise ValueError(
+            f"scd2 epoch listing is local-filesystem only, got {dim_path!r}"
+        )
     return [
         int(os.path.basename(p).split("=", 1)[1])
         for p in _glob.glob(f"{dim_path}/epoch=*")
+        if not complete_only or os.path.exists(os.path.join(p, "_SUCCESS"))
     ]
 
 
 def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
-    """The current SCD2 dimension: the highest-epoch directory (each epoch
-    is a complete merged snapshot, so no union across epochs)."""
-    epochs = _scd2_epochs(dim_path)
+    """The current SCD2 dimension: the highest COMPLETE epoch directory
+    (each epoch is a full merged snapshot, so no union across epochs; an
+    epoch without its _SUCCESS marker — a crash mid-write — is skipped,
+    keeping readers on the previous snapshot until the stream's restart
+    overwrites it)."""
+    epochs = _scd2_epochs(dim_path, complete_only=True)
     if not epochs:
-        raise FileNotFoundError(f"no SCD2 epochs under {dim_path}")
+        raise FileNotFoundError(f"no complete SCD2 epochs under {dim_path}")
     return spark.read.parquet(f"{dim_path}/epoch={max(epochs)}")
 
 

@@ -167,15 +167,20 @@ TIE_PRONE = [
 ]
 
 
+SF01_DIR = __import__("os").environ.get(
+    "SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1"
+)
+
+
 @pytest.fixture(scope="module")
 def con_sf01():
-    return duckdb_con("/root/testdata/sf0.1")
+    return duckdb_con(SF01_DIR)
 
 
 @pytest.mark.parametrize("name", TIE_PRONE)
 def test_tie_prone_queries_match_oracle_at_sf01(spark, con_sf01, name):
     spec = REGISTRY[name]
     compare_spark_vs_oracle(
-        spec.fn(spark, "/root/testdata/sf0.1"), con_sf01, spec.oracle,
+        spec.fn(spark, SF01_DIR), con_sf01, spec.oracle,
         name=f"{name}@sf0.1",
     )

@@ -383,8 +383,11 @@ def test_scd2_stream_maintenance_matches_full_rebuild(checkpointed, tmp_path):
         "CAST(percentile(CAST(ts AS DOUBLE), 0.8) AS TIMESTAMP)",
     ).collect()[0]
     src = tmp_path / "scd_src"
-    events.filter(F.col("ts") < c1).write.parquet(str(src / "f1"))
-    events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).write.parquet(
+    # one part file per time slice: multi-part writes + maxFilesPerTrigger=1
+    # would split a slice into microbatches whose order need not follow
+    # event time, violating scd2_apply_batch's append-only precondition
+    events.filter(F.col("ts") < c1).coalesce(1).write.parquet(str(src / "f1"))
+    events.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).coalesce(1).write.parquet(
         str(src / "f2")
     )
 
@@ -409,7 +412,7 @@ def test_scd2_stream_maintenance_matches_full_rebuild(checkpointed, tmp_path):
     assert canon(read_scd2_dimension(spark, dim_path)) == canon(expect2)
 
     # late drop + restart over the same checkpoint: only f3 merges
-    events.filter(F.col("ts") >= c2).write.parquet(str(src / "f3"))
+    events.filter(F.col("ts") >= c2).coalesce(1).write.parquet(str(src / "f3"))
     stream2 = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
