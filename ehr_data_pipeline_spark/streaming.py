@@ -397,20 +397,39 @@ def scd2_dimension_sink(
         scd2_compress,
     )
 
+    return incremental_epoch_sink(
+        dim_path,
+        init_fn=lambda b: scd2_compress(b, keys, attrs, ts_col, tiebreak),
+        merge_fn=lambda state, b: scd2_apply_batch(
+            state, b, keys, attrs, ts_col, tiebreak
+        ),
+    )
+
+
+def incremental_epoch_sink(state_path: str, init_fn, merge_fn):
+    """Generic idempotent-epoch foreachBatch maintainer — the shared
+    machinery behind the SCD2 and rollup sinks: ``init_fn(batch_df)``
+    builds the state from the first batch, ``merge_fn(prev_state_df,
+    batch_df)`` folds each later batch in, and every batch's result
+    lands in ``{state_path}/epoch={batch_id}``. Exactly-once by the
+    idempotent-epoch argument (read strictly-below, overwrite own): a
+    replayed batch recomputes from the same predecessor and overwrites
+    the same directory."""
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev = [e for e in _scd2_epochs(dim_path) if e < batch_id]
+        prev = [e for e in _state_epochs(state_path) if e < batch_id]
         if prev:
-            dim = spark.read.parquet(f"{dim_path}/epoch={max(prev)}")
-            out = scd2_apply_batch(dim, batch_df, keys, attrs, ts_col, tiebreak)
+            state = spark.read.parquet(f"{state_path}/epoch={max(prev)}")
+            out = merge_fn(state, batch_df)
         else:
-            out = scd2_compress(batch_df, keys, attrs, ts_col, tiebreak)
-        out.write.mode("overwrite").parquet(f"{dim_path}/epoch={batch_id}")
+            out = init_fn(batch_df)
+        out.write.mode("overwrite").parquet(f"{state_path}/epoch={batch_id}")
 
     return write
 
 
-def _scd2_epochs(dim_path: str, complete_only: bool = False) -> "list[int]":
+def _state_epochs(dim_path: str, complete_only: bool = False) -> "list[int]":
     """Epoch ids under ``dim_path`` via a driver-local listing. Local
     paths ONLY: on a remote filesystem the local glob would silently see
     nothing and every batch would discard all accumulated history, so a
@@ -434,16 +453,24 @@ def _scd2_epochs(dim_path: str, complete_only: bool = False) -> "list[int]":
     ]
 
 
-def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
-    """The current SCD2 dimension: the highest COMPLETE epoch directory
+_scd2_epochs = _state_epochs  # historical name, used by tests
+
+
+def read_epoch_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The current maintained state: the highest COMPLETE epoch directory
     (each epoch is a full merged snapshot, so no union across epochs; an
     epoch without its _SUCCESS marker — a crash mid-write — is skipped,
     keeping readers on the previous snapshot until the stream's restart
     overwrites it)."""
-    epochs = _scd2_epochs(dim_path, complete_only=True)
+    epochs = _state_epochs(state_path, complete_only=True)
     if not epochs:
-        raise FileNotFoundError(f"no complete SCD2 epochs under {dim_path}")
-    return spark.read.parquet(f"{dim_path}/epoch={max(epochs)}")
+        raise FileNotFoundError(f"no complete epochs under {state_path}")
+    return spark.read.parquet(f"{state_path}/epoch={max(epochs)}")
+
+
+def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
+    """The current SCD2 dimension — see :func:`read_epoch_state`."""
+    return read_epoch_state(spark, dim_path)
 
 
 def run_scd2_maintenance(
@@ -462,6 +489,67 @@ def run_scd2_maintenance(
     query = (
         events.writeStream.foreachBatch(
             scd2_dimension_sink(dim_path, keys, attrs, ts_col, tiebreak)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
+def rollup_maintenance_sink(
+    rollup_path: str,
+    bucket: str = "hour",
+    keys: "Sequence[str]" = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """foreachBatch maintainer for a continuous aggregate (hypertable
+    rollup): each microbatch's partial rollup merges cell-wise into the
+    maintained rollup (``operators.temporal.rollup_merge`` — mergeable
+    counts/exact-decimal sums/min/max, O(|affected buckets|), history
+    never re-read). Unlike the SCD2 sink this needs NO event-time
+    ordering across batches: cell-wise merge commutes, so late data just
+    lands in its bucket. Read with :func:`read_rollup`."""
+    from ehr_data_pipeline_spark.operators.temporal import (
+        rollup_merge,
+        time_rollup,
+    )
+
+    def roll(df: DataFrame) -> DataFrame:
+        return time_rollup(df, bucket, keys, ts_col, value_col)
+
+    return incremental_epoch_sink(
+        rollup_path,
+        init_fn=roll,
+        merge_fn=lambda state, b: rollup_merge(state, roll(b)),
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The finalized continuous aggregate (derived sum/avg from the
+    maintained mergeable partials)."""
+    from ehr_data_pipeline_spark.operators.temporal import rollup_finalize
+
+    return rollup_finalize(read_epoch_state(spark, rollup_path))
+
+
+def run_rollup_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    bucket: str = "hour",
+    keys: "Sequence[str]" = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input into the maintained rollup with
+    an ``availableNow`` trigger and a real checkpoint — restartable."""
+    query = (
+        events.writeStream.foreachBatch(
+            rollup_maintenance_sink(rollup_path, bucket, keys, ts_col, value_col)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

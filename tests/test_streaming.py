@@ -431,3 +431,41 @@ def test_scd2_stream_maintenance_matches_full_rebuild(checkpointed, tmp_path):
     sink = scd2_dimension_sink(dim_path, keys, attrs, tiebreak="event_id")
     sink(events.filter(F.col("ts") >= c2), last)
     assert canon(read_scd2_dimension(spark, dim_path)) == final
+
+
+def test_rollup_stream_maintenance_matches_one_shot(checkpointed, tmp_path):
+    """Streaming continuous-aggregate maintenance must equal the one-shot
+    rollup over all events — and unlike SCD2, cell-wise merge commutes,
+    so NO event-time ordering across files/microbatches is required
+    (slices are written unordered and multi-part on purpose)."""
+    from ehr_data_pipeline_spark.operators.temporal import (
+        rollup_finalize,
+        time_rollup,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        read_rollup,
+        run_rollup_maintenance,
+    )
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 8)
+    src = tmp_path / "roll_src"
+    # deliberately unordered slices (by user parity, not time)
+    events.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "odd"))
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "even"))
+
+    roll_path = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_rollup_maintenance(stream, roll_path, ckpt)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(read_rollup(spark, roll_path)) == canon(
+        rollup_finalize(time_rollup(events))
+    )
