@@ -1,5 +1,6 @@
-"""Mergeable frequency sketches as DataFrames — the count-min sketch
-(Cormode & Muthukrishnan) expressed relationally.
+"""Mergeable sketches as DataFrames — count-min (Cormode &
+Muthukrishnan), HyperLogLog (Flajolet et al.), and a Bloom filter
+(Bloom 1970), all expressed relationally.
 
 A CM sketch here is just a small DataFrame of ``(row, bucket, cnt)``
 cells: ``depth`` independent hash rows × ``width`` buckets. That makes
@@ -18,6 +19,22 @@ every sketch property a plain relational fact:
 The bucket hash is md5-derived (like the shingle/minhash hashes), so the
 whole sketch — build, merge, estimate — is deterministic and replays
 bit-for-bit in DuckDB: an APPROXIMATE summary with an EXACT oracle.
+
+The HLL and Bloom structures below follow the same design rules:
+
+- **HLL registers** are ``(bucket, reg)`` rows — ``m = 2^p`` buckets,
+  register = max leading-zero rank of the 44 remaining hash bits. Merge
+  is cell-wise MAX (max commutes ⇒ merge(hll(A), hll(B)) == hll(A∪B)
+  EXACTLY, not just approximately). The raw estimator α·m²/Σ2^-reg is an
+  exact dyadic-integer sum followed by a fixed chain of IEEE +,*,/ on
+  exactly-representable operands — bit-identical across engines (the
+  small-range linear-counting correction needs ``ln``, which is libm and
+  NOT cross-engine bit-stable — measured on the unigram-LM work — so it
+  is deliberately left to the caller; the zero-register count is
+  reported so they can).
+- **Bloom bits** are a DataFrame of distinct set bit positions; build is
+  explode(k probes)+distinct (shuffle ≤ n_bits rows), membership is a
+  broadcast join + count==k, one-sided: no false negatives ever.
 
 The reference has no sketches (its only aggregates are the metadata
 profiles, data_quality_checker.py:10-163); this is north-star surface.
@@ -111,3 +128,139 @@ def cm_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable distinct-count registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 buckets; standard error ≈ 1.04/sqrt(m) ≈ 6.5%
+HLL_M = 1 << HLL_P
+_HLL_HASH_HEX = 13  # 13 md5 hex chars = 52 bits, exact in BIGINT and DOUBLE
+_HLL_REST_BITS = _HLL_HASH_HEX * 4 - HLL_P  # 44 bits feed the rank
+_HLL_MAX_RANK = _HLL_REST_BITS + 1  # rank of an all-zero remainder
+
+
+def hll_hash(col: Column) -> Column:
+    """52-bit engine-portable hash: first 13 md5 hex chars as bigint
+    (DuckDB: ``('0x' || substr(md5(v), 1, 13))::BIGINT``). 52 bits keep
+    every intermediate exact in both BIGINT and DOUBLE."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _HLL_HASH_HEX), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _hll_rank(rest: Column) -> Column:
+    """Leading-zero rank of the 44-bit remainder: 45 - bit_length(rest),
+    where bit_length is ``length(bin(x))`` — ``bin`` exists with identical
+    no-leading-zeros semantics in Spark and DuckDB, so the rank needs no
+    log2 (libm, not cross-engine bit-stable)."""
+    return F.when(rest == 0, F.lit(_HLL_MAX_RANK)).otherwise(
+        F.lit(_HLL_MAX_RANK) - F.length(F.bin(rest))
+    )
+
+
+def hll_build(df: DataFrame, col: str, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group HLL registers ``(*group_cols, bucket, reg)``. The low
+    ``p`` hash bits pick the bucket, the remaining 44 rank. One groupBy
+    with a MAX partial aggregate — the shuffle is ≤ m rows per group per
+    partition regardless of input size; at 100 TB the registers are
+    still ≤ m rows per group total."""
+    h = hll_hash(F.col(col))
+    cells = df.where(F.col(col).isNotNull()).select(
+        *group_cols,
+        (h % F.lit(HLL_M)).alias("bucket"),
+        _hll_rank(F.shiftright(h, HLL_P)).alias("rho"),
+    )
+    return cells.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cell-wise MAX of register sets built with the same ``p``. Because
+    max is commutative/associative/idempotent, merge(hll(A), hll(B)) ==
+    hll(A ∪ B) EXACTLY — per-partition / per-day register sets roll up
+    without touching raw data, and replayed merges are harmless."""
+    if not sketches:
+        raise ValueError("hll_merge requires at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Raw HLL estimate α_m·m²/Σ2^-reg per group, plus the zero-register
+    count (callers apply linear counting with it if they want the
+    small-range correction — ``ln`` is deliberately kept out, see module
+    docstring). Cross-engine exactness: Σ2^-reg is computed as the exact
+    integer S = Σ2^(45-reg) + zeros·2^45 (every term a dyadic ≤ 2^45,
+    total ≤ 2^53 — still exact), then one fixed chain of IEEE ops on
+    exactly-representable doubles. α_m = 0.7213/(1 + 1.079/m) is written
+    as the rational 7213·m/(10000·m + 10790) evaluated in the identical
+    literal expression on both engines."""
+    pow2 = F.pow(F.lit(2.0), F.lit(_HLL_MAX_RANK) - F.col("reg")).cast("bigint")
+    full = F.pow(F.lit(2.0), F.lit(_HLL_MAX_RANK)).cast("bigint")
+    agg = sketch.groupBy(*group_cols).agg(
+        (F.sum(pow2) + (F.lit(HLL_M) - F.count(F.lit(1))) * full).alias("s_int"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("zero_registers"),
+    )
+    alpha_num = F.lit(7213.0) / (F.lit(10000.0) * HLL_M + F.lit(10790.0))
+    m3 = float(HLL_M) ** 3
+    two_pow = float(2 ** _HLL_MAX_RANK)
+    est = alpha_num * F.lit(m3) * F.lit(two_pow) / F.col("s_int").cast("double")
+    return agg.select(
+        *group_cols,
+        est.alias("hll_estimate"),
+        F.col("zero_registers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — one-sided membership bits
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 12
+BLOOM_K = 5
+
+
+def _bloom_positions(col: Column, n_bits: int, k: int) -> Column:
+    """Array of the k bit positions for a value — the same md5-derived
+    row-salted bucket family as the count-min sketch."""
+    return F.array(*[cm_bucket(col, r, n_bits) for r in range(k)])
+
+
+def bloom_build(
+    df: DataFrame, col: str, n_bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Set-bit positions as a one-column DataFrame ``(bit)``. Explode ×k
+    + distinct: the shuffle after partial dedup is ≤ n_bits rows per
+    partition, and the finished filter is ≤ n_bits rows total — always
+    broadcastable, no matter how large the build side was."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(col), n_bits, k)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Adds ``might_contain``: true iff all k addressed bits are set.
+    The filter side is broadcast by construction, so probing adds no
+    shuffle over the probe set. One-sided: a member's k bits are all set
+    by build, so false negatives are impossible; false positives occur
+    at rate ≈ (1 - e^{-kn/m})^k."""
+    probed = probes.select(
+        "*", F.posexplode(_bloom_positions(F.col(col), n_bits, k)).alias("probe_i", "bit")
+    )
+    hits = (
+        probed.join(F.broadcast(bloom.withColumn("set_", F.lit(1))), "bit", "left")
+        .groupBy(*probes.columns)
+        .agg((F.count("set_") == F.lit(k)).alias("might_contain"))
+    )
+    return hits

@@ -708,6 +708,170 @@ def ngram_contamination(
     )
 
 
+def token_window_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Every ``window``-token sliding window of every doc as
+    ``(id, pos, wh)`` — the hash stream that exact-substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") detects duplicated spans in. Linear in total tokens: one
+    in-row transform builds the window texts, one explode emits them;
+    docs shorter than ``window`` emit nothing. Hashes are the portable
+    60-bit md5 prefix, so DuckDB replays the identical stream."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        let_bound,
+        portable_hash60,
+        whitespace_tokens,
+    )
+
+    def windows_of(toks: Column) -> Column:
+        wins = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i, window))),
+        )
+        # guard: sequence(1, x<=0) DESCENDS instead of being empty
+        return F.when(F.size(toks) >= window, wins).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    hashes = let_bound(whitespace_tokens(F.col(text_col)), windows_of)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(hashes).alias("pos", "wh"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per doc — the exact-substring dedup
+    core: any ``window``-token run that appears ≥ ``min_count`` times in
+    the corpus (across docs OR repeated within one) marks its positions
+    duplicated; overlapping/adjacent marked windows merge into maximal
+    spans via gaps-and-islands. Returns
+    ``(id, span_start, span_end, span_tokens)`` with half-open token
+    intervals.
+
+    Plan shape (all linear, no pairwise anything): window hashes →
+    groupBy(hash) keeps the duplicated ones (map-side partial count; the
+    shuffle carries one row per distinct hash) → semi join marks
+    positions (shuffle on hash) → per-doc island merge (one window
+    partitioned BY DOC — parallel across docs, never global). At 100 TB
+    every stage keys on hash or doc id; nothing is driver-sized except
+    nothing."""
+    from pyspark.sql import Window
+
+    wins = token_window_hashes(
+        ensure_min_partitions(df), id_col=id_col, text_col=text_col, window=window
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("wh")
+    )
+    marked = wins.join(dup_hashes, "wh", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.select(
+        "id",
+        "pos",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    ).select(
+        "id",
+        "pos",
+        F.sum("is_new").over(w).cast("bigint").alias("island"),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + window).cast("bigint").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each doc with its duplicated spans removed (the actual
+    dedup step of exact-substring dedup): tokens covered by a
+    ``duplicate_spans`` interval are dropped, the remainder re-joins in
+    order. Returns ``(id, dedup_text, n_tokens, n_tokens_kept)`` for
+    every doc with ≥1 token — docs without duplicated spans pass through
+    whole.
+
+    The token↔span coverage join is an equi join on the doc id with a
+    range residual (spans per doc are few and disjoint by construction),
+    then one per-doc ordered re-aggregation."""
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    spans = duplicate_spans(
+        df, id_col=id_col, text_col=text_col, window=window, min_count=min_count
+    ).select(F.col(id_col).alias("id"), "span_start", "span_end")
+    toks = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(whitespace_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    covered = (
+        toks.join(spans, "id")
+        .where((F.col("pos") >= F.col("span_start")) & (F.col("pos") < F.col("span_end")))
+        .select("id", "pos")
+    )
+    kept_flag = toks.join(covered, ["id", "pos"], "left_anti")
+    return (
+        toks.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+        .join(
+            kept_flag.groupBy("id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).alias("dedup_text"),
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+            "n_tokens",
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks behind a ``localCheckpoint()``-ed frame.
     ``Dataset.unpersist()`` only consults the CacheManager and is a no-op

@@ -2937,6 +2937,150 @@ def user_cms_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_user_hll",
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+      SELECT event_type, h % 256 AS bucket,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 45
+                      ELSE 45 - length(bin(h >> 8)) END) AS reg
+      FROM hashed GROUP BY event_type, bucket
+    ), est AS (
+      SELECT event_type,
+             CAST(SUM(CAST(POWER(2.0, 45 - reg) AS BIGINT))
+                  + (256 - COUNT(*)) * 35184372088832 AS BIGINT) AS s_int,
+             CAST(256 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM regs GROUP BY event_type
+    ), exact_ AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, x.exact_users,
+           7213.0 / (10000.0 * 256.0 + 10790.0) * 16777216.0
+               * 35184372088832.0 / CAST(e.s_int AS DOUBLE) AS hll_users,
+           e.zero_registers
+    FROM est e JOIN exact_ x USING (event_type)
+    """,
+    tags=("sketch", "hyperloglog", "mergeable", "approx-with-exact-oracle"),
+)
+def event_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event type
+    (``operators.sketches.hll_build/hll_merge/hll_estimate``). The Spark
+    side deliberately builds TWO register sets — even and odd user_ids —
+    and MERGES them, while the oracle computes the one-shot sketch over
+    all users: the hash match IS the merge(hll(A), hll(B)) == hll(A∪B)
+    law (cell-wise max commutes), the same oracle trick as
+    ``events_hourly_rollup_merge``. The estimate itself is the raw HLL
+    estimator evaluated as an exact dyadic-integer sum plus one fixed
+    IEEE chain, so the APPROXIMATE value hash-checks exactly; the exact
+    distinct count sits beside it as the accuracy report."""
+    from ehr_data_pipeline_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    evens = hll_build(e.where(F.col("user_id") % 2 == 0), "user_id", ("event_type",))
+    odds = hll_build(e.where(F.col("user_id") % 2 == 1), "user_id", ("event_type",))
+    regs = hll_merge(evens, odds, group_cols=("event_type",))
+    est = hll_estimate(regs, ("event_type",))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_users", "hll_estimate", "zero_registers"
+    ).withColumnRenamed("hll_estimate", "hll_users")
+
+
+@register(
+    "orders_bloom_prune_stats",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 7000
+    ), rows_ AS (SELECT UNNEST(range(0, 5)) AS r),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                          || CAST(m.key AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bit
+      FROM members m, rows_ r
+    ), probes AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    probe_bits AS (
+      SELECT p.custkey, ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                            || CAST(p.custkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bit
+      FROM probes p, rows_ r
+    ), verdict AS (
+      SELECT pb.custkey,
+             CASE WHEN COUNT(b.bit) = 5 THEN 1 ELSE 0 END AS might
+      FROM probe_bits pb LEFT JOIN bits b USING (bit)
+      GROUP BY pb.custkey
+    ), tagged AS (
+      SELECT v.custkey, v.might,
+             CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM verdict v LEFT JOIN members m ON m.key = v.custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(is_member) AS BIGINT) AS exact_members,
+           CAST(SUM(might) AS BIGINT) AS bloom_positives,
+           CAST(SUM(CASE WHEN might = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN might = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_negatives
+    FROM tagged
+    """,
+    tags=("sketch", "bloom-filter", "join-pruning", "approx-with-exact-oracle"),
+)
+def orders_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning report: a 4096-bit / 5-hash filter
+    over the high-balance customer keys probes every distinct order
+    custkey (``operators.sketches.bloom_build/bloom_might_contain`` —
+    the filter is ≤ n_bits rows, broadcast by construction, so at 100 TB
+    the fact side is pruned without shuffling it). Reports probe count,
+    exact membership, bloom positives, and the false-positive /
+    false-negative split — the md5 bit positions are deterministic, so
+    the approximate structure hash-checks exactly, and the
+    ``false_negatives = 0`` column is the one-sidedness guarantee as
+    driver-checked data."""
+    from ehr_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7000)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "key", n_bits=4096, k=5)
+    probes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    verdict = bloom_might_contain(probes, "custkey", bloom, n_bits=4096, k=5)
+    tagged = verdict.join(
+        members.withColumnRenamed("key", "custkey").withColumn("m", F.lit(1)),
+        "custkey",
+        "left",
+    ).select(
+        F.col("might_contain").cast("int").alias("might"),
+        F.coalesce(F.col("m"), F.lit(0)).alias("is_member"),
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("is_member").cast("bigint").alias("exact_members"),
+        F.sum("might").cast("bigint").alias("bloom_positives"),
+        F.sum(((F.col("might") == 1) & (F.col("is_member") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("false_positives"),
+        F.sum(((F.col("might") == 0) & (F.col("is_member") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("false_negatives"),
+    )
+
+
+@register(
     "media_image_channel_stats",
     oracle="""
     WITH img AS (
@@ -3605,6 +3749,111 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") >= 250)
     fresh, _new_entries = near_dedup_against_index(batch, history)
     return fresh.select("doc_id")
+
+
+_SPAN_WINS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(t[u.i+1:u.i+8], ' ')), 1, 15))::BIGINT AS wh
+      FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2
+    ), marked AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+      FROM grp GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_WINS_SQL}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start AS span_tokens
+    FROM spans
+    """,
+    tags=("dedup", "substring", "exact-substring", "spans"),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022): every
+    8-token window occurring ≥2 times in the corpus marks its positions,
+    and overlapping/adjacent marks merge into maximal duplicated spans
+    per doc (``operators.text_dedup.duplicate_spans``). All-linear plan:
+    window hashes → groupBy(hash) for the duplicated set → semi join →
+    per-DOC gaps-and-islands window — nothing pairwise, nothing global,
+    so the shape survives a 100× corpus unchanged."""
+    from ehr_data_pipeline_spark.operators.text_dedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), window=8, min_count=2
+    )
+
+
+@register(
+    "doc_substring_dedup",
+    oracle=f"""
+    WITH {_SPAN_WINS_SQL},
+    toksp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i + 1] AS tok
+      FROM toks, UNNEST(range(0, len(t))) AS u(i)
+      WHERE t[u.i + 1] <> ''
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM toksp p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos >= s.span_start AND p.pos < s.span_end)
+    ), totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toksp GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS dedup_text,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, md5(COALESCE(r.dedup_text, '')) AS dedup_fp,
+           t.n_tokens, COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("dedup", "substring", "exact-substring", "rewrite"),
+)
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REWRITE of exact-substring dedup: drop every token
+    covered by a duplicated span and re-join the remainder in order
+    (``operators.text_dedup.strip_duplicate_spans``). The rebuilt text is
+    fingerprinted (md5) so the full reconstructed string — order, spacing,
+    boundary tokens — hash-checks without bloating the result set."""
+    from ehr_data_pipeline_spark.operators.text_dedup import strip_duplicate_spans
+
+    out = strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), window=8, min_count=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("dedup_text")).alias("dedup_fp"),
+        "n_tokens",
+        "n_tokens_kept",
+    )
 
 
 @register(
@@ -4739,7 +4988,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # large_volume_orders (the other four TPC-H shapes — each a
     # variation of an already driver-green family), plus
     # doc_gopher_quality_report, doc_token_chunks, doc_unigram_lm_scores,
-    # and doc_incremental_near_dedup.
+    # doc_incremental_near_dedup, user_cms_accuracy,
+    # events_hourly_rollup_merge, media_frame_sample_plan,
+    # media_image_channel_stats, events_signup_funnel — and the
+    # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
+    # doc_duplicate_spans, doc_substring_dedup.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

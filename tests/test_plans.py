@@ -298,3 +298,27 @@ def test_incremental_near_dedup_joins_within_bands(spark):
     plan = plan_of(spark, "doc_incremental_near_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_never_pairwise(spark):
+    """Exact-substring span dedup must stay linear: window hashes join
+    the duplicated-hash set on the hash key, islands merge per-doc —
+    any cartesian/nested-loop means a pairwise fallback leaked in."""
+    plan = plan_of(spark, "doc_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_side_broadcast(spark):
+    """The Bloom filter is <= n_bits rows by construction; probing must
+    broadcast it so the (huge) probe side never shuffles for the join."""
+    plan = plan_of(spark, "orders_bloom_prune_stats")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_registers_partial_aggregate(spark):
+    """HLL register build must partial-aggregate map-side (partial_max
+    below the exchange) — the shuffle then carries <= m rows per group
+    per partition regardless of input size."""
+    plan = plan_of(spark, "event_user_hll")
+    assert "partial_max" in plan

@@ -47,3 +47,93 @@ def test_cm_estimate_unseen_value_is_zero_or_collision(spark):
     q = spark.createDataFrame([("zz",)], "k string")
     est = cm_estimate(sk, q, "k").collect()[0]["cms_estimate"]
     assert 0 <= est <= 10  # never negative, bounded by total mass
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+from ehr_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    HLL_M,
+    bloom_build,
+    bloom_might_contain,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def _regs(df):
+    return {r["bucket"]: r["reg"] for r in df.collect()}
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(0, 400)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(200, 700)], "k long")
+    merged = hll_merge(hll_build(a, "k"), hll_build(b, "k"))
+    direct = hll_build(a.unionAll(b), "k")
+    assert _regs(merged) == _regs(direct)  # max commutes: EXACT merge law
+
+
+def test_hll_merge_idempotent_on_replay(spark):
+    a = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    sk = hll_build(a, "k")
+    assert _regs(hll_merge(sk, sk)) == _regs(sk)  # max is idempotent
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # raw estimator stderr ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma at
+    # n >> 2.5m where the small-range bias is gone
+    n = 20_000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    row = hll_estimate(hll_build(df, "k")).collect()[0]
+    assert abs(row["hll_estimate"] - n) / n < 0.26
+    assert row["zero_registers"] == 0
+
+
+def test_hll_estimate_registers_cover_groups(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(1000)], "k long, g string"
+    )
+    sk = hll_build(df, "k", ("g",))
+    est = {r["g"]: r for r in hll_estimate(sk, ("g",)).collect()}
+    assert set(est) == {"x", "y"}
+    for g in ("x", "y"):
+        assert 0 < est[g]["hll_estimate"]
+        assert 0 <= est[g]["zero_registers"] <= HLL_M
+
+
+def test_hll_ignores_nulls(spark):
+    a = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    b = spark.createDataFrame([(1,), (2,)], "k long")
+    assert _regs(hll_build(a, "k")) == _regs(hll_build(b, "k"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "k long")
+    bloom = bloom_build(members, "k", n_bits=1024, k=4)
+    probed = bloom_might_contain(members, "k", bloom, n_bits=1024, k=4)
+    assert all(r["might_contain"] for r in probed.collect())  # one-sided
+
+
+def test_bloom_filters_most_non_members(spark):
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    non = spark.createDataFrame([(i,) for i in range(10_000, 11_000)], "k long")
+    bloom = bloom_build(members, "k", n_bits=4096, k=5)
+    probed = bloom_might_contain(non, "k", bloom, n_bits=4096, k=5)
+    fp = sum(1 for r in probed.collect() if r["might_contain"])
+    # n=100, m=4096, k=5 -> fp rate ~ (1-e^{-500/4096})^5 ~ 2e-5; allow slack
+    assert fp <= 10
+
+
+def test_bloom_bit_count_bounded(spark):
+    members = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    bloom = bloom_build(members, "k", n_bits=256, k=3)
+    n_bits_set = bloom.count()
+    assert 0 < n_bits_set <= 256
+    assert bloom.distinct().count() == n_bits_set

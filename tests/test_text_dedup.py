@@ -423,3 +423,84 @@ def test_near_dedup_against_index_independent_evaluation(spark):
     )
     fresh, _ = near_dedup_against_index(batch, build_minhash_index(hist))
     assert fresh.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+from ehr_data_pipeline_spark.operators.text_dedup import (  # noqa: E402
+    duplicate_spans,
+    strip_duplicate_spans,
+)
+
+_RUN = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"  # 10 toks
+
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    rows = [
+        (1, f"x1 x2 x3 {_RUN} x4 x5"),       # run at token positions 3..12
+        (2, f"y1 {_RUN}"),                    # same run at positions 1..10
+        (3, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12"),  # unique, no dups
+        (4, "s1 s2"),                         # shorter than the window
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_merge_overlapping_windows(span_corpus):
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(span_corpus, window=8).collect()
+    }
+    # the three overlapping duplicated 8-windows inside the shared 10-token
+    # run merge into ONE maximal span covering exactly the run
+    assert spans == {1: (3, 13, 10), 2: (1, 11, 10)}
+
+
+def test_duplicate_spans_within_one_doc(spark):
+    # the run repeats INSIDE a single doc: both occurrences are spans
+    df = spark.createDataFrame(
+        [(1, f"p1 {_RUN} q1 q2 q3 q4 q5 q6 q7 q8 {_RUN}")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, window=8).collect()
+    )
+    assert got == [(1, 11), (19, 29)]
+
+
+def test_duplicate_spans_disjoint_and_min_width(span_corpus):
+    rows = duplicate_spans(span_corpus, window=8).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] >= 8
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for spans in by_doc.values():
+        spans.sort()
+        for (a0, a1), (b0, _b1) in zip(spans, spans[1:]):
+            assert a1 < b0  # maximal spans never touch or overlap
+
+
+def test_strip_duplicate_spans_rewrites_and_passes_through(span_corpus):
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_tokens"], r["n_tokens_kept"])
+        for r in strip_duplicate_spans(span_corpus, window=8).collect()
+    }
+    assert out[1] == ("x1 x2 x3 x4 x5", 15, 5)
+    assert out[2] == ("y1", 11, 1)
+    # no duplicated spans -> the normalized text passes through whole
+    assert out[3] == ("k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12", 12, 12)
+    assert out[4] == ("s1 s2", 2, 2)
+
+
+def test_strip_fully_duplicated_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(1, _RUN), (2, _RUN)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, window=8).collect()}
+    for i in (1, 2):
+        assert out[i]["dedup_text"] == ""
+        assert out[i]["n_tokens"] == 10
+        assert out[i]["n_tokens_kept"] == 0
