@@ -264,3 +264,112 @@ def bloom_might_contain(
         .agg((F.count("set_") == F.lit(k)).alias("might_contain"))
     )
     return hits
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — mergeable fixed-grid bins
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def _hist_bin(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Fixed-grid bin index: floor((v-lo)/(hi-lo)·n), clamped to
+    [0, n-1] so out-of-range values land in the edge bins. One fixed
+    IEEE chain — identical literal expression on both engines."""
+    raw = F.floor((col - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(float(n_bins)))
+    return F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("bigint")
+
+
+def hist_build(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Mergeable quantile summary: per-group counts on a fixed value
+    grid — ``(*group_cols, bin, cnt)``, absent bin = 0. The fixed grid
+    is what makes the structure mergeable (same-bin counts add, so
+    hist(A∪B) == merge exactly, like the count-min cells) and the
+    estimator deterministic; the trade is a fixed ±bin-width error
+    instead of t-digest's adaptive one — the right trade when the
+    summary must reduce cell-wise across 100 TB of partitions and
+    replay bit-for-bit in another engine."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, _hist_bin(F.col(col), lo, hi, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cell-wise sum of histograms built on the same grid —
+    hist(A ∪ B) == merge(hist(A), hist(B)) exactly."""
+    if not sketches:
+        raise ValueError("hist_merge requires at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    qs: "list[float]",
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inverse-CDF quantile estimates from the histogram: for each q,
+    the first bin whose cumulative count reaches rank q·N, linearly
+    interpolated within the bin — ``(*group_cols, q, quantile_est)``,
+    with |est − exact| ≤ one bin width by construction.
+
+    Scale shape: the cumulative window is unpartitioned PER GROUP but
+    consumes only the ≤ n_bins aggregated rows per group (the same
+    bounded-window argument as the distributed prefix sum's bucket
+    offsets); the quantile probe set is a tiny literal cross join. The
+    estimate is one fixed IEEE chain on exact integers — bit-identical
+    across engines."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bin")
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("bigint").alias("cum_before"),
+        F.sum("cnt").over(
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+        ).cast("bigint").alias("n_total"),
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(q_df))
+        .where(
+            F.col("cum").cast("double")
+            >= F.col("q") * F.col("n_total").cast("double")
+        )
+        .groupBy(*group_cols, "q")
+        .agg(F.min(F.struct("bin", "cnt", "cum_before", "n_total")).alias("s"))
+        .select(
+            *group_cols,
+            "q",
+            F.col("s.bin").alias("bin"),
+            F.col("s.cnt").alias("cnt"),
+            F.col("s.cum_before").alias("cum_before"),
+            F.col("s.n_total").alias("n_total"),
+        )
+    )
+    width = (F.lit(hi) - F.lit(lo)) / F.lit(float(n_bins))
+    frac = (
+        F.col("q") * F.col("n_total").cast("double")
+        - F.col("cum_before").cast("double")
+    ) / F.col("cnt").cast("double")
+    est = F.lit(lo) + (F.col("bin").cast("double") + frac) * width
+    return hit.select(*group_cols, "q", est.alias("quantile_est"))

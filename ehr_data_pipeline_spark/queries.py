@@ -2997,6 +2997,71 @@ def event_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_quantile_sketch",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(GREATEST(0, LEAST(63,
+                  FLOOR((value - 0.0) / (600.0 - 0.0) * 64.0))) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, CAST(cnt AS BIGINT) AS cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt
+                  AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+      FROM binned
+    ), qs AS (
+      SELECT CAST(UNNEST([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q
+    ), hit AS (
+      SELECT * FROM (
+        SELECT c.event_type, s.q, c.bin, c.cnt, c.cum_before, c.n_total,
+               ROW_NUMBER() OVER (PARTITION BY c.event_type, s.q
+                                  ORDER BY c.bin) AS rn
+        FROM cum c, qs s
+        WHERE CAST(c.cum AS DOUBLE) >= s.q * CAST(c.n_total AS DOUBLE)
+      ) WHERE rn = 1
+    )
+    SELECT event_type, q,
+           0.0 + (CAST(bin AS DOUBLE)
+                  + (q * CAST(n_total AS DOUBLE) - CAST(cum_before AS DOUBLE))
+                    / CAST(cnt AS DOUBLE))
+                 * ((600.0 - 0.0) / 64.0) AS quantile_est
+    FROM hit
+    """,
+    tags=("sketch", "quantile", "histogram", "mergeable", "approx-with-exact-oracle"),
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch
+    (``operators.sketches.hist_build/hist_merge/hist_quantile``): per
+    event type, the p10/p50/p90/p99 of ``value`` estimated from 64
+    fixed-grid bins — |est − exact| ≤ one bin width by construction,
+    and the fixed grid is what makes the summary reduce cell-wise
+    across partitions/days (same-bin counts add). As with the HLL row,
+    the Spark side MERGES two half-histograms (split on event_id
+    parity) while the oracle computes the one-shot histogram — the hash
+    match is the merge law. The inverse-CDF interpolation is one fixed
+    IEEE chain over exact integers, so the estimates hash-check
+    bit-for-bit."""
+    from ehr_data_pipeline_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    lo, hi, nb = 0.0, 600.0, 64
+    g = ("event_type",)
+    first = hist_build(e.where(F.col("event_id") % 2 == 0), "value", lo, hi, nb, g)
+    second = hist_build(e.where(F.col("event_id") % 2 == 1), "value", lo, hi, nb, g)
+    merged = hist_merge(first, second, group_cols=g)
+    return hist_quantile(merged, [0.1, 0.5, 0.9, 0.99], lo, hi, nb, g)
+
+
+@register(
     "orders_bloom_prune_stats",
     oracle="""
     WITH members AS (
@@ -4992,7 +5057,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # events_hourly_rollup_merge, media_frame_sample_plan,
     # media_image_channel_stats, events_signup_funnel — and the
     # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
-    # doc_duplicate_spans, doc_substring_dedup.
+    # doc_duplicate_spans, doc_substring_dedup,
+    # events_value_quantile_sketch.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

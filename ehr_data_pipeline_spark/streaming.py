@@ -527,6 +527,63 @@ def rollup_maintenance_sink(
     )
 
 
+def hll_maintenance_sink(
+    state_path: str,
+    col: str,
+    group_cols: "tuple[str, ...]" = (),
+):
+    """foreachBatch maintainer for streaming distinct counts: each
+    microbatch's HLL registers merge cell-wise (MAX) into the maintained
+    register set (``operators.sketches.hll_merge``). Like the rollup
+    sink this needs NO event-time ordering across batches — max
+    commutes, is idempotent, and merge(hll(A), hll(B)) == hll(A∪B)
+    exactly, so late or replayed data can only re-assert registers. The
+    state is ≤ m rows per group forever, no matter how much stream has
+    flowed. Read with :func:`read_hll_estimate`."""
+    from ehr_data_pipeline_spark.operators.sketches import hll_build, hll_merge
+
+    return incremental_epoch_sink(
+        state_path,
+        init_fn=lambda b: hll_build(b, col, group_cols),
+        merge_fn=lambda state, b: hll_merge(
+            state, hll_build(b, col, group_cols), group_cols=group_cols
+        ),
+    )
+
+
+def read_hll_estimate(
+    spark: SparkSession, state_path: str, group_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Current streaming distinct-count estimates from the maintained
+    registers."""
+    from ehr_data_pipeline_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(read_epoch_state(spark, state_path), group_cols)
+
+
+def run_hll_maintenance(
+    events: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    group_cols: "tuple[str, ...]" = (),
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input into the maintained HLL
+    registers with an ``availableNow`` trigger and a real checkpoint —
+    restartable, order-free (cell-wise max commutes)."""
+    query = (
+        events.writeStream.foreachBatch(
+            hll_maintenance_sink(state_path, col, group_cols)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The finalized continuous aggregate (derived sum/avg from the
     maintained mergeable partials)."""

@@ -137,3 +137,61 @@ def test_bloom_bit_count_bounded(spark):
     n_bits_set = bloom.count()
     assert 0 < n_bits_set <= 256
     assert bloom.distinct().count() == n_bits_set
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+from ehr_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    hist_build,
+    hist_merge,
+    hist_quantile,
+)
+
+
+def _hcells(df):
+    return {r["bin"]: r["cnt"] for r in df.collect()}
+
+
+def test_hist_merge_equals_hist_of_union(spark):
+    a = spark.createDataFrame([(float(i % 37),) for i in range(300)], "v double")
+    b = spark.createDataFrame([(float(i % 53),) for i in range(400)], "v double")
+    merged = hist_merge(hist_build(a, "v", 0.0, 64.0), hist_build(b, "v", 0.0, 64.0))
+    direct = hist_build(a.unionAll(b), "v", 0.0, 64.0)
+    assert _hcells(merged) == _hcells(direct)
+
+
+def test_hist_quantile_within_one_bin_width(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = sorted(rng.uniform(0.0, 100.0) for _ in range(2000))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = hist_build(df, "v", 0.0, 100.0, 50)
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in hist_quantile(sk, [0.1, 0.5, 0.9], 0.0, 100.0, 50).collect()
+    }
+    width = 100.0 / 50
+    for q in (0.1, 0.5, 0.9):
+        exact = vals[int(q * len(vals)) - 1]
+        assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
+
+
+def test_hist_clamps_out_of_range_to_edge_bins(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,), (250.0,)], "v double")
+    cells = _hcells(hist_build(df, "v", 0.0, 100.0, 10))
+    assert cells[0] == 2  # -5.0 clamped down, 0.5 in range
+    assert cells[9] == 2  # 99.0 in range, 250.0 clamped up
+
+
+def test_hist_quantile_extremes(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    sk = hist_build(df, "v", 0.0, 100.0, 10)
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in hist_quantile(sk, [0.0, 1.0], 0.0, 100.0, 10).collect()
+    }
+    assert got[0.0] == 0.0  # first present bin, zero interpolation
+    assert 90.0 <= got[1.0] <= 100.0  # full rank lands in the last bin

@@ -469,3 +469,43 @@ def test_rollup_stream_maintenance_matches_one_shot(checkpointed, tmp_path):
     assert canon(read_rollup(spark, roll_path)) == canon(
         rollup_finalize(time_rollup(events))
     )
+
+
+def test_hll_stream_maintenance_matches_one_shot(checkpointed, tmp_path):
+    """Streaming distinct-count maintenance must equal the one-shot HLL
+    over all events: cell-wise MAX commutes and is idempotent, so
+    unordered slices (and replays) converge to the identical register
+    set — merge(hll(A), hll(B)) == hll(A∪B) end to end through the
+    epoch sink."""
+    from ehr_data_pipeline_spark.operators.sketches import hll_build
+    from ehr_data_pipeline_spark.streaming import (
+        read_epoch_state,
+        read_hll_estimate,
+        run_hll_maintenance,
+    )
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 64)
+    src = tmp_path / "hll_src"
+    # deliberately unordered slices (by user parity, not time)
+    events.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "odd"))
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "even"))
+
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_hll_maintenance(stream, state, ckpt, "user_id", ("event_type",))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    streamed = read_epoch_state(spark, state).select("event_type", "bucket", "reg")
+    direct = hll_build(events, "user_id", ("event_type",))
+    assert canon(streamed) == canon(direct)
+    est = {r["event_type"]: r["hll_estimate"]
+           for r in read_hll_estimate(spark, state, ("event_type",)).collect()}
+    assert est and all(v > 0 for v in est.values())
