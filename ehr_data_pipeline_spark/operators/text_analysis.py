@@ -547,3 +547,88 @@ def unigram_lm_scores(
             ).alias("avg_neg_logp_bits"),
         )
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw doc
+    by how much more likely its hashed-token bag is under the TARGET
+    corpus's distribution than under the raw corpus's own — the standard
+    cheap domain-targeted data selection. Per doc:
+
+        avg_logw_bits = (1/n) Σ_tok [log2 p_target(b) − log2 p_raw(b)]
+
+    with bucket b = portable-hash(token) mod ``n_buckets`` and add-one
+    smoothed models p(b) = (cnt_b + 1)/(N + B). Positive = looks like
+    the target domain; select by descending weight.
+
+    Scale shape: both models are ≤ n_buckets rows (one groupBy each over
+    exploded tokens, map-side combined), the per-bucket log-ratio table
+    broadcasts, and the doc pass is one groupBy on the id — three linear
+    shuffles, nothing driver-sized. Cross-engine determinism is the
+    unigram-LM trick: each log2 is quantized to 1e-4 bits as a BIGINT
+    before summing (libm log2 is not bit-identical across engines;
+    integer sums are), the model constants fold into one term applied
+    per token, and the only double op is the final division chain."""
+    from ehr_data_pipeline_spark.operators.text_dedup import base_shingle_hash
+
+    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        ex = df.select(
+            *cols, F.explode(whitespace_tokens(F.col(text_col))).alias("tok")
+        )
+        return ex.select(
+            *([id_col] if with_id else []),
+            (base_shingle_hash(F.col("tok")) % F.lit(n_buckets)).alias("bucket"),
+        )
+
+    def q_log(c: Column) -> Column:
+        return F.round(F.log2(c.cast("double")) * 10000).cast("bigint")
+
+    t_cnt = bucketed(target, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    r_cnt = bucketed(raw, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt")
+    )
+    # per-bucket quantized log-ratio of the smoothed counts; buckets absent
+    # from one side smooth to count 0 (+1)
+    model = (
+        t_cnt.join(r_cnt, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                q_log(F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+                - q_log(F.coalesce(F.col("r_cnt"), F.lit(0)) + 1)
+            ).alias("q_ratio"),
+        )
+    )
+    totals = t_cnt.agg(
+        (q_log(F.sum("t_cnt") + n_buckets)).alias("q_nt")
+    ).crossJoin(r_cnt.agg((q_log(F.sum("r_cnt") + n_buckets)).alias("q_nr")))
+    per_doc = (
+        bucketed(raw, True)
+        .join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("q_ratio").cast("bigint").alias("__sum_q"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_tokens",
+        (
+            (
+                F.col("__sum_q")
+                - F.col("n_tokens") * (F.col("q_nt") - F.col("q_nr"))
+            ).cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(10000.0))
+        ).alias("avg_logw_bits"),
+    )

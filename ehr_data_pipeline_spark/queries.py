@@ -2207,6 +2207,72 @@ def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_dsir_selection",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), bx AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM ex
+    ), t_cnt AS (
+      SELECT bucket, COUNT(*) AS t_cnt
+      FROM bx JOIN documents USING (doc_id) WHERE lang = 'en'
+      GROUP BY bucket
+    ), r_cnt AS (
+      SELECT bucket, COUNT(*) AS r_cnt FROM bx GROUP BY bucket
+    ), model AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             CAST(round(log2(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)) * 10000) AS BIGINT)
+             - CAST(round(log2(CAST(COALESCE(r.r_cnt, 0) + 1 AS DOUBLE)) * 10000) AS BIGINT)
+               AS q_ratio
+      FROM t_cnt t FULL OUTER JOIN r_cnt r ON t.bucket = r.bucket
+    ), tot AS (
+      SELECT CAST(round(log2(CAST((SELECT SUM(t_cnt) FROM t_cnt) + 1024 AS DOUBLE))
+                   * 10000) AS BIGINT) AS q_nt,
+             CAST(round(log2(CAST((SELECT SUM(r_cnt) FROM r_cnt) + 1024 AS DOUBLE))
+                   * 10000) AS BIGINT) AS q_nr
+    ), per_doc AS (
+      SELECT bx.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(m.q_ratio) AS BIGINT) AS sum_q
+      FROM bx JOIN model m USING (bucket) GROUP BY bx.doc_id
+    )
+    SELECT p.doc_id, d.lang, p.n_tokens,
+           CAST(p.sum_q - p.n_tokens * (t.q_nt - t.q_nr) AS DOUBLE)
+             / (CAST(p.n_tokens AS DOUBLE) * 10000.0) AS avg_logw_bits
+    FROM per_doc p, tot t
+    JOIN documents d ON d.doc_id = p.doc_id
+    ORDER BY avg_logw_bits DESC, p.doc_id ASC
+    LIMIT 50
+    """,
+    tags=("text", "data-selection", "dsir", "importance-weighting"),
+)
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-targeted data selection
+    (``text_analysis.dsir_importance_weights``): hashed-token bag-of-words
+    importance weights of every doc against the English-language subset
+    as the target domain, top-50 by weight — the standard "select raw
+    data that looks like the target" curation step. The per-bucket
+    models are ≤ 1024 rows and broadcast; the top-k is
+    TakeOrderedAndProject with a doc_id tiebreak. Weights are bit-exact
+    across engines via the 1e-4-bit fixed-point log quantization, so the
+    selection ORDER (and hence the top-50 set) hash-checks."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(d, d.where(F.col("lang") == "en"))
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "avg_logw_bits")
+        .orderBy(F.col("avg_logw_bits").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------
@@ -5058,7 +5124,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # media_image_channel_stats, events_signup_funnel — and the
     # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
     # doc_duplicate_spans, doc_substring_dedup,
-    # events_value_quantile_sketch.
+    # events_value_quantile_sketch, doc_dsir_selection.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

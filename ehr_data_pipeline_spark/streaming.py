@@ -561,6 +561,58 @@ def read_hll_estimate(
     return hll_estimate(read_epoch_state(spark, state_path), group_cols)
 
 
+def cm_maintenance_sink(
+    state_path: str,
+    col: str,
+    depth: int | None = None,
+    width: int | None = None,
+):
+    """foreachBatch maintainer for streaming frequency estimates: each
+    microbatch's count-min cells merge cell-wise (SUM) into the
+    maintained sketch (``operators.sketches.cm_merge``). Cell-wise
+    addition commutes, so no event-time ordering is needed; state is
+    ≤ depth×width rows forever. NOT replay-idempotent by itself (sums
+    double-count) — exactly-once comes from the epoch sink's
+    read-strictly-below/overwrite-own contract, which recomputes a
+    replayed batch from the same predecessor."""
+    from ehr_data_pipeline_spark.operators import sketches as sk
+
+    d = sk.DEFAULT_DEPTH if depth is None else depth
+    w = sk.DEFAULT_WIDTH if width is None else width
+    return incremental_epoch_sink(
+        state_path,
+        init_fn=lambda b: sk.cm_build(b, col, d, w),
+        merge_fn=lambda state, b: sk.cm_merge(state, sk.cm_build(b, col, d, w)),
+    )
+
+
+def hist_maintenance_sink(
+    state_path: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int | None = None,
+    group_cols: "tuple[str, ...]" = (),
+):
+    """foreachBatch maintainer for streaming quantile summaries: each
+    microbatch's fixed-grid histogram merges cell-wise (SUM) into the
+    maintained one (``operators.sketches.hist_merge``); read-side
+    quantiles come from ``hist_quantile`` over
+    :func:`read_epoch_state`. Same exactly-once argument as the
+    count-min sink."""
+    from ehr_data_pipeline_spark.operators import sketches as sk
+
+    nb = sk.HIST_BINS if n_bins is None else n_bins
+    return incremental_epoch_sink(
+        state_path,
+        init_fn=lambda b: sk.hist_build(b, col, lo, hi, nb, group_cols),
+        merge_fn=lambda state, b: sk.hist_merge(
+            state, sk.hist_build(b, col, lo, hi, nb, group_cols),
+            group_cols=group_cols,
+        ),
+    )
+
+
 def run_hll_maintenance(
     events: DataFrame,
     state_path: str,

@@ -509,3 +509,53 @@ def test_hll_stream_maintenance_matches_one_shot(checkpointed, tmp_path):
     est = {r["event_type"]: r["hll_estimate"]
            for r in read_hll_estimate(spark, state, ("event_type",)).collect()}
     assert est and all(v > 0 for v in est.values())
+
+
+def test_cm_and_hist_stream_maintenance_match_one_shot(checkpointed, tmp_path):
+    """The other two mergeable sketches compose with the epoch sink the
+    same way: streamed count-min cells == one-shot build, streamed
+    histogram == one-shot build, over unordered slices."""
+    from ehr_data_pipeline_spark.operators.sketches import cm_build, hist_build
+    from ehr_data_pipeline_spark.streaming import (
+        cm_maintenance_sink,
+        hist_maintenance_sink,
+        read_epoch_state,
+    )
+
+    spark = checkpointed
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 64)
+    src = tmp_path / "cm_src"
+    events.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "odd"))
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "even"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for label, sink, one_shot in [
+        (
+            "cm",
+            cm_maintenance_sink(str(tmp_path / "cm_state"), "user_id"),
+            cm_build(events, "user_id"),
+        ),
+        (
+            "hist",
+            hist_maintenance_sink(
+                str(tmp_path / "hist_state"), "value", 0.0, 600.0
+            ),
+            hist_build(events, "value", 0.0, 600.0),
+        ),
+    ]:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"{label}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state_path = str(tmp_path / f"{label}_state")
+        assert canon(read_epoch_state(spark, state_path)) == canon(one_shot), label

@@ -314,3 +314,58 @@ def test_gopher_boundary_ratios_pass(spark):
     assert rows[1]["ok_symbol_ratio"]
     assert rows[2]["ok_bullet_lines"]
     assert rows[3]["ok_ellipsis_lines"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_zero_when_target_is_raw(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "bb cc dd ee"), (3, "ff gg hh ii")],
+        "doc_id long, text string",
+    )
+    rows = dsir_importance_weights(df, df).collect()
+    # identical models: every bucket ratio is exactly 0 and the constant
+    # term cancels, so the weight is exactly 0.0 for every doc
+    assert all(r["avg_logw_bits"] == 0.0 for r in rows)
+
+
+def test_dsir_prefers_target_domain(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    legal = [
+        (i, "whereas the party of the first part shall indemnify heretofore")
+        for i in range(10)
+    ]
+    chat = [(100 + i, "lol brb omg gonna grab tacos later ok") for i in range(10)]
+    raw = spark.createDataFrame(legal + chat, "doc_id long, text string")
+    target = spark.createDataFrame(legal, "doc_id long, text string")
+    w = {r["doc_id"]: r["avg_logw_bits"]
+         for r in dsir_importance_weights(raw, target).collect()}
+    assert min(w[i] for i, _ in legal) > max(w[i] for i, _ in chat)
+
+
+def test_dsir_handles_target_only_and_raw_only_tokens(spark):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "xx yy"), (2, "zz ww")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(10, "xx qq")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dsir_importance_weights(raw, target).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1 shares a token with the target, doc 2 shares none
+    assert rows[1]["avg_logw_bits"] > rows[2]["avg_logw_bits"]
+    assert all(r["n_tokens"] == 2 for r in rows.values())
