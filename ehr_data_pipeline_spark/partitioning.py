@@ -70,6 +70,32 @@ def zorder_key(
     return key
 
 
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    cols: "Sequence[str]",
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet layout: range-partition on ``cols`` (each
+    output file owns a contiguous, non-overlapping key range) and sort
+    within partitions — the layout downstream merge readers, as-of
+    joins, and min/max data skipping want. One range-exchange shuffle
+    (plus Spark's boundary sampling pass); at 100 TB the per-file range
+    metadata is what lets a point/range query touch O(1) files instead
+    of all of them. Single-column Z-order is the multi-column
+    generalization (:func:`write_zordered`)."""
+    from pyspark.sql import functions as F
+
+    n = n_files or df.rdd.getNumPartitions()
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

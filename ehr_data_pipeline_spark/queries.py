@@ -3063,6 +3063,47 @@ def event_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_skew_stats",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), total AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM counts
+    )
+    SELECT c.user_id, CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_rows AS DOUBLE) / CAST(t.total_rows AS DOUBLE) AS share
+    FROM counts c, total t
+    ORDER BY c.n_rows DESC, c.user_id ASC
+    LIMIT 10
+    """,
+    tags=("skew", "diagnosis", "top-k"),
+)
+def events_user_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis as a driver row — the top-10 heaviest join keys
+    with their share of all rows, the number you read before choosing
+    ``operators.skew.salted_join``'s n_salts. Unlike the eager
+    ``skewed_key_stats`` helper this stays one lazy plan: the scalar
+    total is a broadcast one-row cross join (the same lazy-split idiom
+    as ``events_hourly_rollup_merge``), the top-k is
+    TakeOrderedAndProject with a key tiebreak, and the share is one IEEE
+    division of exact counts."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows").cast("double") / F.col("total_rows").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "events_value_quantile_sketch",
     oracle="""
     WITH binned AS (
@@ -5124,7 +5165,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # media_image_channel_stats, events_signup_funnel — and the
     # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
     # doc_duplicate_spans, doc_substring_dedup,
-    # events_value_quantile_sketch, doc_dsir_selection.
+    # events_value_quantile_sketch, doc_dsir_selection,
+    # events_user_skew_stats.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

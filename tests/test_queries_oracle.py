@@ -164,6 +164,9 @@ TIE_PRONE = [
     "doc_top_tfidf_terms",
     "emb_knn_topk",
     "events_stratified_sample",
+    "events_user_skew_stats",
+    "doc_dsir_selection",
+    "user_cms_accuracy",
 ]
 
 

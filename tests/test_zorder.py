@@ -95,3 +95,29 @@ def test_zordered_layout_localizes_both_dimensions(spark, tmp_path):
     assert zu < 0.75 * global_u         # AND user_id localized
     assert sv < 0.3 * global_v          # plain sort localizes value better...
     assert su > 0.9 * global_u          # ...but leaves user_id at global span
+
+
+def test_range_partitioned_write_produces_disjoint_sorted_files(spark, tmp_path):
+    """Globally-sorted layout: each output file owns a contiguous,
+    non-overlapping key range, and rows inside each file are sorted —
+    the min/max metadata a point/range read prunes on."""
+    from ehr_data_pipeline_spark.partitioning import write_range_partitioned
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "ranged")
+    write_range_partitioned(df, out, ["k"], n_files=8)
+
+    spans = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf):
+            assert list(pdf["k"]) == sorted(pdf["k"])  # sorted within file
+            spans.append((pdf["k"].min(), pdf["k"].max()))
+    assert len(spans) > 1
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # contiguous, non-overlapping ranges
+    # nothing lost in the re-layout
+    assert spark.read.parquet(out).count() == 10_000
