@@ -88,15 +88,25 @@ def cm_build(
     )
 
 
-def cm_merge(*sketches: DataFrame) -> DataFrame:
-    """Cell-wise sum of sketches built with the same (depth, width) —
-    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly."""
+def _cellwise_merge(
+    sketches: "tuple[DataFrame, ...]", keys: "tuple[str, ...]", agg: Column
+) -> DataFrame:
+    """Shared merge shape for every mergeable structure here: union all
+    register/cell sets, then one cell-wise aggregate keyed on the cell
+    address — only the key columns and the combining aggregate differ
+    (SUM for counts, MAX for HLL ranks)."""
     if not sketches:
-        raise ValueError("cm_merge requires at least one sketch")
+        raise ValueError("merge requires at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*keys).agg(agg)
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with the same (depth, width) —
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly."""
+    return _cellwise_merge(sketches, ("row", "bucket"), F.sum("cnt").alias("cnt"))
 
 
 def cm_estimate(
@@ -180,12 +190,9 @@ def hll_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFra
     max is commutative/associative/idempotent, merge(hll(A), hll(B)) ==
     hll(A ∪ B) EXACTLY — per-partition / per-day register sets roll up
     without touching raw data, and replayed merges are harmless."""
-    if not sketches:
-        raise ValueError("hll_merge requires at least one sketch")
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
-    return out.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+    return _cellwise_merge(
+        sketches, (*group_cols, "bucket"), F.max("reg").alias("reg")
+    )
 
 
 def hll_estimate(sketch: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -251,16 +258,20 @@ def bloom_might_contain(
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Adds ``might_contain``: true iff all k addressed bits are set.
-    The filter side is broadcast by construction, so probing adds no
-    shuffle over the probe set. One-sided: a member's k bits are all set
+    Returns one row per DISTINCT probe row (duplicate probes would
+    otherwise collapse into one group whose matched-bit count exceeds k,
+    flipping a true member to false — a false negative). The filter side
+    is broadcast by construction, so probing adds no shuffle over the
+    probe set beyond the dedup. One-sided: a member's k bits are all set
     by build, so false negatives are impossible; false positives occur
     at rate ≈ (1 - e^{-kn/m})^k."""
-    probed = probes.select(
-        "*", F.posexplode(_bloom_positions(F.col(col), n_bits, k)).alias("probe_i", "bit")
+    distinct_probes = probes.distinct()
+    probed = distinct_probes.select(
+        "*", F.explode(_bloom_positions(F.col(col), n_bits, k)).alias("bit")
     )
     hits = (
         probed.join(F.broadcast(bloom.withColumn("set_", F.lit(1))), "bit", "left")
-        .groupBy(*probes.columns)
+        .groupBy(*distinct_probes.columns)
         .agg((F.count("set_") == F.lit(k)).alias("might_contain"))
     )
     return hits
@@ -307,12 +318,9 @@ def hist_build(
 def hist_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Cell-wise sum of histograms built on the same grid —
     hist(A ∪ B) == merge(hist(A), hist(B)) exactly."""
-    if not sketches:
-        raise ValueError("hist_merge requires at least one sketch")
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
-    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return _cellwise_merge(
+        sketches, (*group_cols, "bin"), F.sum("cnt").cast("bigint").alias("cnt")
+    )
 
 
 def hist_quantile(

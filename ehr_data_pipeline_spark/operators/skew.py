@@ -72,12 +72,25 @@ def salted_join(
 
 def skewed_key_stats(df: DataFrame, key_cols: list[str], top_k: int = 10) -> DataFrame:
     """Skew diagnosis: the top-k heaviest keys with their share of all
-    rows — the number you look at before choosing n_salts. One count
-    shuffle + a broadcast of the scalar total."""
-    total = df.count()
-    counts = (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.col("n_rows").cast("double") / F.lit(float(total)))
+    rows — the number you look at before choosing n_salts. One LAZY
+    plan: the scalar total is a broadcast one-row cross join over the
+    same counts aggregate (an eager ``df.count()`` here would run a
+    separate Spark job — and a second full scan — at call time for
+    every plan-inspection caller). Total order: count desc, then keys
+    asc NULLS LAST (ANSI/DuckDB default, so oracle comparisons agree on
+    tie-breaks involving a null key group)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("__total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.col("n_rows").cast("double") / F.col("__total_rows").cast("double"),
+        )
+        .drop("__total_rows")
+        .orderBy(
+            F.col("n_rows").desc(),
+            *[F.col(c).asc_nulls_last() for c in key_cols],
+        )
+        .limit(top_k)
     )
-    return counts.orderBy(F.col("n_rows").desc(), *key_cols).limit(top_k)

@@ -719,22 +719,26 @@ def token_window_hashes(
     et al. 2022, "Deduplicating Training Data Makes Language Models
     Better") detects duplicated spans in. Linear in total tokens: one
     in-row transform builds the window texts, one explode emits them;
-    docs shorter than ``window`` emit nothing. Hashes are the portable
-    60-bit md5 prefix, so DuckDB replays the identical stream."""
+    docs shorter than ``window`` emit nothing. The fingerprint is the
+    FULL 128-bit md5 (not the 60-bit prefix the candidate-generation
+    hashes use): window equality here directly deletes text, so it gets
+    the same exactness standard as ``exact_dedup``'s fingerprint — at
+    10^13 windows (100 TB) a 60-bit key expects ~10^5 colliding pairs,
+    each silently marking unique text duplicated, while 128 bits put the
+    birthday term below 10^-12."""
     from ehr_data_pipeline_spark.operators.text_analysis import (
         let_bound,
-        portable_hash60,
         whitespace_tokens,
     )
 
     def windows_of(toks: Column) -> Column:
         wins = F.transform(
             F.sequence(F.lit(1), F.size(toks) - (window - 1)),
-            lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i, window))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
         )
         # guard: sequence(1, x<=0) DESCENDS instead of being empty
         return F.when(F.size(toks) >= window, wins).otherwise(
-            F.array().cast("array<bigint>")
+            F.array().cast("array<string>")
         )
 
     hashes = let_bound(whitespace_tokens(F.col(text_col)), windows_of)
@@ -819,8 +823,10 @@ def strip_duplicate_spans(
     dedup step of exact-substring dedup): tokens covered by a
     ``duplicate_spans`` interval are dropped, the remainder re-joins in
     order. Returns ``(id, dedup_text, n_tokens, n_tokens_kept)`` for
-    every doc with ≥1 token — docs without duplicated spans pass through
-    whole.
+    EVERY input doc — docs without duplicated spans pass through whole,
+    and empty/whitespace-only docs come back as ``("", 0, 0)`` instead of
+    disappearing (a corpus rewrite must preserve cardinality, or
+    downstream joins silently lose the ids).
 
     The token↔span coverage join is an equi join on the doc id with a
     range residual (spans per doc are few and disjoint by construction),
@@ -845,8 +851,15 @@ def strip_duplicate_spans(
     )
     kept_flag = toks.join(covered, ["id", "pos"], "left_anti")
     return (
-        toks.groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(
+            toks.groupBy("id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+            ),
+            "id",
+            "left",
+        )
         .join(
             kept_flag.groupBy("id").agg(
                 F.array_join(
@@ -864,7 +877,7 @@ def strip_duplicate_spans(
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
-            "n_tokens",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
             F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias(
                 "n_tokens_kept"
             ),

@@ -3073,7 +3073,7 @@ def event_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.user_id, CAST(c.n_rows AS BIGINT) AS n_rows,
            CAST(c.n_rows AS DOUBLE) / CAST(t.total_rows AS DOUBLE) AS share
     FROM counts c, total t
-    ORDER BY c.n_rows DESC, c.user_id ASC
+    ORDER BY c.n_rows DESC, c.user_id ASC NULLS LAST
     LIMIT 10
     """,
     tags=("skew", "diagnosis", "top-k"),
@@ -3081,26 +3081,14 @@ def event_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis as a driver row — the top-10 heaviest join keys
     with their share of all rows, the number you read before choosing
-    ``operators.skew.salted_join``'s n_salts. Unlike the eager
-    ``skewed_key_stats`` helper this stays one lazy plan: the scalar
-    total is a broadcast one-row cross join (the same lazy-split idiom
-    as ``events_hourly_rollup_merge``), the top-k is
-    TakeOrderedAndProject with a key tiebreak, and the share is one IEEE
-    division of exact counts."""
-    e = _t(spark, sf_dir, "events")
-    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    total = counts.agg(F.sum("n_rows").cast("bigint").alias("total_rows"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "user_id",
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            (F.col("n_rows").cast("double") / F.col("total_rows").cast("double"))
-            .alias("share"),
-        )
-        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
-        .limit(10)
-    )
+    ``operators.skew.salted_join``'s n_salts
+    (``operators.skew.skewed_key_stats``: one lazy plan — broadcast
+    scalar total, TakeOrderedAndProject top-k with an ASC NULLS LAST key
+    tiebreak matching the oracle's, share as one IEEE division of exact
+    counts)."""
+    from ehr_data_pipeline_spark.operators.skew import skewed_key_stats
+
+    return skewed_key_stats(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)
 
 
 @register(
@@ -3930,7 +3918,7 @@ _SPAN_WINS_SQL = """
       FROM documents
     ), wins AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-             ('0x' || substr(md5(array_to_string(t[u.i+1:u.i+8], ' ')), 1, 15))::BIGINT AS wh
+             md5(array_to_string(t[u.i+1:u.i+8], ' ')) AS wh
       FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
       WHERE len(t) >= 8
     ), dup AS (

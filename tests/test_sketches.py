@@ -195,3 +195,15 @@ def test_hist_quantile_extremes(spark):
     }
     assert got[0.0] == 0.0  # first present bin, zero interpolation
     assert 90.0 <= got[1.0] <= 100.0  # full rank lands in the last bin
+
+
+def test_bloom_duplicate_probes_keep_no_false_negatives(spark):
+    # regression: duplicate probe rows used to collapse into one group
+    # whose matched-bit count exceeded k, flipping a member to False
+    members = spark.createDataFrame([(7,), (8,)], "k long")
+    bloom = bloom_build(members, "k", n_bits=1024, k=5)
+    probes = spark.createDataFrame([(7,), (7,), (9,)], "k long")
+    got = {r["k"]: r["might_contain"]
+           for r in bloom_might_contain(probes, "k", bloom, n_bits=1024, k=5).collect()}
+    assert got[7] is True  # member stays a member however often probed
+    assert len(got) == 2  # one row per DISTINCT probe

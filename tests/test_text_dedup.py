@@ -504,3 +504,16 @@ def test_strip_fully_duplicated_doc_becomes_empty(spark):
         assert out[i]["dedup_text"] == ""
         assert out[i]["n_tokens"] == 10
         assert out[i]["n_tokens_kept"] == 0
+
+
+def test_strip_preserves_empty_and_whitespace_docs(spark):
+    # regression: empty/whitespace-only docs used to vanish from the
+    # rewrite output entirely (cardinality loss)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "k1 k2 k3")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["dedup_text"], r["n_tokens"], r["n_tokens_kept"])
+           for r in strip_duplicate_spans(df, window=8).collect()}
+    assert out[1] == ("", 0, 0)
+    assert out[2] == ("", 0, 0)
+    assert out[3] == ("k1 k2 k3", 3, 3)
