@@ -262,6 +262,68 @@ def resize_images(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return images.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
+def segment_audio(assets: DataFrame, segment_ms: int = 1000) -> DataFrame:
+    """Fixed-window segmentation for audio assets — the audio analogue
+    of :func:`sample_frames`: each asset fans out to its
+    ⌈duration/segment⌉ windows (``sequence`` + ``explode``, pure JVM)
+    with half-open [start_ms, end_ms) bounds, the per-segment sample
+    count derived from the rate by integer arithmetic, and an
+    audio-typed per-segment asset row; per-segment decode happens only
+    downstream, on the segments a caller keeps. The last window is
+    truncated to the asset's duration."""
+    audio = assets.filter(F.col("media_meta.media_type") == "audio")
+    n_segments = F.expr(
+        f"(media_meta.duration_ms + {segment_ms - 1}) div {segment_ms}"
+    )
+    segs = audio.select(
+        "asset_id",
+        "content",
+        "media_meta",
+        F.explode(F.sequence(F.lit(0), (n_segments - 1).cast("int"))).alias(
+            "segment_idx"
+        ),
+    )
+    start_ms = (F.col("segment_idx").cast("bigint") * segment_ms).alias("start_ms")
+    end_ms = F.least(
+        F.col("media_meta.duration_ms"),
+        (F.col("segment_idx").cast("bigint") + 1) * segment_ms,
+    ).alias("end_ms")
+    # a real codec seeks per window; the fake varies the payload per
+    # segment so decoded segments differ deterministically
+    return segs.select(
+        "asset_id",
+        "segment_idx",
+        start_ms,
+        end_ms,
+        F.expr(
+            "(least(media_meta.duration_ms, (CAST(segment_idx AS BIGINT) + 1) "
+            f"* {segment_ms}) - CAST(segment_idx AS BIGINT) * {segment_ms}) "
+            "* media_meta.sample_rate_hz div 1000"
+        ).cast("bigint").alias("n_samples"),
+        F.concat(
+            F.col("content"),
+            F.encode(
+                F.concat(F.lit("seg"), F.col("segment_idx").cast("string")), "UTF-8"
+            ),
+        ).alias("content"),
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.col("media_meta.format").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.col("media_meta.sample_rate_hz").alias("sample_rate_hz"),
+            (
+                F.least(
+                    F.col("media_meta.duration_ms"),
+                    (F.col("segment_idx").cast("bigint") + 1) * segment_ms,
+                )
+                - F.col("segment_idx").cast("bigint") * segment_ms
+            ).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
 def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video assets: the frame index fan-out is pure
     JVM (``sequence`` + ``explode`` — 0, every_n, 2·every_n, … up to

@@ -3293,6 +3293,51 @@ def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_segment_plan",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT asset_id, CAST(s.seg AS INT) AS segment_idx,
+           CAST(s.seg * 1000 AS BIGINT) AS start_ms,
+           CAST(LEAST(duration_ms, (s.seg + 1) * 1000) AS BIGINT) AS end_ms,
+           CAST((LEAST(duration_ms, (s.seg + 1) * 1000) - s.seg * 1000)
+                * 16000 // 1000 AS BIGINT) AS n_samples,
+           md5(text || 'seg' || CAST(s.seg AS VARCHAR)) AS segment_payload_md5
+    FROM a, UNNEST(range(0, (duration_ms + 999) // 1000)) AS s(seg)
+    """,
+    tags=("multimodal", "audio", "segmentation"),
+)
+def media_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-window segmentation PLAN for audio assets, hash-checked
+    end to end without any decode — the audio analogue of
+    ``media_frame_sample_plan``: ``segment_audio`` fans each audio asset
+    out to its 1-second windows (sequence+explode, pure JVM), derives
+    half-open [start_ms, end_ms) bounds, integer-exact per-segment
+    sample counts, and the per-segment payload. This query emits (asset,
+    segment, bounds, samples, payload md5), so the whole Spark-side
+    plumbing has a full SQL twin; decode stays behind the fake codec."""
+    from ehr_data_pipeline_spark.operators.multimodal import (
+        segment_audio,
+        synthesize_assets,
+    )
+
+    segs = segment_audio(
+        synthesize_assets(_t(spark, sf_dir, "documents")), segment_ms=1000
+    )
+    return segs.select(
+        "asset_id",
+        F.col("segment_idx").cast("int").alias("segment_idx"),
+        "start_ms",
+        "end_ms",
+        "n_samples",
+        F.md5(F.col("content")).alias("segment_payload_md5"),
+    )
+
+
+@register(
     "media_frame_sample_plan",
     oracle="""
     WITH v AS (
@@ -5154,7 +5199,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
     # doc_duplicate_spans, doc_substring_dedup,
     # events_value_quantile_sketch, doc_dsir_selection,
-    # events_user_skew_stats.
+    # events_user_skew_stats, media_audio_segment_plan.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

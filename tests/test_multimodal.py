@@ -119,3 +119,49 @@ def test_frame_sampling_fanout_and_features(assets):
     # frames of one video decode to different arrays (payload varies by index)
     one = frames.orderBy("asset_id", "frame_idx").limit(2).collect()
     assert one[0]["content"] != one[1]["content"]
+
+
+def test_audio_segmentation_covers_duration_exactly(assets):
+    from ehr_data_pipeline_spark.operators.multimodal import segment_audio
+
+    segs = segment_audio(assets, segment_ms=1000)
+    rows = segs.collect()
+    assert rows, "no audio assets segmented"
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        assert r["media_meta"]["media_type"] == "audio"
+        assert r["end_ms"] - r["start_ms"] == r["media_meta"]["duration_ms"]
+        assert r["n_samples"] == (r["end_ms"] - r["start_ms"]) * 16000 // 1000
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    durations = {
+        r["asset_id"]: r["media_meta"]["duration_ms"]
+        for r in assets.filter(
+            F.col("media_meta.media_type") == "audio"
+        ).collect()
+    }
+    for aid, seg_rows in by_asset.items():
+        seg_rows.sort(key=lambda r: r["segment_idx"])
+        # contiguous half-open windows tiling [0, duration) exactly
+        assert seg_rows[0]["start_ms"] == 0
+        for a, b in zip(seg_rows, seg_rows[1:]):
+            assert a["end_ms"] == b["start_ms"]
+        assert seg_rows[-1]["end_ms"] == durations[aid]
+        # every full window is segment_ms; only the last may be shorter
+        for r in seg_rows[:-1]:
+            assert r["end_ms"] - r["start_ms"] == 1000
+
+
+def test_audio_segment_payloads_differ_per_segment(assets):
+    from ehr_data_pipeline_spark.operators.multimodal import segment_audio
+
+    segs = segment_audio(assets, segment_ms=1000)
+    two = (
+        segs.groupBy("asset_id")
+        .agg(
+            F.countDistinct("segment_idx").alias("n"),
+            F.countDistinct(F.md5("content")).alias("n_payloads"),
+        )
+        .collect()
+    )
+    for r in two:
+        assert r["n_payloads"] == r["n"]  # fake codec varies per segment
