@@ -549,6 +549,78 @@ def unigram_lm_scores(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every doc against a bag of query terms —
+    the standard lexical retrieval scorer (term-frequency saturation +
+    length normalization + rare-term IDF), Lucene's smoothed IDF
+    variant with log2 in place of ln (a constant factor: identical
+    ranking). Returns ``(id, bm25_micro, bm25)`` for docs containing at
+    least one query term.
+
+    Scale shape: corpus stats are two linear aggregates (doc lengths;
+    per-query-term document frequencies — the query-term set is a tiny
+    broadcast literal); scoring is one semi-join-shaped pass over the
+    exploded tokens filtered to query terms, then a per-doc groupBy.
+
+    Cross-engine determinism: each per-term score is one fixed IEEE
+    chain over exact inputs, then quantized to 1e-6 units as a BIGINT
+    BEFORE the per-doc sum (a double Σ over terms is order-dependent;
+    the integer Σ commutes — the unigram-LM/DSIR trick), and the IDF's
+    libm log2 is itself pre-quantized to 1e-4 bits. ``bm25`` is the one
+    final division of the exact micro total."""
+    toks = whitespace_tokens(F.col(text_col))
+    terms = sorted(set(query_terms))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    lens = ex.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    hits = ex.where(F.col("tok").isin(terms))
+    tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+
+    q_idf = F.round(
+        F.log2(
+            (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + 0.5)
+            / (F.col("df_t").cast("double") + 0.5)
+            + 1.0
+        )
+        * 10000
+    ).cast("bigint")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (
+        (q_idf.cast("double") / F.lit(10000.0))
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / denom
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select("id", F.round(term_score * 1000000).cast("bigint").alias("q_term"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("q_term").cast("bigint").alias("bm25_micro"))
+        .select(
+            F.col("id").alias(id_col),
+            "bm25_micro",
+            (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias("bm25"),
+        )
+    )
+
+
 def dsir_importance_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -2207,6 +2207,263 @@ def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+_BM25_SCORED_SQL = """
+    ex AS (
+      SELECT doc_id AS id,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), lens AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM ex GROUP BY id
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM lens
+    ), tf AS (
+      SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex WHERE tok IN ('hash', 'join', 'stream')
+      GROUP BY id, tok
+    ), dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.id,
+             CAST(round(
+               CAST(CAST(round(log2(
+                   (CAST(c.n_docs AS DOUBLE) - CAST(d.df_t AS DOUBLE) + 0.5)
+                   / (CAST(d.df_t AS DOUBLE) + 0.5) + 1.0) * 10000) AS BIGINT)
+                 AS DOUBLE) / 10000.0
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                    * (CAST(l.dl AS DOUBLE)
+                       / (CAST(c.total_tokens AS DOUBLE)
+                          / CAST(c.n_docs AS DOUBLE)))))
+               * 1000000) AS BIGINT) AS q_term
+      FROM tf t JOIN dfreq d USING (tok) JOIN lens l ON l.id = t.id, corpus c
+    ), bm25 AS (
+      SELECT id AS doc_id, CAST(SUM(q_term) AS BIGINT) AS bm25_micro,
+             CAST(SUM(q_term) AS DOUBLE) / 1000000.0 AS bm25
+      FROM scored GROUP BY id
+    )
+"""
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25_micro, bm25 FROM bm25
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25", "fixed-point"),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (``text_analysis.bm25_scores``):
+    top-20 docs for the query {{hash, join, stream}} — TF saturation
+    (k1=1.2), length normalization (b=0.75), smoothed rare-term IDF.
+    Per-term scores are one fixed IEEE chain quantized to 1e-6 units as
+    BIGINT before the per-doc sum (double sums over terms are
+    order-dependent; integer sums commute), so the scores — and hence
+    the ranking — hash-check bit-for-bit. Constant-parity note: the
+    Python-folded k1+1 literal equals the SQL literal 2.2 exactly
+    (verified; a near-halfway case that is checked rather than
+    assumed)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bm25_scores
+
+    scores = bm25_scores(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "stream"]
+    )
+    return scores.orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+@register(
+    "doc_hybrid_rrf_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+               AS lex_rank
+      FROM bm25
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               , 6) DESC, e.vec_id ASC) AS sem_rank
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+           (CASE WHEN l.lex_rank IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)) END)
+           + (CASE WHEN s.sem_rank IS NULL THEN 0.0
+                   ELSE 1.0 / (60.0 + CAST(s.sem_rank AS DOUBLE)) END)
+             AS rrf_score
+    FROM (SELECT * FROM lex WHERE lex_rank <= 50) l
+    FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= 50) s
+      ON s.doc_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("retrieval", "hybrid", "rrf", "bm25", "similarity"),
+)
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+    the lexical BM25 top-50 and the semantic cosine-kNN top-50 (query =
+    embedding 0; documents and embeddings align 1:1 on id) fuse by
+    rrf = Σ 1/(60 + rank). Rank fusion is what makes hybrid search
+    oracle-checkable: ranks are exact integers on both engines (BM25 via
+    the fixed-point micro scores, cosine via the same rounded dot
+    product the kNN family uses), and the fused score is a fixed
+    two-term IEEE chain. The full outer join keeps docs found by only
+    one retriever — rank 0 marks 'not retrieved by this side'."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bm25_scores
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_scores(d, ["hash", "join", "stream"])
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc()))
+            .alias("lex_rank"),
+        )
+        .where(F.col("lex_rank") <= 50)
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("embedding"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(cos.desc(), F.col("vec_id").asc()))
+            .alias("sem_rank"),
+        )
+        .where(F.col("sem_rank") <= 50)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("bigint").alias("sem_rank"),
+        (
+            F.when(
+                F.col("lex_rank").isNull(), F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")))
+            + F.when(
+                F.col("sem_rank").isNull(), F.lit(0.0)
+            ).otherwise(F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank").cast("double")))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@register(
+    "nation_trade_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d USING (src)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+      FROM nodes, nn
+    ), r1 AS (
+      SELECT nodes.node,
+             CAST((1000000000000 - 1000000000000 * 17 // 20) // nn.n
+                  + COALESCE(m.mass, 0) * 17 // 20 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT ed.dst AS node, SUM(r.rank // ed.outdeg) AS mass
+                 FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst) m
+        ON m.node = nodes.node
+    ), r2 AS (
+      SELECT nodes.node,
+             CAST((1000000000000 - 1000000000000 * 17 // 20) // nn.n
+                  + COALESCE(m.mass, 0) * 17 // 20 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT ed.dst AS node, SUM(r.rank // ed.outdeg) AS mass
+                 FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst) m
+        ON m.node = nodes.node
+    ), r3 AS (
+      SELECT nodes.node,
+             CAST((1000000000000 - 1000000000000 * 17 // 20) // nn.n
+                  + COALESCE(m.mass, 0) * 17 // 20 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT ed.dst AS node, SUM(r.rank // ed.outdeg) AS mass
+                 FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst) m
+        ON m.node = nodes.node
+    )
+    SELECT node, rank FROM r3
+    """,
+    tags=("graph", "pagerank", "iterative", "fixed-point"),
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade network (edges: customer
+    nation → supplier nation wherever a lineitem trades between them),
+    3 iterations, damping 0.85 — the NUMERIC-iterative algorithm class
+    (``operators.graph.pagerank_fixed_point``). Ranks are BIGINT
+    micro-units with truncating division and 17/20 damping, so every
+    iteration is order-independent integer arithmetic and the WHOLE
+    iterative computation hash-checks against the oracle's unrolled
+    3-CTE chain — the standard blocker (per-node IEEE sums drift by ulps
+    per iteration) never arises. Each iteration is one edge⋈rank join +
+    one groupBy(dst): the distributed PageRank step."""
+    from ehr_data_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("src", "dst")
+    )
+    return pagerank_fixed_point(edges, n_iters=3)
+
+
 @register(
     "doc_dsir_selection",
     oracle="""
@@ -5199,7 +5456,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # late-round-5 additions event_user_hll, orders_bloom_prune_stats,
     # doc_duplicate_spans, doc_substring_dedup,
     # events_value_quantile_sketch, doc_dsir_selection,
-    # events_user_skew_stats, media_audio_segment_plan.
+    # events_user_skew_stats, media_audio_segment_plan,
+    # nation_trade_pagerank, doc_bm25_search, doc_hybrid_rrf_search.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

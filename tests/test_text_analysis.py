@@ -369,3 +369,62 @@ def test_dsir_handles_target_only_and_raw_only_tokens(spark):
     # doc 1 shares a token with the target, doc 2 shares none
     assert rows[1]["avg_logw_bits"] > rows[2]["avg_logw_bits"]
     assert all(r["n_tokens"] == 2 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+def _bm25(spark, rows, terms):
+    from ehr_data_pipeline_spark.operators.text_analysis import bm25_scores
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r["bm25"] for r in bm25_scores(df, terms).collect()}
+
+
+def test_bm25_rewards_term_frequency_with_saturation(spark):
+    rows = [
+        (1, "cat dog bird fish mouse"),
+        (2, "cat cat dog bird fish"),
+        (3, "cat cat cat cat cat"),
+        (4, "dog bird fish mouse newt"),
+    ]
+    got = _bm25(spark, rows, ["cat"])
+    assert 4 not in got  # no query term -> no row
+    assert got[1] < got[2] < got[3]  # more tf, higher score
+    # saturation: the tf 1->2 gain exceeds the per-occurrence gain of 2->5
+    assert (got[2] - got[1]) > (got[3] - got[2]) / 3
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # 'rare' appears in 1 of 6 docs, 'common' in 5 of 6 — same tf=1
+    rows = [(i, "common filler text here") for i in range(5)]
+    rows += [(5, "rare filler text here")]
+    rows = [(i, t if i != 0 else t) for i, t in rows]
+    got_rare = _bm25(spark, rows, ["rare"])
+    got_common = _bm25(spark, rows, ["common"])
+    assert got_rare[5] > max(got_common.values())
+
+
+def test_bm25_length_normalization(spark):
+    # same tf=1 for the query term; the longer doc scores lower
+    rows = [
+        (1, "cat a b c"),
+        (2, "cat " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    got = _bm25(spark, rows, ["cat"])
+    assert got[1] > got[2]
+
+
+def test_bm25_multi_term_is_sum_of_single_terms(spark):
+    rows = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog bird fish"),
+    ]
+    both = _bm25(spark, rows, ["cat", "dog"])
+    cat = _bm25(spark, rows, ["cat"])
+    dog = _bm25(spark, rows, ["dog"])
+    for d in (1, 2):
+        expect = cat.get(d, 0.0) + dog.get(d, 0.0)
+        assert abs(both[d] - expect) < 2e-6  # micro-quantized additivity
