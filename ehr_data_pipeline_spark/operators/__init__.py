@@ -2,10 +2,11 @@
 families + connected-component clustering + exact-substring span dedup
 (``text_dedup``), text analysis + winnowing fingerprints
 (``text_analysis``), embedding similarity search (``similarity``),
-deterministic sampling / dataset splits (``sampling``), temporal joins +
+deterministic sampling / dataset splits / systematic PPS weighted draws (``sampling``), temporal joins +
 continuous-aggregate rollups (``temporal``), SCD2 versioned dimensions
 (``scd``), sequence packing / distributed prefix sum (``packing``),
 multimodal binary columns (``multimodal``), quality profiling + drift
 monitoring (``quality``), mergeable sketches — count-min, HyperLogLog,
 Bloom (``sketches``), event funnels (``funnel``), training-mixture
-construction (``mixing``), and skew mitigation (``skew``)."""
+construction (``mixing``), skew mitigation (``skew``), and iterative
+graph algorithms — fixed-point PageRank (``graph``)."""

@@ -126,3 +126,67 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= quota)
         .drop("__rk", "__n")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_samples: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling, fully
+    deterministic — the weighted draw (sample docs ∝ token count,
+    users ∝ activity) that the float-based Efraimidis-Spirakis method
+    cannot do cross-engine-exactly (it needs u^(1/w), a libm pow).
+    Classic survey-sampling systematics instead: rows line up in the
+    keyed-hash shuffle order (``packing.deterministic_shuffle_order`` —
+    the hash is the randomization), each row owns the half-open weight
+    interval [C, C+w) of the cumulative line (``packing.
+    distributed_prefix_sum`` — both two-phase, no row-scale
+    unpartitioned window), and the n equally spaced points
+    p_k = (2k+1)·W/(2n) select whichever rows they land in. A row
+    heavier than the stride captures several points — the standard
+    with-multiplicity semantics, reported as ``n_hits``. Every selected
+    row satisfies E[n_hits] = n·w/W exactly.
+
+    All arithmetic is integer (points are compared as odd multiples of
+    W on the 2n-scaled line), so the draw replays bit-for-bit in
+    DuckDB. Weights must be positive integers; requires
+    2·n_samples·ΣW < 2^63 (at 1e13 total tokens that allows n up to
+    ~4.6e5; shard the sample for more).
+    """
+    from ehr_data_pipeline_spark.operators.packing import (
+        deterministic_shuffle_order,
+        distributed_prefix_sum,
+    )
+
+    ordered = deterministic_shuffle_order(df, id_col, salt=salt, out_col="__ord")
+    pre = distributed_prefix_sum(ordered, "__ord", weight_col, out_col="__c")
+    total = pre.agg(F.sum(weight_col).cast("bigint").alias("__w_total"))
+    two_n = 2 * n_samples
+
+    # number of odd m >= 1 with m*W < x (x >= 0): ((x-1) div W + 1) div 2;
+    # the x=0 guard keeps the negative operand away from div's
+    # truncate-vs-floor divergence between engines
+    odd_mults = (
+        "(CASE WHEN {x} <= 0 THEN 0 "
+        "ELSE (({x} - 1) div __w_total + 1) div 2 END)"
+    )
+    hits = (
+        pre.crossJoin(F.broadcast(total))
+        .withColumn("__lo", (F.col("__c") * two_n).cast("bigint"))
+        .withColumn(
+            "__hi",
+            ((F.col("__c") + F.col(weight_col)) * two_n).cast("bigint"),
+        )
+        .withColumn(
+            "n_hits",
+            F.expr(
+                odd_mults.format(x="__hi") + " - " + odd_mults.format(x="__lo")
+            ).cast("bigint"),
+        )
+    )
+    return hits.where(F.col("n_hits") >= 1).drop(
+        "__c", "__ord", "__w_total", "__lo", "__hi"
+    )

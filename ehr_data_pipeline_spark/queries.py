@@ -2207,6 +2207,57 @@ def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_pps_token_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                  AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM w
+    ), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS wt FROM w),
+    hits AS (
+      SELECT c.doc_id, c.n_tokens,
+             CAST((CASE WHEN (c.cum + c.n_tokens) * 40 <= 0 THEN 0
+                   ELSE (((c.cum + c.n_tokens) * 40 - 1) // t.wt + 1) // 2 END)
+                - (CASE WHEN c.cum * 40 <= 0 THEN 0
+                   ELSE ((c.cum * 40 - 1) // t.wt + 1) // 2 END)
+               AS BIGINT) AS n_hits
+      FROM c, t
+    )
+    SELECT doc_id, n_tokens, n_hits FROM hits WHERE n_hits >= 1
+    """,
+    tags=("sampling", "pps", "weighted", "prefix-sum"),
+)
+def doc_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling as a driver row: a 20-point systematic
+    probability-proportional-to-size draw over documents weighted by
+    token count (``operators.sampling.pps_systematic_sample`` — rows in
+    keyed-hash shuffle order, distributed prefix sum of weights, sample
+    points as odd multiples of W on the 2n-scaled integer line, so the
+    whole draw is integer-exact). The oracle's single-window cumsum is
+    exactly the plan the engine must NOT run at scale — the Spark side
+    is the two-phase rank + two-phase prefix sum, the same
+    naive-SQL-vs-distributed-shape pairing as ``doc_shuffle_order`` and
+    ``doc_pack_sequences``. 40 = 2·n_samples."""
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    weighted = d.select(
+        "doc_id", F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return pps_systematic_sample(weighted, "doc_id", "n_tokens", n_samples=20)
+
+
 _BM25_SCORED_SQL = """
     ex AS (
       SELECT doc_id AS id,
@@ -5457,7 +5508,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # doc_duplicate_spans, doc_substring_dedup,
     # events_value_quantile_sketch, doc_dsir_selection,
     # events_user_skew_stats, media_audio_segment_plan,
-    # nation_trade_pagerank, doc_bm25_search, doc_hybrid_rrf_search.
+    # nation_trade_pagerank, doc_bm25_search, doc_hybrid_rrf_search,
+    # doc_pps_token_sample.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",

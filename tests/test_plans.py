@@ -322,3 +322,19 @@ def test_hll_registers_partial_aggregate(spark):
     per partition regardless of input size."""
     plan = plan_of(spark, "event_user_hll")
     assert "partial_max" in plan
+
+
+def test_pagerank_iterations_never_cartesian(spark):
+    """Each PageRank iteration must be an edge-rank equi join + a
+    groupBy(dst) — a cartesian would mean the rank vector stopped
+    joining on the key."""
+    plan = plan_of(spark, "nation_trade_pagerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_term_stats(spark):
+    """The per-query-term document frequencies are a tiny aggregate and
+    must broadcast; the corpus-sized sides never shuffle for them."""
+    plan = plan_of(spark, "doc_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -88,3 +88,59 @@ def test_stratified_sample_exact_quota_and_stability(spark):
         ).select("event_id").collect()
     }
     assert ids1 == ids2 and len(ids1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pps_total_hits_equals_n_samples(spark):
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 13) + 1) for i in range(200)], "id long, w long"
+    )
+    for n in (1, 7, 20, 64):
+        out = pps_systematic_sample(df, "id", "w", n_samples=n)
+        assert out.agg({"n_hits": "sum"}).collect()[0][0] == n
+
+
+def test_pps_hits_within_floor_ceil_of_expectation(spark):
+    # systematic sampling guarantee: every row's multiplicity is
+    # floor(n*w/W) or ceil(n*w/W) — no row can be over/under-drawn
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, (i * 17) % 50 + 1) for i in range(80)]
+    total = sum(w for _, w in rows)
+    n = 25
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {r["id"]: r["n_hits"]
+           for r in pps_systematic_sample(df, "id", "w", n_samples=n).collect()}
+    for i, w in rows:
+        hits = got.get(i, 0)
+        lo, hi = (n * w) // total, -((-n * w) // total)
+        assert lo <= hits <= hi, (i, w, hits, lo, hi)
+
+
+def test_pps_heavy_row_always_sampled(spark):
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, 1) for i in range(50)] + [(99, 500)]  # w > W/n stride
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {r["id"]: r["n_hits"]
+           for r in pps_systematic_sample(df, "id", "w", n_samples=10).collect()}
+    assert got.get(99, 0) >= 9  # owns 500/550 of the line -> ~9 of 10 points
+
+
+def test_pps_partitioning_independent(spark):
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(120)]
+    a = spark.createDataFrame(rows, "id long, w long").repartition(1)
+    b = spark.createDataFrame(rows, "id long, w long").repartition(16)
+    ra = sorted((r["id"], r["n_hits"])
+                for r in pps_systematic_sample(a, "id", "w", 15).collect())
+    rb = sorted((r["id"], r["n_hits"])
+                for r in pps_systematic_sample(b, "id", "w", 15).collect())
+    assert ra == rb
