@@ -270,8 +270,13 @@ def segment_audio(assets: DataFrame, segment_ms: int = 1000) -> DataFrame:
     count derived from the rate by integer arithmetic, and an
     audio-typed per-segment asset row; per-segment decode happens only
     downstream, on the segments a caller keeps. The last window is
-    truncated to the asset's duration."""
-    audio = assets.filter(F.col("media_meta.media_type") == "audio")
+    truncated to the asset's duration. Assets with a zero/negative
+    duration yield no segments (filtered explicitly — a descending
+    ``sequence(0, -1)`` would otherwise fabricate a phantom window)."""
+    audio = assets.filter(
+        (F.col("media_meta.media_type") == "audio")
+        & (F.col("media_meta.duration_ms") > 0)
+    )
     n_segments = F.expr(
         f"(media_meta.duration_ms + {segment_ms - 1}) div {segment_ms}"
     )
@@ -282,23 +287,24 @@ def segment_audio(assets: DataFrame, segment_ms: int = 1000) -> DataFrame:
         F.explode(F.sequence(F.lit(0), (n_segments - 1).cast("int"))).alias(
             "segment_idx"
         ),
+    ).select(
+        "*",
+        (F.col("segment_idx").cast("bigint") * segment_ms).alias("start_ms"),
+        F.least(
+            F.col("media_meta.duration_ms"),
+            (F.col("segment_idx").cast("bigint") + 1) * segment_ms,
+        ).alias("end_ms"),
     )
-    start_ms = (F.col("segment_idx").cast("bigint") * segment_ms).alias("start_ms")
-    end_ms = F.least(
-        F.col("media_meta.duration_ms"),
-        (F.col("segment_idx").cast("bigint") + 1) * segment_ms,
-    ).alias("end_ms")
+    seg_len = F.col("end_ms") - F.col("start_ms")
     # a real codec seeks per window; the fake varies the payload per
     # segment so decoded segments differ deterministically
     return segs.select(
         "asset_id",
         "segment_idx",
-        start_ms,
-        end_ms,
+        "start_ms",
+        "end_ms",
         F.expr(
-            "(least(media_meta.duration_ms, (CAST(segment_idx AS BIGINT) + 1) "
-            f"* {segment_ms}) - CAST(segment_idx AS BIGINT) * {segment_ms}) "
-            "* media_meta.sample_rate_hz div 1000"
+            "(end_ms - start_ms) * media_meta.sample_rate_hz div 1000"
         ).cast("bigint").alias("n_samples"),
         F.concat(
             F.col("content"),
@@ -313,13 +319,7 @@ def segment_audio(assets: DataFrame, segment_ms: int = 1000) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("n_frames"),
             F.col("media_meta.sample_rate_hz").alias("sample_rate_hz"),
-            (
-                F.least(
-                    F.col("media_meta.duration_ms"),
-                    (F.col("segment_idx").cast("bigint") + 1) * segment_ms,
-                )
-                - F.col("segment_idx").cast("bigint") * segment_ms
-            ).alias("duration_ms"),
+            seg_len.alias("duration_ms"),
         ).alias("media_meta"),
     )
 

@@ -152,18 +152,39 @@ def pps_systematic_sample(
 
     All arithmetic is integer (points are compared as odd multiples of
     W on the 2n-scaled line), so the draw replays bit-for-bit in
-    DuckDB. Weights must be positive integers; requires
-    2·n_samples·ΣW < 2^63 (at 1e13 total tokens that allows n up to
-    ~4.6e5; shard the sample for more).
+    DuckDB. Weights must be positive non-null integers — enforced
+    eagerly (a zero/negative weight makes cumulative intervals overlap
+    and double-counts points; a NULL silently vanishes from the draw —
+    both corrupt the Σn_hits == n invariant, so they fail fast instead).
+    Requires 2·n_samples·ΣW < 2^63 (at 1e13 total tokens that allows n
+    up to ~4.6e5; shard the sample for more).
     """
     from ehr_data_pipeline_spark.operators.packing import (
         deterministic_shuffle_order,
         distributed_prefix_sum,
     )
 
+    # one driver-sized validation aggregate (pps already runs an eager
+    # job inside distributed_prefix_sum, so this adds no new class of
+    # eagerness): min weight and null count over the bare input scan
+    check = df.agg(
+        F.min(weight_col).alias("w_min"),
+        F.sum(F.col(weight_col).isNull().cast("int")).alias("n_null"),
+    ).collect()[0]
+    if check["n_null"]:
+        raise ValueError(
+            f"pps_systematic_sample: {check['n_null']} NULL weights in "
+            f"{weight_col!r} (weights must be positive integers)"
+        )
+    if check["w_min"] is not None and check["w_min"] < 1:
+        raise ValueError(
+            f"pps_systematic_sample: min({weight_col}) = {check['w_min']} "
+            "(weights must be positive integers)"
+        )
+
     ordered = deterministic_shuffle_order(df, id_col, salt=salt, out_col="__ord")
     pre = distributed_prefix_sum(ordered, "__ord", weight_col, out_col="__c")
-    total = pre.agg(F.sum(weight_col).cast("bigint").alias("__w_total"))
+    total = df.agg(F.sum(weight_col).cast("bigint").alias("__w_total"))
     two_n = 2 * n_samples
 
     # number of odd m >= 1 with m*W < x (x >= 0): ((x-1) div W + 1) div 2;

@@ -577,13 +577,20 @@ def bm25_scores(
     final division of the exact micro total."""
     toks = whitespace_tokens(F.col(text_col))
     terms = sorted(set(query_terms))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    lens = ex.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # doc lengths come from F.size in one narrow pass — exploding the
+    # whole corpus just to count tokens per doc would add a full
+    # doc-keyed shuffle; the explode below only materializes the
+    # query-term hits
+    lens = df.select(
+        F.col(id_col).alias("id"), F.size(toks).cast("bigint").alias("dl")
+    )
     corpus = lens.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     )
-    hits = ex.where(F.col("tok").isin(terms))
+    hits = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).where(
+        F.col("tok").isin(terms)
+    )
     tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
 

@@ -2369,10 +2369,13 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding 0; documents and embeddings align 1:1 on id) fuse by
     rrf = Σ 1/(60 + rank). Rank fusion is what makes hybrid search
     oracle-checkable: ranks are exact integers on both engines (BM25 via
-    the fixed-point micro scores, cosine via the same rounded dot
-    product the kNN family uses), and the fused score is a fixed
-    two-term IEEE chain. The full outer join keeps docs found by only
-    one retriever — rank 0 marks 'not retrieved by this side'."""
+    the fixed-point micro scores; the semantic side via the kNN family's
+    ``similarity.cosine`` rounded to 6 — the embeddings are
+    unit-normalized, which is why the family's dot-product SQL twin
+    ranks identically), and the fused score is a fixed two-term IEEE
+    chain. The full outer join keeps docs found by only one retriever —
+    rank 0 marks 'not retrieved by this side'."""
+    from ehr_data_pipeline_spark.operators.similarity import cosine
     from ehr_data_pipeline_spark.operators.text_analysis import bm25_scores
     from pyspark.sql import Window
 
@@ -2389,17 +2392,7 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lex_rank") <= 50)
     )
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("qv"), F.col("embedding"),
-                lambda a, b: a.cast("double") * b.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
     sem = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))

@@ -165,3 +165,20 @@ def test_audio_segment_payloads_differ_per_segment(assets):
     )
     for r in two:
         assert r["n_payloads"] == r["n"]  # fake codec varies per segment
+
+
+def test_audio_segmentation_skips_nonpositive_durations(spark):
+    # regression: sequence(0, -1) descends, fabricating a phantom
+    # [-1000, 0) window for a zero-length asset
+    from ehr_data_pipeline_spark.operators.multimodal import segment_audio
+
+    rows = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("audio", "wav", None, None, None, 16000, 0)),
+         (2, bytearray(b"y"), ("audio", "wav", None, None, None, 16000, 1500))],
+        "asset_id long, content binary, media_meta struct<media_type:string,"
+        "format:string,width:int,height:int,n_frames:int,sample_rate_hz:int,"
+        "duration_ms:long>",
+    )
+    got = segment_audio(rows, segment_ms=1000).collect()
+    assert {r["asset_id"] for r in got} == {2}
+    assert all(r["start_ms"] >= 0 and r["end_ms"] > r["start_ms"] for r in got)

@@ -144,3 +144,18 @@ def test_pps_partitioning_independent(spark):
     rb = sorted((r["id"], r["n_hits"])
                 for r in pps_systematic_sample(b, "id", "w", 15).collect())
     assert ra == rb
+
+
+def test_pps_rejects_invalid_weights(spark):
+    import pytest
+
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    bad_zero = spark.createDataFrame([(1, 1), (2, 0)], "id long, w long")
+    with pytest.raises(ValueError, match="positive integers"):
+        pps_systematic_sample(bad_zero, "id", "w", n_samples=2)
+    bad_null = spark.createDataFrame(
+        [(1, 1), (2, None)], "id long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL weights"):
+        pps_systematic_sample(bad_null, "id", "w", n_samples=2)

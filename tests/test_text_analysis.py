@@ -401,7 +401,6 @@ def test_bm25_idf_favors_rare_terms(spark):
     # 'rare' appears in 1 of 6 docs, 'common' in 5 of 6 — same tf=1
     rows = [(i, "common filler text here") for i in range(5)]
     rows += [(5, "rare filler text here")]
-    rows = [(i, t if i != 0 else t) for i, t in rows]
     got_rare = _bm25(spark, rows, ["rare"])
     got_common = _bm25(spark, rows, ["common"])
     assert got_rare[5] > max(got_common.values())
