@@ -5,6 +5,8 @@ generated inputs (bounded example counts: every example is a Spark job)."""
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -103,3 +105,81 @@ def test_prefix_filter_equals_brute_force(spark, texts, threshold):
             for r in jaccard_pairs_prefix(
                 df, threshold=threshold, persist_shingles=False).collect()}
     assert brute == pref
+
+
+@given(
+    weights=st.lists(st.integers(1, 40), min_size=1, max_size=50),
+    n=st.integers(1, 30),
+)
+@SETTINGS
+def test_pps_systematic_invariants(spark, weights, n):
+    """Σ n_hits == n exactly, and every row's multiplicity is within
+    floor/ceil of its expectation n·w/W — for ANY positive weights and
+    sample size."""
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(list(enumerate(weights)), "id long, w long")
+    got = {r["id"]: r["n_hits"]
+           for r in pps_systematic_sample(df, "id", "w", n_samples=n).collect()}
+    total = sum(weights)
+    assert sum(got.values()) == n
+    for i, w in enumerate(weights):
+        hits = got.get(i, 0)
+        assert (n * w) // total <= hits <= -((-n * w) // total), (i, w, hits)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+    iters=st.integers(1, 4),
+)
+@SETTINGS
+def test_pagerank_matches_integer_reference(spark, edges, iters):
+    """Fixed-point PageRank equals the pure-Python integer reference on
+    ANY random digraph (self-loops, dangling nodes, duplicates) — the
+    bit-determinism claim as a property."""
+    from ehr_data_pipeline_spark.operators.graph import pagerank_fixed_point
+    from tests.test_graph import _py_pagerank
+
+    named = [(f"v{s}", f"v{d}") for s, d in edges]
+    df = spark.createDataFrame(named, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed_point(df, n_iters=iters).collect()}
+    assert got == _py_pagerank(named, iters)
+
+
+@given(
+    values=st.lists(st.integers(0, 10_000), min_size=2, max_size=80),
+    split=st.integers(1, 79),
+    q=st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),
+)
+@SETTINGS
+def test_hist_merge_law_and_quantile_bound(spark, values, split, q):
+    """merge(hist(A), hist(B)) == hist(A∪B) exactly, and the estimated
+    quantile of the merged sketch is within one bin width of the true
+    order statistic — over random data and split points."""
+    from ehr_data_pipeline_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    split = min(split, len(values) - 1)
+    lo, hi, nb = 0.0, 10_000.0, 32
+    a = spark.createDataFrame([(float(v),) for v in values[:split]], "v double")
+    b = spark.createDataFrame([(float(v),) for v in values[split:]], "v double")
+    both = spark.createDataFrame([(float(v),) for v in values], "v double")
+    merged = hist_merge(hist_build(a, "v", lo, hi, nb), hist_build(b, "v", lo, hi, nb))
+    direct = hist_build(both, "v", lo, hi, nb)
+    cells = lambda df: {r["bin"]: r["cnt"] for r in df.collect()}  # noqa: E731
+    assert cells(merged) == cells(direct)
+    est = hist_quantile(merged, [q], lo, hi, nb).collect()[0]["quantile_est"]
+    ordered = sorted(values)
+    rank = max(0, math.ceil(q * len(ordered)) - 1)
+    true_val = float(ordered[rank])
+    # the ceil(qN)-th order statistic lives in the same bin the
+    # estimator interpolates within, so they differ by < one bin width
+    assert abs(est - true_val) <= (hi - lo) / nb + 1e-9
