@@ -338,3 +338,41 @@ def test_bm25_broadcasts_term_stats(spark):
     plan = plan_of(spark, "doc_bm25_search")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_dsir_selection",
+        "events_value_quantile_sketch",
+        "doc_substring_dedup",
+        "doc_pps_token_sample",
+        "doc_hybrid_rrf_search",
+        "media_audio_segment_plan",
+        "event_user_hll",
+    ],
+)
+def test_new_surface_never_cartesian(spark, name):
+    """None of the late-round queries may plan a cartesian product.
+    BroadcastNestedLoopJoin is additionally banned for the queries with
+    no tiny side; the exemptions each broadcast a driver-sized frame by
+    design — DSIR/PPS/quantile-sketch's one-row scalar totals and
+    quantile literals, and the hybrid query's one-row query vector —
+    where a broadcast cross join IS the intended scale plan."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    tiny_side_ok = {
+        "doc_hybrid_rrf_search",
+        "doc_dsir_selection",
+        "events_value_quantile_sketch",
+        "doc_pps_token_sample",
+    }
+    if name not in tiny_side_ok:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dsir_models_broadcast(spark):
+    """Both DSIR bucket models are <= n_buckets rows and must broadcast;
+    the corpus-sized token stream never shuffles to meet them."""
+    plan = plan_of(spark, "doc_dsir_selection")
+    assert "BroadcastHashJoin" in plan
