@@ -167,6 +167,10 @@ TIE_PRONE = [
     "events_user_skew_stats",
     "doc_dsir_selection",
     "user_cms_accuracy",
+    "doc_bm25_search",
+    "doc_hybrid_rrf_search",
+    "doc_pps_token_sample",
+    "nation_trade_pagerank",
 ]
 
 
