@@ -98,10 +98,11 @@ def histogram_drift(
     B's total — large contributions localize WHERE the distribution
     moved; their sum is the classic chi-square drift statistic.
 
-    Chi-square (not PSI/KL) on purpose: the statistic uses only
-    +,-,*,/ on exactly-counted integers, so the report is bit-identical
-    across engines — PSI's logarithm differs per libm and would break
-    the oracle hash. Fixed-width bucketing (not quantiles) keeps the
+    Chi-square here uses only +,-,*,/ on exactly-counted integers, so
+    the report is bit-identical across engines with no quantization at
+    all; :func:`psi_drift` provides the PSI companion (its libm
+    logarithm made cross-engine-stable by the fixed-point trick the
+    LM/DSIR/BM25 scorers use). Fixed-width bucketing (not quantiles) keeps the
     bucket id a narrow per-row expression; both inputs aggregate in ONE
     union pass (shuffle on ~n_buckets rows). Rows with a null metric are
     excluded. ``drift_chi2`` is null for buckets B populates but A does
@@ -151,5 +152,88 @@ def histogram_drift(
             "n_a",
             "n_b",
             chi2.alias("drift_chi2"),
+        )
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two snapshots — the
+    industry-standard drift score (rule of thumb: < 0.1 stable, > 0.25
+    shifted) that :func:`histogram_drift`'s docstring once ruled out
+    because PSI's logarithm is libm and not cross-engine bit-stable.
+    The fixed-point quantization developed for the LM/DSIR/BM25 scoring
+    unlocks it: the log of each bucket's probability ratio is quantized
+    to 1e-4 units as a BIGINT, the per-bucket term to 1e-9, so the
+    per-bucket contributions AND their sum replay bit-for-bit in DuckDB.
+
+    Same fixed-width grid as histogram_drift (under/overflow buckets -1
+    and n), both snapshots counted in ONE union pass; probabilities are
+    add-one (Laplace) smoothed over the full bucket spine — all
+    n_buckets+2 buckets, including ones both snapshots leave empty, so
+    PSI is always finite and the spine is an explicit tiny literal, not
+    data-dependent. Returns one row per bucket:
+    ``(bucket, bucket_lo, n_a, n_b, psi_term)`` — large terms localize
+    WHERE the distribution moved; their exact sum is the PSI."""
+    width = (hi - lo) / n_buckets
+    n_spine = n_buckets + 2
+
+    def bucket(c: Column) -> Column:
+        b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+        return (
+            F.when(c < lo, F.lit(-1))
+            .when(b >= n_buckets, F.lit(n_buckets))
+            .otherwise(b)
+        )
+
+    tagged = df_a.select(
+        bucket(F.col(col)).alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).where(F.col(col).isNotNull()).unionByName(
+        df_b.select(
+            bucket(F.col(col)).alias("bucket"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        ).where(F.col(col).isNotNull())
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("__a").cast("bigint").alias("n_a"),
+        F.sum("__b").cast("bigint").alias("n_b"),
+    )
+    spark = df_a.sparkSession
+    spine = spark.range(-1, n_buckets + 1).select(F.col("id").cast("int").alias("bucket"))
+    full = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    tot = full.agg(
+        F.sum("n_a").cast("bigint").alias("__ta"),
+        F.sum("n_b").cast("bigint").alias("__tb"),
+    )
+    # smoothed probabilities p = (n+1)/(N+B); the ratio p/q reduces to a
+    # ratio of exact integer products, so ln sees one deterministic double
+    ratio = (
+        ((F.col("n_a") + 1) * (F.col("__tb") + n_spine)).cast("double")
+        / ((F.col("n_b") + 1) * (F.col("__ta") + n_spine)).cast("double")
+    )
+    q_ln = F.round(F.log(ratio) * 10000).cast("bigint")
+    p = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + n_spine).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("__tb") + n_spine).cast("double")
+    term_nano = F.round((p - q) * q_ln.cast("double") * F.lit(100000.0)).cast("bigint")
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            "n_a",
+            "n_b",
+            term_nano.alias("psi_term_nano"),
+            (term_nano.cast("double") / F.lit(1000000000.0)).alias("psi_term"),
         )
     )

@@ -4292,6 +4292,72 @@ _SPAN_WINS_SQL = """
 
 
 @register(
+    "events_value_psi_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN value < 0.0 THEN -1
+                  WHEN CAST(FLOOR((value - 0.0) / 30.0) AS INT) >= 20 THEN 20
+                  ELSE CAST(FLOOR((value - 0.0) / 30.0) AS INT) END AS bucket,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a_,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b_
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT bucket, CAST(SUM(a_) AS BIGINT) AS n_a,
+             CAST(SUM(b_) AS BIGINT) AS n_b
+      FROM tagged GROUP BY bucket
+    ), spine AS (SELECT CAST(UNNEST(range(-1, 21)) AS INT) AS bucket),
+    full_ AS (
+      SELECT s.bucket,
+             CAST(COALESCE(c.n_a, 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(c.n_b, 0) AS BIGINT) AS n_b
+      FROM spine s LEFT JOIN counts c USING (bucket)
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM full_
+    ), terms AS (
+      SELECT f.bucket, f.n_a, f.n_b,
+             CAST(round(
+               (CAST(f.n_a + 1 AS DOUBLE) / CAST(t.ta + 22 AS DOUBLE)
+                - CAST(f.n_b + 1 AS DOUBLE) / CAST(t.tb + 22 AS DOUBLE))
+               * CAST(CAST(round(ln(
+                     CAST((f.n_a + 1) * (t.tb + 22) AS DOUBLE)
+                     / CAST((f.n_b + 1) * (t.ta + 22) AS DOUBLE)) * 10000)
+                   AS BIGINT) AS DOUBLE)
+               * 100000.0) AS BIGINT) AS psi_term_nano
+      FROM full_ f, tot t
+    )
+    SELECT bucket, 0.0 + bucket * 30.0 AS bucket_lo, n_a, n_b,
+           psi_term_nano,
+           CAST(psi_term_nano AS DOUBLE) / 1000000000.0 AS psi_term
+    FROM terms
+    """,
+    tags=("drift", "psi", "monitoring", "fixed-point"),
+)
+def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report between the even- and
+    odd-event_id halves of the events stream
+    (``operators.quality.psi_drift``): the industry-standard drift
+    score, per bucket, over the same fixed grid as the chi-square
+    monitor. PSI's natural log is libm — historically the reason this
+    engine shipped chi-square only — made cross-engine-exact here by
+    the 1e-4 fixed-point quantization; the per-bucket term is further
+    quantized to 1e-9 BIGINT units so the localization AND the exact
+    total hash-check. Laplace smoothing over the explicit 22-bucket
+    spine keeps every term finite."""
+    from ehr_data_pipeline_spark.operators.quality import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    return psi_drift(
+        e.where(F.col("event_id") % 2 == 0),
+        e.where(F.col("event_id") % 2 == 1),
+        "value",
+        lo=0.0,
+        hi=600.0,
+        n_buckets=20,
+    )
+
+
+@register(
     "doc_duplicate_spans",
     oracle=f"""
     WITH {_SPAN_WINS_SQL}
@@ -5502,7 +5568,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # events_value_quantile_sketch, doc_dsir_selection,
     # events_user_skew_stats, media_audio_segment_plan,
     # nation_trade_pagerank, doc_bm25_search, doc_hybrid_rrf_search,
-    # doc_pps_token_sample.
+    # doc_pps_token_sample, events_value_psi_drift.
     "nation_year_profit",
     "dominant_part_suppliers",
     "late_sole_supplier_ranking",
