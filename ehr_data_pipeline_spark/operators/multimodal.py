@@ -178,13 +178,27 @@ def extract_image_features(
                 w, h = int(row.width), int(row.height)
                 img = decode_rgb(row.content, w, h)
                 if with_phash:
-                    gray = img.mean(axis=2)
-                    # 8x8 block means → bits where block > global mean
+                    # 8x8 block means → bits where block > global mean.
+                    # All 64 blocks are the same bh×bw size (the grid
+                    # truncates to bh*8 × bw*8), so the float comparison
+                    #   block_gray_mean > mean(block_gray_means)
+                    # reduces EXACTLY to the integer test
+                    #   64 * block_rgb_sum > total_rgb_sum
+                    # — same bits, no float ties (the synthetic digest
+                    # payloads are periodic, so many blocks share a mean
+                    # and the float version sat on rounding-dependent
+                    # ties), and the bitmap replays in SQL (the
+                    # media_image_features oracle).
                     bh, bw = max(h // 8, 1), max(w // 8, 1)
-                    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(
-                        axis=(1, 3)
+                    blocks = (
+                        img[: bh * 8, : bw * 8]
+                        .astype(np.int64)
+                        .sum(axis=2)
+                        .reshape(8, bh, 8, bw)
+                        .sum(axis=(1, 3))
                     )
-                    bits = (blocks > blocks.mean()).flatten()
+                    total = int(blocks.sum())
+                    bits = (64 * blocks > total).flatten()
                     phash = 0
                     for b in bits:
                         phash = (phash << 1) | int(b)

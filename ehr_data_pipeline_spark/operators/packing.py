@@ -32,15 +32,20 @@ def distributed_prefix_sum(
     value_col: str,
     n_buckets: int = 256,
     out_col: str = "prefix_sum",
+    max_id: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` in ``id_col`` order (the sum
     of all strictly-earlier rows; 0 for the first), computed without an
     unpartitioned window. ``id_col`` must be unique non-negative
     integers; bucket ranges derive from the max id (one driver-sized
-    aggregate, like centroid training)."""
-    max_id = df.agg(F.max(id_col)).collect()[0][0]
-    if max_id is None:  # empty input: the prefix sum of nothing is nothing
-        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    aggregate, like centroid training). Pass ``max_id`` (any upper bound
+    on the ids works — bucket widths just stretch) to keep plan
+    construction fully lazy: without it, building the plan launches one
+    scalar max() job."""
+    if max_id is None:
+        max_id = df.agg(F.max(id_col)).collect()[0][0]
+        if max_id is None:  # empty input: prefix sum of nothing is nothing
+            return df.withColumn(out_col, F.lit(0).cast("bigint"))
     width = max(1, (int(max_id) + n_buckets) // n_buckets)
     b = df.withColumn("__bucket", (F.col(id_col) / width).cast("bigint"))
 

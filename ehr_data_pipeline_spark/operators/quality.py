@@ -217,10 +217,15 @@ def psi_drift(
         F.sum("n_b").cast("bigint").alias("__tb"),
     )
     # smoothed probabilities p = (n+1)/(N+B); the ratio p/q reduces to a
-    # ratio of exact integer products, so ln sees one deterministic double
+    # ratio of integer products. Each FACTOR casts to double BEFORE the
+    # multiply: a BIGINT product (n_a+1)*(total_b+B) wraps silently past
+    # 2^63 under non-ANSI Spark (~3e9 rows per side — well under target
+    # scale) while DuckDB would error. Counts < 2^53 cast exactly, and
+    # double*double is one correctly-rounded IEEE op on both engines, so
+    # the chain stays deterministic at any row count.
     ratio = (
-        ((F.col("n_a") + 1) * (F.col("__tb") + n_spine)).cast("double")
-        / ((F.col("n_b") + 1) * (F.col("__ta") + n_spine)).cast("double")
+        ((F.col("n_a") + 1).cast("double") * (F.col("__tb") + n_spine).cast("double"))
+        / ((F.col("n_b") + 1).cast("double") * (F.col("__ta") + n_spine).cast("double"))
     )
     q_ln = F.round(F.log(ratio) * 10000).cast("bigint")
     p = (F.col("n_a") + 1).cast("double") / (F.col("__ta") + n_spine).cast("double")

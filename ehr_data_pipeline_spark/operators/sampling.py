@@ -134,6 +134,8 @@ def pps_systematic_sample(
     weight_col: str,
     n_samples: int,
     salt: str = "pps",
+    max_id: int | None = None,
+    validate_weights: bool = True,
 ) -> DataFrame:
     """Systematic probability-proportional-to-size sampling, fully
     deterministic — the weighted draw (sample docs ∝ token count,
@@ -158,32 +160,56 @@ def pps_systematic_sample(
     both corrupt the Σn_hits == n invariant, so they fail fast instead).
     Requires 2·n_samples·ΣW < 2^63 (at 1e13 total tokens that allows n
     up to ~4.6e5; shard the sample for more).
+
+    Plan construction runs two eager scalar jobs by default (the weight
+    validation aggregate here, the max-id aggregate inside
+    ``distributed_prefix_sum``). Callers that already know their bounds
+    pass ``max_id`` (any id upper bound) and ``validate_weights=False``
+    to build the plan with no Spark jobs at all — the dtype check stays,
+    it's schema-only.
     """
     from ehr_data_pipeline_spark.operators.packing import (
         deterministic_shuffle_order,
         distributed_prefix_sum,
     )
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    # one driver-sized validation aggregate (pps already runs an eager
-    # job inside distributed_prefix_sum, so this adds no new class of
-    # eagerness): min weight and null count over the bare input scan
-    check = df.agg(
-        F.min(weight_col).alias("w_min"),
-        F.sum(F.col(weight_col).isNull().cast("int")).alias("n_null"),
-    ).collect()[0]
-    if check["n_null"]:
-        raise ValueError(
-            f"pps_systematic_sample: {check['n_null']} NULL weights in "
-            f"{weight_col!r} (weights must be positive integers)"
+    # integral dtype check BEFORE the data scan: a positive fractional
+    # DOUBLE weight (e.g. 2.5) passes the w_min >= 1 test but silently
+    # breaks the integer cumulative line (__lo/__hi truncate double
+    # prefix sums) and the documented Sum(n_hits) == n invariant
+    w_type = df.schema[weight_col].dataType
+    if not isinstance(w_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"pps_systematic_sample: {weight_col!r} has type "
+            f"{w_type.simpleString()}; weights must be an integral type "
+            "(tinyint/smallint/int/bigint) — cast explicitly, the integer "
+            "cumulative line is what makes the draw cross-engine-exact"
         )
-    if check["w_min"] is not None and check["w_min"] < 1:
-        raise ValueError(
-            f"pps_systematic_sample: min({weight_col}) = {check['w_min']} "
-            "(weights must be positive integers)"
-        )
+
+    if validate_weights:
+        # one driver-sized validation aggregate: min weight and null
+        # count over the bare input scan
+        check = df.agg(
+            F.min(weight_col).alias("w_min"),
+            F.sum(F.col(weight_col).isNull().cast("int")).alias("n_null"),
+        ).collect()[0]
+        if check["n_null"]:
+            raise ValueError(
+                f"pps_systematic_sample: {check['n_null']} NULL weights in "
+                f"{weight_col!r} (weights must be positive integers)"
+            )
+        if check["w_min"] is not None and check["w_min"] < 1:
+            raise ValueError(
+                f"pps_systematic_sample: min({weight_col}) = {check['w_min']} "
+                "(weights must be positive integers)"
+            )
 
     ordered = deterministic_shuffle_order(df, id_col, salt=salt, out_col="__ord")
-    pre = distributed_prefix_sum(ordered, "__ord", weight_col, out_col="__c")
+    # when max_id is known, __ord (a dense 0..n-1 rank) is bounded by it
+    pre = distributed_prefix_sum(
+        ordered, "__ord", weight_col, out_col="__c", max_id=max_id
+    )
     total = df.agg(F.sum(weight_col).cast("bigint").alias("__w_total"))
     two_n = 2 * n_samples
 

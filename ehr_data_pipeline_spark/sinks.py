@@ -57,6 +57,29 @@ def jdbc_options(
     return opts
 
 
+def execute_jdbc_statement(
+    spark, url: str, sql: str, properties: dict[str, str] | None = None
+) -> None:
+    """Run ONE driver-side JDBC statement through the JVM's
+    ``DriverManager`` — the post-DDL hook (constraints, indexes, grants)
+    that ``DataFrameWriter`` has no surface for. No Python DB client
+    needed: the statement runs on whatever JDBC driver is already on
+    Spark's classpath."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -65,6 +88,7 @@ def write_jdbc(
     batchsize: int = 10_000,
     num_partitions: int | None = None,
     properties: dict[str, str] | None = None,
+    primary_key: tuple[str, ...] | list[str] | None = None,
 ) -> None:
     """JDBC sink (S4+S5): ``mode='overwrite'`` re-emits the DDL from the
     DataFrame schema — the Spark equivalent of the reference's
@@ -72,15 +96,31 @@ def write_jdbc(
     ``batchsize`` rows per round trip per partition (≙ ``execute_values``,
     ``:863-892``, but distributed).
 
-    Test-coverage note: the build environment ships no JDBC driver jar
-    and no database, so tests cover option/DDL assembly and column
-    normalization but not a live round trip — the first run against a
-    real database should smoke-test ``mode='overwrite'`` DDL emission
-    and the ``numPartitions`` connection fan-in cap."""
+    ``primary_key`` closes the reference's constraint DDL
+    (``patient_id VARCHAR(100) PRIMARY KEY``, json_pipeline.py:750):
+    after an ``overwrite`` write it issues
+    ``ALTER TABLE .. ADD CONSTRAINT .. PRIMARY KEY (..)`` as a
+    driver-side post-DDL statement (Spark's writer only emits column
+    DDL). The PK columns must be non-nullable in the DataFrame schema —
+    Spark then emits ``NOT NULL`` for them, which the constraint
+    requires. Live round-trip covered in tests against the embedded
+    Derby database that ships on Spark's classpath; Postgres differs
+    only in the URL + driver jar."""
     writer = normalize_columns(df).write.format("jdbc").mode(mode)
     for k, v in jdbc_options(url, table, batchsize, num_partitions, properties).items():
         writer = writer.option(k, v)
     writer.save()
+    if primary_key and mode == "overwrite":
+        # Spark's emitted DDL quotes column identifiers, so the constraint
+        # must too (ANSI double quotes) — an unquoted name would be
+        # case-folded by the target and miss the column
+        cols = ", ".join(f'"{c.replace(".", "_")}"' for c in primary_key)
+        execute_jdbc_statement(
+            df.sparkSession,
+            url,
+            f"ALTER TABLE {table} ADD CONSTRAINT {table}_pk PRIMARY KEY ({cols})",
+            properties,
+        )
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

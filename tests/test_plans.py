@@ -376,3 +376,24 @@ def test_dsir_models_broadcast(spark):
     the corpus-sized token stream never shuffles to meet them."""
     plan = plan_of(spark, "doc_dsir_selection")
     assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_windows_only_over_topk_frames(spark):
+    """doc_hybrid_rrf_search's rank windows are unpartitioned by nature
+    (a global ranking), so their INPUT must be bounded first: each branch
+    takes its top-50 via orderBy().limit(50) — planned as
+    TakeOrderedAndProject (per-partition heaps + a 50-row merge), never a
+    global Sort of the scored corpus. Machine-checked: every Window in
+    the executed plan sits DIRECTLY above a TakeOrderedAndProject(limit=50
+    frame, so no unpartitioned window ever sees a corpus-scale input
+    (the round-5 scale defect at queries.py doc_hybrid_rrf_search)."""
+    plan = plan_of(spark, "doc_hybrid_rrf_search")
+    lines = plan.splitlines()
+    window_lines = [i for i, ln in enumerate(lines) if "+- Window [" in ln]
+    assert len(window_lines) == 2, "expected exactly the lex + sem rank windows"
+    for i in window_lines:
+        assert "TakeOrderedAndProject(limit=50" in lines[i + 1], (
+            "Window input is not a bounded top-k frame:\n" + lines[i + 1]
+        )
+    # and the final fusion limit is also a top-k, not a global sort
+    assert "TakeOrderedAndProject(limit=20" in plan

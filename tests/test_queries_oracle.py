@@ -191,3 +191,36 @@ def test_tie_prone_queries_match_oracle_at_sf01(spark, con_sf01, name):
         spec.fn(spark, SF01_DIR), con_sf01, spec.oracle,
         name=f"{name}@sf0.1",
     )
+
+
+def test_substring_dedup_oracle_preserves_empty_docs(spark, tmp_path):
+    """ADVICE r5: the doc_substring_dedup oracle once built its totals
+    from the non-empty token stream, so an empty/whitespace-only doc
+    vanished from the oracle while strip_duplicate_spans preserved it as
+    ('', 0, 0) — a latent cardinality mismatch the stock sf corpora never
+    trip. Replay the full registered query + oracle on a corpus that
+    contains both degenerate docs."""
+    import duckdb
+
+    run = "d1 d2 d3 d4 d5 d6 d7 d8"
+    docs = spark.createDataFrame(
+        [
+            (0, "", "en", "web", 0),
+            (1, "   ", "en", "web", 3),
+            (2, run + " tail", "en", "web", 28),
+            (3, "head " + run, "en", "web", 28),
+            (4, "k1 k2 k3", "en", "web", 8),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path)
+    docs.toPandas().to_parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    spec = REGISTRY["doc_substring_dedup"]
+    df = spec.fn(spark, sf_dir)
+    compare_spark_vs_oracle(df, con, spec.oracle, name="doc_substring_dedup[empty]")
+    assert df.count() == 5  # every doc, including the two degenerate ones
+    con.close()

