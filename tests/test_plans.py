@@ -397,3 +397,23 @@ def test_hybrid_rrf_windows_only_over_topk_frames(spark):
         )
     # and the final fusion limit is also a top-k, not a global sort
     assert "TakeOrderedAndProject(limit=20" in plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every one of the 120 registered queries, machine-audited for the
+    two structural scale-killers: a CartesianProduct anywhere, or an
+    unpartitioned Window whose input is not visibly bounded (top-k /
+    limit / grouped-aggregate within its immediate subtree — the
+    tools/scale_audit.py heuristic). The named tests above pin down
+    specific plan SHAPES; this sweep guarantees no NEW query ships with
+    either anti-pattern unnoticed."""
+    from tools.scale_audit import _unpartitioned_window_over_unbounded
+
+    offenders = []
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if _unpartitioned_window_over_unbounded(plan):
+            offenders.append((name, "unpartitioned window over unbounded input"))
+    assert not offenders, offenders

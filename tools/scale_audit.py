@@ -75,9 +75,13 @@ def _unpartitioned_window_over_unbounded(plan: str) -> bool:
         # heuristically: no element before the first ASC/DESC token
         first = spec.split(",")[0]
         if " ASC" in first or " DESC" in first:
-            nxt = lines[i + 1] if i + 1 < len(lines) else ""
-            if "TakeOrderedAndProject" not in nxt and "Limit" not in nxt \
-                    and "Aggregate" not in nxt:
+            # bounded-input shapes put the bound within the window's next
+            # few plan lines: top-k (TakeOrderedAndProject/Limit) directly
+            # below, or a grouped aggregate (the two-phase prefix-sum's
+            # <=n_buckets bucket-totals frame) behind the window's
+            # Sort/Exchange pair
+            sub = "\n".join(lines[i + 1 : i + 5])
+            if not re.search(r"TakeOrderedAndProject|Limit|Aggregate", sub):
                 return True
     return False
 
