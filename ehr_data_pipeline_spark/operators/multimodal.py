@@ -99,7 +99,9 @@ def synthesize_assets(documents: DataFrame) -> DataFrame:
     )
     return documents.select(
         F.col("doc_id").alias("asset_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
+        # NULL text => empty payload (the normalize_text degenerate-doc
+        # contract; the fake decoder already treats b"" as valid input)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
         F.struct(
             mt.alias("media_type"),
             F.when(is_image, F.lit("png"))

@@ -32,8 +32,16 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for hashing/dedup: lowercase, trim, collapse
-    internal whitespace runs to single spaces."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    internal whitespace runs to single spaces. NULL text canonicalizes to
+    '' — the engine-wide degenerate-document contract (a null document
+    behaves exactly like an empty one in every tokenizer-derived
+    operator, instead of silently vanishing from counts, corpus stats,
+    and sampling weights through three-valued-logic propagation; the
+    edge-corpus sweep in tests/test_edge_corpus.py holds every oracle to
+    the same rule)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
 
 
 def let_bound(value: Column, body) -> Column:
@@ -406,7 +414,11 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     - ok_stopwords:     >= 2 of Gopher's required stopword set present
 
     Every expression has an exact DuckDB twin (regexp_replace/extract_all,
-    list filter/transform), so rule-level counts are hash-checkable."""
+    list filter/transform), so rule-level counts are hash-checkable.
+    NULL text is judged as '' (the normalize_text contract) — a null
+    document fails the same rules an empty one fails rather than
+    nulling out of every count."""
+    col = F.coalesce(col, F.lit(""))
     ws = F.split(F.trim(col), r"\s+")
     n_words = F.size(ws).cast("bigint")
     nw_d = n_words.cast("double")

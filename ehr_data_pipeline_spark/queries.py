@@ -1282,7 +1282,7 @@ def fhir_pipeline_cleaned_patients(spark: SparkSession, sf_dir: str) -> DataFram
     "doc_text_stats",
     oracle="""
     WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -1349,7 +1349,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), h AS (
       SELECT doc_id,
@@ -1393,7 +1393,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_top_bigrams",
     oracle="""
     WITH toks AS (
-      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      SELECT string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), bg AS (
       SELECT unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) AS ngram
@@ -1424,7 +1424,7 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_exact_dedup_stats",
     oracle="""
     WITH f AS (
-      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
       FROM documents
     ), g AS (SELECT fp, COUNT(*) AS cnt FROM f GROUP BY fp)
     SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
@@ -1451,7 +1451,7 @@ _SHINGLES_SQL = """
                list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
                g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS sh
       FROM (SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
             FROM documents)
 """
 
@@ -1474,7 +1474,7 @@ _JACCARD_SLICE_DOCS = 2000
                list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
                g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS sh
       FROM (SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
             FROM documents WHERE doc_id < {_JACCARD_SLICE_DOCS})
     ),
     p AS (
@@ -1630,7 +1630,7 @@ _SIMHASH_BAND_COLS = ", ".join(
     WITH t AS (
       SELECT doc_id,
              list_transform(
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
                tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
       FROM documents
     ), s AS (
@@ -1668,7 +1668,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              list_transform(
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
                tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
       FROM documents
     ), s AS (
@@ -1702,7 +1702,7 @@ def doc_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnow_pairs",
     oracle="""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
       FROM documents
     ), h AS (
       SELECT doc_id,
@@ -1765,7 +1765,7 @@ _QUALITY_SQL = """
     "corpus_curation_funnel",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
       FROM documents
     ), c AS (
       SELECT doc_id, nt,
@@ -1831,7 +1831,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), cg AS (
       SELECT doc_id,
@@ -1876,7 +1876,7 @@ def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), b AS (
       SELECT doc_id,
@@ -1927,7 +1927,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+             unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS term
       FROM documents
     ), cnt AS (
       SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY 1, 2
@@ -2005,7 +2005,7 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_token_histogram",
     oracle="""
     WITH norm AS (
-      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
       FROM documents
     ), t AS (
       SELECT CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens FROM norm
@@ -2066,13 +2066,19 @@ def _gopher_flags_sql() -> str:
     )
     return f"""
     WITH f AS (
+      -- coalesce(text, ''): a NULL doc is judged as an empty one, the
+      -- engine-wide degenerate-document contract (normalize_text)
       SELECT source,
-        regexp_split_to_array(trim(text), '\\s+') AS ws,
-        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
-        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_word_chars,
-        CAST(length(regexp_replace(text, '[^#]', '', 'g')) AS BIGINT) AS n_hash,
-        CAST(len(regexp_extract_all(text, '\\.{{3}}|…')) AS BIGINT) AS n_ellipsis,
-        string_split(text, chr(10)) AS lines
+        regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws,
+        CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+             AS BIGINT) AS n_words,
+        CAST(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+             AS DOUBLE) AS n_word_chars,
+        CAST(length(regexp_replace(coalesce(text, ''), '[^#]', '', 'g'))
+             AS BIGINT) AS n_hash,
+        CAST(len(regexp_extract_all(coalesce(text, ''), '\\.{{3}}|…'))
+             AS BIGINT) AS n_ellipsis,
+        string_split(coalesce(text, ''), chr(10)) AS lines
       FROM documents
     ), g AS (
       SELECT source,
@@ -2172,7 +2178,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), freq AS (
       SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok
@@ -2212,7 +2218,7 @@ def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))
                   AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents
@@ -2261,7 +2267,7 @@ def doc_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_SCORED_SQL = """
     ex AS (
       SELECT doc_id AS id,
-             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), lens AS (
       SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM ex GROUP BY id
@@ -2524,7 +2530,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), bx AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
@@ -3568,7 +3574,7 @@ def orders_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS asset_id,
              CAST((doc_id % 7) * 16 + 32 AS INT) AS width,
              CAST((doc_id % 5) * 16 + 32 AS INT) AS height,
-             sha256(text) AS hx
+             sha256(coalesce(text, '')) AS hx
       FROM documents WHERE doc_id % 3 = 0
     ), px AS (
       SELECT asset_id, width, height, hx,
@@ -3626,7 +3632,7 @@ def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAST(duration_ms, (s.seg + 1) * 1000) AS BIGINT) AS end_ms,
            CAST((LEAST(duration_ms, (s.seg + 1) * 1000) - s.seg * 1000)
                 * 16000 // 1000 AS BIGINT) AS n_samples,
-           md5(text || 'seg' || CAST(s.seg AS VARCHAR)) AS segment_payload_md5
+           md5(coalesce(text, '') || 'seg' || CAST(s.seg AS VARCHAR)) AS segment_payload_md5
     FROM a, UNNEST(range(0, (duration_ms + 999) // 1000)) AS s(seg)
     """,
     tags=("multimodal", "audio", "segmentation"),
@@ -3669,7 +3675,7 @@ def media_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 3 = 2
     )
     SELECT asset_id, CAST(f.frame_idx AS INT) AS frame_idx, width, height,
-           md5(text || CAST(f.frame_idx AS VARCHAR)) AS frame_payload_md5
+           md5(coalesce(text, '') || CAST(f.frame_idx AS VARCHAR)) AS frame_payload_md5
     FROM v, UNNEST(range(0, n_frames, 2)) AS f(frame_idx)
     """,
     tags=("multimodal", "video", "frame-sample"),
@@ -3749,7 +3755,7 @@ def media_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS asset_id,
              CAST((doc_id % 7) * 16 + 32 AS INT) AS width,
              CAST((doc_id % 5) * 16 + 32 AS INT) AS height,
-             sha256(text) AS hx
+             sha256(coalesce(text, '')) AS hx
       FROM documents WHERE doc_id % 3 = 0
     ), px AS (
       SELECT asset_id, width, height, hx, CAST(u.i AS BIGINT) AS i
@@ -4253,7 +4259,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_incremental_dedup",
     oracle="""
     WITH n AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
       FROM documents
     ), idx AS (
       SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0
@@ -4338,7 +4344,7 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_WINS_SQL = """
     toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), wins AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -4551,7 +4557,7 @@ def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))
                AS BIGINT) AS n_tokens
       FROM documents
     ), p AS (
@@ -4590,7 +4596,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles (identical to whitespace_tokens: lower, collapse whitespace,
 # trim, split on single space).
 _WS_TOKENS_SQL = (
-    "len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+    "len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))"
 )
 
 # Target token mixture for the registered domain-mixing query. Budgets
