@@ -40,6 +40,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def finite(col: str | Column) -> Column:
+    """Value-domain guard shared by the rollup/gapfill aggregates: NaN and
+    ±Inf are MISSING measurements (they have no decimal representation and
+    under ANSI one junk value would abort the job on both engines). The
+    strict comparisons are false for all three non-finite values; the
+    DuckDB oracle twin is CASE WHEN isfinite(v) THEN v END."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when((c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -213,7 +223,7 @@ def gapfill_time_series(
     grid = spine.crossJoin(F.broadcast(groups))
     observed = df.groupBy(bucket.alias("bucket_start"), F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        F.sum(finite(value_col).cast("decimal(18,6)"))
         .cast("double")
         .alias("sum_value"),
     )
@@ -247,8 +257,11 @@ def time_rollup(
     mergeable, so rollups of disjoint event slices combine cell-wise
     with :func:`rollup_merge` instead of re-reading history; derived
     statistics (avg) come from :func:`rollup_finalize` at read time.
-    One shuffle on the (bucket, keys) grain with map-side combine."""
-    v = F.col(value_col)
+    One shuffle on the (bucket, keys) grain with map-side combine.
+    Non-finite measurements are missing data across EVERY statistic
+    (n_values/sum/min/max all see the :func:`finite` projection), so the
+    rollup never mixes a clean sum with an Inf-poisoned max."""
+    v = finite(value_col)
     return (
         events.groupBy(
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"), *keys

@@ -50,9 +50,21 @@ def register(name: str, oracle: str | None = None, bench: bool = False,
 
 def dec(col: str | Column, scale: int = 6) -> Column:
     """Exact-sum helper: cast a double column to DECIMAL(18,scale) so SUM is
-    order-independent (decimal addition is exact; double addition is not)."""
+    order-independent (decimal addition is exact; double addition is not).
+
+    Value-domain contract, stated once for every exact-sum path: non-finite
+    doubles (NaN, ±Inf) are MISSING data here — they have no decimal
+    representation, so under ANSI both engines would abort the whole job on
+    one junk measurement; nulling them keeps the sum over the finite values
+    and the quality suite (A2 predicate violations) is where non-finite
+    counts surface. Finite values must satisfy |v| < 10^(18-scale) (10^12
+    at the default scale) — beyond that the cast still errors LOUDLY on
+    both engines rather than silently wrapping, pinned by
+    tests/test_edge_corpus.py. The strict comparisons below are false for
+    NaN and ±Inf and cost nothing for already-exact integer inputs."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(18,{scale})")
+    finite = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
+    return F.when(finite, c).cast(f"decimal(18,{scale})")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

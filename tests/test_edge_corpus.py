@@ -142,3 +142,126 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, edge_con, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, edge_dir)
     compare_spark_vs_oracle(df, edge_con, spec.oracle, name=f"{name}[edge]")
+
+
+# ---------------------------------------------------------------------------
+# Events edge corpus: NULL ts/user/type/value/props, NaN/±Inf/extreme values,
+# duplicate event_ids, same-user same-ts ties, pre-epoch and far-future
+# timestamps, malformed props JSON — against every events-only oracle.
+# ---------------------------------------------------------------------------
+
+
+def _events_only_names() -> list[str]:
+    names = []
+    others = tuple(t for t in _OTHER_TABLES if t != "events") + ("documents",)
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        o = s.oracle.lower()
+        if "events" in o and not any(re.search(rf"\b{t}\b", o) for t in others):
+            names.append(n)
+    return names
+
+
+EVENTS_ONLY = _events_only_names()
+
+
+def _edge_events() -> tuple[list, list]:
+    from datetime import datetime
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        # degenerate rows
+        (1000, None, 1, "click", 1.0, '{"k": 1}'),          # NULL ts
+        (1001, ts("2024-01-01T00:00:00"), None, "click", 2.0, '{"k": 2}'),  # NULL user
+        (1002, ts("2024-01-01T01:00:00"), 2, None, 3.0, '{"k": 3}'),        # NULL type
+        (1003, ts("2024-01-01T02:00:00"), 2, "purchase", None, '{"k": 4}'), # NULL value
+        (1004, ts("2024-01-01T03:00:00"), 3, "click", 4.0, None),           # NULL props
+        (1005, ts("2024-01-01T04:00:00"), 3, "click", 5.0, "{not json"),    # bad json
+        (1006, ts("2024-01-01T05:00:00"), 3, "click", 6.0, ""),             # empty props
+        (1007, ts("2024-01-01T06:00:00"), 4, "", 7.0, "[]"),                # empty type
+        (1008, ts("2024-01-01T07:00:00"), 4, "click", float("nan"), '{"k": 5}'),
+        (1009, ts("2024-01-01T08:00:00"), 4, "click", float("inf"), '{"k": 6}'),
+        (1010, ts("2024-01-01T09:00:00"), 4, "click", float("-inf"), '{"k": 7}'),
+        (1011, ts("2024-01-01T10:00:00"), 5, "click", -273.15, '{"k": 8}'),
+        (1012, ts("2024-01-01T11:00:00"), 5, "click", 0.0, '{"k": 9}'),
+        (1013, ts("2024-01-01T12:00:00"), 5, "click", 1e308, '{"k": 10}'),
+        (1014, ts("1969-12-31T23:59:59"), 6, "signup", 1.5, '{"k": 11}'),   # pre-epoch
+        (1015, ts("2200-06-15T12:00:00"), 6, "click", 2.5, '{"k": 12}'),    # far future
+        # duplicate event_id, distinct payloads
+        (1016, ts("2024-01-02T00:00:00"), 7, "click", 10.0, '{"k": 13}'),
+        (1016, ts("2024-01-02T00:30:00"), 7, "purchase", 11.0, '{"k": 14}'),
+        # same user, same ts: window/session tiebreak stress
+        (1018, ts("2024-01-02T01:00:00"), 8, "click", 12.0, '{"k": 15}'),
+        (1019, ts("2024-01-02T01:00:00"), 8, "purchase", 13.0, '{"k": 16}'),
+        (1020, ts("2024-01-02T01:00:00"), 8, "error", 14.0, '{"k": 17}'),
+    ]
+    # a regular substrate so funnels/retention/rollups have structure:
+    # 10 users x signup->click->purchase->error over three days
+    types = ("signup", "click", "purchase", "error")
+    eid = 2000
+    for day in (1, 2, 3):
+        for u in range(1, 11):
+            for i, t in enumerate(types):
+                rows.append(
+                    (
+                        eid,
+                        ts(f"2024-01-0{day}T{6 + i:02d}:{u:02d}:00"),
+                        u,
+                        t,
+                        round(u * 7.5 + i * 3.25 + day, 2),
+                        f'{{"k": {eid % 100}}}',
+                    )
+                )
+                eid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_events")
+    rows = _edge_events()
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_events_con(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{edge_events_dir}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_events_sweep_covers_the_expected_surface():
+    assert len(EVENTS_ONLY) >= 20
+    for must in (
+        "user_sessions", "events_hourly", "events_value_psi_drift",
+        "event_user_hll", "user_event_type_scd2_merge", "events_signup_funnel",
+    ):
+        assert must in EVENTS_ONLY
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY)
+def test_edge_events_matches_oracle(spark, edge_events_dir, edge_events_con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, edge_events_dir)
+    compare_spark_vs_oracle(df, edge_events_con, spec.oracle, name=f"{name}[edge]")
