@@ -16,6 +16,34 @@ from ehr_data_pipeline_spark.queries import bench_queries  # noqa: E402
 from ehr_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _calibration_sec(spark) -> float:
+    """Fixed CPU-bound microbenchmark: a seeded 4B-row whole-stage-
+    codegen aggregate over spark.range — no I/O, no shuffle, no parquet,
+    identical work every round, sized to ~0.5 s so scheduler jitter
+    (~10 ms) is noise. Its wall time measures the HOST
+    GENERATION (cpu clock, thermal budget, steal), not the query plans,
+    so cross-round BENCH comparisons can divide it out: rounds 4→6
+    showed uniform ~1.25–1.4× drift across unrelated plan shapes
+    (NOTES_r06.md host analysis, plans machine-asserted unchanged), and
+    without a calibration constant that drift masquerades as — or masks
+    — plan regressions. Warm-up run first so JIT lands outside the
+    timed pass, same discipline as the query timings."""
+    def plan():
+        # bit_xor, not sum: 4B 64-bit hashes overflow a BIGINT sum
+        # under ANSI; xor is the same per-row work and cannot overflow.
+        # Built FRESH per run — re-collecting one DataFrame would let
+        # AQE reuse the materialized partial-aggregate shuffle and time
+        # only the 32-row final stage (measured: 2.75 s -> 0.05 s).
+        return spark.range(0, 4_000_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id, id + 1)) AS h"
+        )
+
+    plan().collect()  # JIT warm-up
+    t0 = time.perf_counter()
+    plan().collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
@@ -46,6 +74,7 @@ def main() -> None:
         # 105-query session at sf0.1)
         spark.catalog.clearCache()
 
+    calibration = _calibration_sec(spark)
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_wall",
@@ -53,6 +82,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-generation constant: divide `value` by this before
+        # comparing across rounds (see _calibration_sec)
+        "calibration_sec": calibration,
+        "value_per_calibration": round(total / calibration, 4) if calibration else None,
     }))
     spark.stop()
 

@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ehr_data_pipeline_spark.functions.measurement import valid_measurement
+
 
 def _violations(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
@@ -82,6 +84,27 @@ def row_count_observer(df: DataFrame, name: str) -> tuple[DataFrame, "object"]:
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
 
 
+def _drift_bucket(col: str, lo: float, hi: float, n_buckets: int) -> Column:
+    """Fixed-width bucket id with under/overflow buckets -1 and n.
+
+    The range tests happen in VALUE space (``c < lo`` / ``c >= hi``) so
+    only in-range values ever reach the floor+INT cast — floor of an
+    arbitrary in-domain double (up to ~10^12/width) would overflow an
+    INT cast under ANSI if clamping happened after the cast, and the
+    DuckDB twin has the identical failure mode. Oracle twin::
+
+        CASE WHEN v < lo THEN -1 WHEN v >= hi THEN n
+             ELSE CAST(FLOOR((v - lo) / width) AS INT) END
+    """
+    width = (hi - lo) / n_buckets
+    c = valid_measurement(col)
+    return (
+        F.when(c < lo, F.lit(-1))
+        .when(c >= hi, F.lit(n_buckets))
+        .otherwise(F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+
+
 def histogram_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -104,27 +127,22 @@ def histogram_drift(
     logarithm made cross-engine-stable by the fixed-point trick the
     LM/DSIR/BM25 scorers use). Fixed-width bucketing (not quantiles) keeps the
     bucket id a narrow per-row expression; both inputs aggregate in ONE
-    union pass (shuffle on ~n_buckets rows). Rows with a null metric are
-    excluded. ``drift_chi2`` is null for buckets B populates but A does
-    not (infinite-surprise bucket — report it, don't hide it)."""
+    union pass (shuffle on ~n_buckets rows). Rows without a valid
+    measurement (NULL/NaN/±Inf/|v| ≥ 10^12 — the engine-wide contract
+    in ``functions/measurement.py``) are excluded. ``drift_chi2`` is
+    null for buckets B populates but A does not (infinite-surprise
+    bucket — report it, don't hide it)."""
     width = (hi - lo) / n_buckets
-
-    def bucket(c: Column) -> Column:
-        b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
-        return (
-            F.when(c < lo, F.lit(-1))
-            .when(b >= n_buckets, F.lit(n_buckets))
-            .otherwise(b)
-        )
-
+    bucket = _drift_bucket(col, lo, hi, n_buckets)
+    keep = valid_measurement(col).isNotNull()
     tagged = df_a.select(
-        bucket(F.col(col)).alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
-    ).where(F.col(col).isNotNull()).unionByName(
+        bucket.alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).where(keep).unionByName(
         df_b.select(
-            bucket(F.col(col)).alias("bucket"),
+            bucket.alias("bucket"),
             F.lit(0).alias("__a"),
             F.lit(1).alias("__b"),
-        ).where(F.col(col).isNotNull())
+        ).where(keep)
     )
     counts = tagged.groupBy("bucket").agg(
         F.sum("__a").cast("bigint").alias("n_a"),
@@ -180,26 +198,21 @@ def psi_drift(
     PSI is always finite and the spine is an explicit tiny literal, not
     data-dependent. Returns one row per bucket:
     ``(bucket, bucket_lo, n_a, n_b, psi_term)`` — large terms localize
-    WHERE the distribution moved; their exact sum is the PSI."""
+    WHERE the distribution moved; their exact sum is the PSI. Rows
+    without a valid measurement are excluded per the engine-wide
+    contract (``functions/measurement.py``)."""
     width = (hi - lo) / n_buckets
     n_spine = n_buckets + 2
-
-    def bucket(c: Column) -> Column:
-        b = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
-        return (
-            F.when(c < lo, F.lit(-1))
-            .when(b >= n_buckets, F.lit(n_buckets))
-            .otherwise(b)
-        )
-
+    bucket = _drift_bucket(col, lo, hi, n_buckets)
+    keep = valid_measurement(col).isNotNull()
     tagged = df_a.select(
-        bucket(F.col(col)).alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
-    ).where(F.col(col).isNotNull()).unionByName(
+        bucket.alias("bucket"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).where(keep).unionByName(
         df_b.select(
-            bucket(F.col(col)).alias("bucket"),
+            bucket.alias("bucket"),
             F.lit(0).alias("__a"),
             F.lit(1).alias("__b"),
-        ).where(F.col(col).isNotNull())
+        ).where(keep)
     )
     counts = tagged.groupBy("bucket").agg(
         F.sum("__a").cast("bigint").alias("n_a"),

@@ -65,7 +65,13 @@ def scd2_compress(
     derive from lead over ``version``, never over the tie-prone
     timestamp. ``tiebreak`` must make the event order total when ts
     alone has duplicates — otherwise run boundaries are
-    nondeterministic."""
+    nondeterministic.
+
+    Timeline contract (``functions/measurement.py``): an event with a
+    NULL ``ts_col`` has no position on the timeline and is excluded —
+    which also keeps the lag(ts)-is-null first-event detection below
+    sound (it relies on ts never being null for an included event)."""
+    df = df.where(F.col(ts_col).isNotNull())
     keys = list(keys)
     attrs = list(attrs)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])

@@ -307,9 +307,16 @@ def hist_build(
     estimator deterministic; the trade is a fixed ±bin-width error
     instead of t-digest's adaptive one — the right trade when the
     summary must reduce cell-wise across 100 TB of partitions and
-    replay bit-for-bit in another engine."""
+    replay bit-for-bit in another engine. Rows without a valid
+    measurement (NULL/NaN/±Inf/|v| ≥ 10^12, the engine-wide contract
+    in ``functions/measurement.py``) are excluded — the guard is also
+    what keeps the bin expression's floor-to-BIGINT inside range under
+    ANSI; oracle twin ``WHERE isfinite(v) AND abs(v) < 1e12``."""
+    from ehr_data_pipeline_spark.functions.measurement import valid_measurement
+
+    v = valid_measurement(col)
     return (
-        df.where(F.col(col).isNotNull())
+        df.where(v.isNotNull())
         .groupBy(*group_cols, _hist_bin(F.col(col), lo, hi, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

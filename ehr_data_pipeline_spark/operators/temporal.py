@@ -41,13 +41,13 @@ from pyspark.sql.window import Window
 
 
 def finite(col: str | Column) -> Column:
-    """Value-domain guard shared by the rollup/gapfill aggregates: NaN and
-    ±Inf are MISSING measurements (they have no decimal representation and
-    under ANSI one junk value would abort the job on both engines). The
-    strict comparisons are false for all three non-finite values; the
-    DuckDB oracle twin is CASE WHEN isfinite(v) THEN v END."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.when((c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c)
+    """Value-domain guard shared by the rollup/gapfill aggregates — the
+    engine-wide measurement contract (NaN, ±Inf and |v| ≥ 10^12 are
+    MISSING measurements; see ``functions/measurement.py`` for the full
+    statement and the DuckDB oracle twin)."""
+    from ehr_data_pipeline_spark.functions.measurement import valid_measurement
+
+    return valid_measurement(col)
 
 
 def asof_join(
@@ -208,7 +208,12 @@ def gapfill_time_series(
     aggregate, one window per group — the spine cross join is
     broadcast-only. At 100 TB the aggregate dominates and partial
     aggregation applies; the spine stays proportional to range/step, not
-    to row count."""
+    to row count.
+
+    Timeline contract (``functions/measurement.py``): NULL-``ts_col``
+    rows are off the timeline — they can land in no bucket — and are
+    excluded up front; the quality suite counts them."""
+    df = df.where(F.col(ts_col).isNotNull())
     bucket = F.date_trunc(unit, F.col(ts_col))
     bounds = df.agg(
         F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
@@ -260,10 +265,15 @@ def time_rollup(
     One shuffle on the (bucket, keys) grain with map-side combine.
     Non-finite measurements are missing data across EVERY statistic
     (n_values/sum/min/max all see the :func:`finite` projection), so the
-    rollup never mixes a clean sum with an Inf-poisoned max."""
+    rollup never mixes a clean sum with an Inf-poisoned max.
+
+    Timeline contract: NULL-``ts_col`` events are off the timeline and
+    excluded (``functions/measurement.py``); ``n_events`` counts every
+    on-timeline event, ``n_values`` only the valid measurements."""
     v = finite(value_col)
     return (
-        events.groupBy(
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"), *keys
         )
         .agg(

@@ -25,7 +25,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ehr_data_pipeline_spark.functions.measurement import measurement_sql
 from ehr_data_pipeline_spark.tables import load_table
+
+# DuckDB twin of the valid_measurement guard (functions/measurement.py),
+# spliced into every events-family oracle that reads `value` — the oracle
+# half of the engine-wide measurement contract.
+_FIN = measurement_sql("value")
 
 
 @dataclass(frozen=True)
@@ -52,19 +58,20 @@ def dec(col: str | Column, scale: int = 6) -> Column:
     """Exact-sum helper: cast a double column to DECIMAL(18,scale) so SUM is
     order-independent (decimal addition is exact; double addition is not).
 
-    Value-domain contract, stated once for every exact-sum path: non-finite
-    doubles (NaN, ±Inf) are MISSING data here — they have no decimal
-    representation, so under ANSI both engines would abort the whole job on
-    one junk measurement; nulling them keeps the sum over the finite values
-    and the quality suite (A2 predicate violations) is where non-finite
-    counts surface. Finite values must satisfy |v| < 10^(18-scale) (10^12
-    at the default scale) — beyond that the cast still errors LOUDLY on
-    both engines rather than silently wrapping, pinned by
-    tests/test_edge_corpus.py. The strict comparisons below are false for
-    NaN and ±Inf and cost nothing for already-exact integer inputs."""
-    c = F.col(col) if isinstance(col, str) else col
-    finite = (c > F.lit(float("-inf"))) & (c < F.lit(float("inf")))
-    return F.when(finite, c).cast(f"decimal(18,{scale})")
+    Value-domain contract (the full statement lives in
+    ``functions/measurement.py``): NULL, NaN, ±Inf and |v| ≥ 10^12 are
+    MISSING measurements — they have no DECIMAL(18,6) representation, and
+    under ANSI both engines would otherwise abort the whole job on one
+    junk value in 100 TB. The guard nulls them so the sum covers the
+    valid values and the quality suite (A2) is where the invalid counts
+    surface; the DuckDB oracle twin is ``measurement_sql()``, spliced
+    into every events-family oracle and pinned cross-engine by
+    tests/test_edge_corpus.py. For the TPC-H-shape business columns the
+    guard is a no-op by schema (amounts are small decimals), so those
+    oracles keep the plain cast."""
+    from ehr_data_pipeline_spark.functions.measurement import valid_measurement
+
+    return valid_measurement(col).cast(f"decimal(18,{scale})")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,9 +88,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l_discount AS DECIMAL(18,6)))
                     * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
@@ -127,7 +134,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -166,7 +173,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
     SELECT n.n_name,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM region r
@@ -285,12 +292,16 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_delta",
-    oracle="""
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, {_FIN} AS value
+      FROM events WHERE ts IS NOT NULL
+    )
     SELECT event_id, user_id, value,
            value - LAG(value) OVER w AS value_delta,
            LEAST(ts, LAG(ts) OVER w) AS span_start,
            GREATEST(ts, LAG(ts) OVER w) AS span_end
-    FROM events
+    FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
     tags=("window", "lag", "swap"),
@@ -299,17 +310,24 @@ def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() deltas per user plus the least/greatest pair — the same
     column-swap idiom that implements the reference's date-order repair F11
     (data_quality_checker.py:197-211). Window order has a unique tiebreak
-    (event_id) so lag is deterministic."""
+    (event_id) so lag is deterministic. Events-domain contract
+    (functions/measurement.py): NULL-ts rows are off the timeline (a lag
+    across them would be order-divergent between engines), and the value
+    column rides through the valid-measurement projection so deltas never
+    touch NaN/Inf/out-of-domain junk."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")
+    from ehr_data_pipeline_spark.functions.measurement import valid_measurement
+
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    v = valid_measurement("value")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev_ts = F.lag("ts").over(w)
     return e.select(
         "event_id",
         "user_id",
-        "value",
-        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        v.alias("value"),
+        (v - F.lag(v).over(w)).alias("value_delta"),
         F.least(F.col("ts"), prev_ts).alias("span_start"),
         F.greatest(F.col("ts"), prev_ts).alias("span_end"),
     )
@@ -583,11 +601,17 @@ def repeat_customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
     tags=("rollup",),
 )
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (SURVEY §2.7 gap list)."""
+    """ROLLUP grouping sets (SURVEY §2.7 gap list). Empty-input contract
+    (caught by the relational edge corpus): the SQL standard gives the
+    () grouping set ONE all-NULL row over empty input and DuckDB follows
+    it; Spark emits no rows. The oracle mirrors the engine with
+    HAVING COUNT(*) > 0 — a no-op on any non-empty input, because every
+    real grouping-set row aggregates at least one row."""
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -603,11 +627,15 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     tags=("cube",),
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (SURVEY §2.7 gap list)."""
+    """CUBE grouping sets (SURVEY §2.7 gap list). Same empty-input
+    contract as rollup_order_stats: Spark emits NO rows over an empty
+    input where the standard's () set yields one — HAVING COUNT(*) > 0
+    pins the oracle to the engine, and is a no-op otherwise."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -642,11 +670,12 @@ def parts_top20_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST({_FIN} AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     bench=True,
@@ -654,10 +683,13 @@ def parts_top20_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour aggregation. Scale notes: single shuffle on
-    (hour, type) with map-side partial aggregation."""
+    (hour, type) with map-side partial aggregation. NULL-ts rows are off
+    the timeline and invalid measurements are missing — the events-domain
+    contract in functions/measurement.py, mirrored in the oracle."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.groupBy(
+        e.where(F.col("ts").isNotNull())
+        .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour_start"),
             F.col("event_type"),
         )
@@ -671,12 +703,18 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_props_extract",
     oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM ev
     GROUP BY event_type
     """,
     tags=("json", "semi-structured"),
@@ -684,7 +722,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from a JSON string column — the engine's
     general form of the reference's nested-JSON consumption (SURVEY §2.4;
-    the FHIR path uses typed structs instead, see fhir/schema.py)."""
+    the FHIR path uses typed structs instead, see fhir/schema.py).
+    Malformed-JSON contract: get_json_object returns NULL on junk input —
+    the engine semantic — so the oracle guards its (throwing) extraction
+    with json_valid to state the same thing."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
@@ -779,30 +820,46 @@ def source_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_validation_report",
-    oracle="""
+    oracle=f"""
+    WITH ev AS (SELECT *, {_FIN} AS vm FROM events)
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-           CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+           CAST(SUM(CASE WHEN value IS NOT NULL AND vm IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS invalid_measurement,
+           CAST(SUM(CASE WHEN vm IS NOT NULL AND (vm < 0 OR vm > 400)
                          THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_value,
            CAST(SUM(CASE WHEN props IS NOT NULL
-                          AND NOT regexp_matches(props, '^\\{"k": -?\\d+\\}$')
+                          AND NOT regexp_matches(props, '^\\{{"k": -?\\d+\\}}$')
                          THEN 1 ELSE 0 END) AS BIGINT) AS bad_props_format,
            CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts
-    FROM events
+    FROM ev
     """,
     tags=("quality", "A2", "F5-F8"),
 )
 def events_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass validation-violation counting (A2 at
     data_quality_checker.py:34-45 runs one python loop per check; the engine
-    folds every check into ONE aggregate pass — same report, one scan)."""
+    folds every check into ONE aggregate pass — same report, one scan).
+    Carries the events-domain contract classes (functions/measurement.py):
+    invalid_measurement counts present-but-junk values (NaN/±Inf/|v|≥1e12),
+    null_ts the off-timeline rows, and the range check is scoped to VALID
+    measurements so NaN's engine-specific comparison semantics never reach
+    the predicate — the violations the temporal operators exclude are
+    counted here, not hidden (the reference's A2 philosophy)."""
+    from ehr_data_pipeline_spark.functions.measurement import (
+        is_invalid_measurement,
+        valid_measurement,
+    )
+
     e = _t(spark, sf_dir, "events")
+    vm = valid_measurement("value")
     def n(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
         n(F.col("value").isNull()).alias("null_value"),
-        n(F.col("value").isNotNull() & ((F.col("value") < 0) | (F.col("value") > 400))).alias("out_of_range_value"),
+        n(is_invalid_measurement("value")).alias("invalid_measurement"),
+        n(vm.isNotNull() & ((vm < 0) | (vm > 400))).alias("out_of_range_value"),
         n(F.col("props").isNotNull() & ~F.col("props").rlike(r'^\{"k": -?\d+\}$')).alias("bad_props_format"),
         n(F.col("ts").isNull()).alias("null_ts"),
     )
@@ -927,23 +984,36 @@ def union_by_name_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_quality_suite",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT COUNT(*) AS total FROM events),
-    ev AS (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+    ev AS (SELECT *,
+                  CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+                  {_FIN} AS vm
+           FROM events),
     checks AS (
       SELECT 'events' AS table_name, 'Invalid Props Format' AS error_type,
              CAST(SUM(CASE WHEN props IS NOT NULL
-                            AND NOT regexp_matches(props, '^\\{"k": -?\\d+\\}$')
+                            AND NOT regexp_matches(props, '^\\{{"k": -?\\d+\\}}$')
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
       FROM ev
       UNION ALL
+      SELECT 'events', 'Invalid Measurement',
+             CAST(SUM(CASE WHEN value IS NOT NULL AND vm IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ev
+      UNION ALL
+      SELECT 'events', 'Missing Timestamp',
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ev
+      UNION ALL
       SELECT 'events', 'Value Out Of Range',
-             CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+             CAST(SUM(CASE WHEN vm IS NOT NULL AND (vm < 0 OR vm > 400)
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM ev
       UNION ALL
       SELECT 'events', 'Logical Value Order',
-             CAST(SUM(CASE WHEN value IS NOT NULL AND k IS NOT NULL AND value > k
+             CAST(SUM(CASE WHEN vm IS NOT NULL AND k IS NOT NULL AND vm > k
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM ev
       UNION ALL
@@ -966,20 +1036,30 @@ def events_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and logical-order (A3) checks fold into ONE aggregate pass via
     quality_report; the keep=False duplicate check (A4) unions in as an
     extra report row — same report shape as the reference
-    (table, error_type, count, pct)."""
+    (table, error_type, count, pct). The Invalid Measurement and
+    Missing Timestamp classes surface exactly the rows the events-domain
+    contract (functions/measurement.py) excludes from the temporal
+    operators — counted here, not silently dropped, per the reference's
+    violations-are-reported philosophy (data_quality_checker.py:34-45);
+    the range/order checks are scoped to VALID measurements so NaN's
+    engine-specific comparison semantics never reach a predicate."""
     from ehr_data_pipeline_spark.fhir.quality import duplicate_check_row
+    from ehr_data_pipeline_spark.functions.measurement import (
+        is_invalid_measurement,
+        valid_measurement,
+    )
     from ehr_data_pipeline_spark.operators.quality import quality_report
 
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    vm = valid_measurement("value")
     checks = {
         "Invalid Props Format": F.col("props").isNotNull()
         & ~F.col("props").rlike(r'^\{"k": -?\d+\}$'),
-        "Value Out Of Range": F.col("value").isNotNull()
-        & ((F.col("value") < 0) | (F.col("value") > 400)),
-        "Logical Value Order": F.col("value").isNotNull()
-        & k.isNotNull()
-        & (F.col("value") > k),
+        "Invalid Measurement": is_invalid_measurement("value"),
+        "Missing Timestamp": F.col("ts").isNull(),
+        "Value Out Of Range": vm.isNotNull() & ((vm < 0) | (vm > 400)),
+        "Logical Value Order": vm.isNotNull() & k.isNotNull() & (vm > k),
     }
     report = quality_report(e, checks, table_name="events")
     return report.unionByName(
@@ -991,7 +1071,9 @@ def events_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validator_parity_report",
     oracle="""
     WITH ev AS (
-      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+      SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+             value
       FROM events
     ), d AS (
       SELECT concat('2020-01-', lpad(CAST(k AS VARCHAR), 2, '0')) AS ds,
@@ -2830,9 +2912,9 @@ def emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), s AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -2850,13 +2932,22 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` merging-window operator — the batch twin of
     ``streaming.sessionize``, which runs the identical plan over
     ``readStream`` with a watermark. The oracle states the same semantics
-    relationally (lag >= gap starts a session, cumulative-sum session
-    ids), proving the half-open boundary behavior matches. One shuffle on
-    user_id; state per 100 TB stream partition is O(open sessions)."""
+    relationally (lag STRICTLY GREATER than gap starts a session,
+    cumulative-sum session ids) — the boundary is inclusive: Spark's
+    session windows [t, t+gap] merge on touch, so an event exactly
+    ``gap`` after its predecessor still extends the session (pinned by
+    the exact-30-minute pair in the adversarial events corpus). NULL-ts
+    events are off the timeline (functions/measurement.py). One shuffle
+    on user_id; state per 100 TB stream partition is O(open sessions)."""
     from ehr_data_pipeline_spark.streaming import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes", watermark=None)
 
+
+# Fixed id slice for the registered exact cosine near-dup query — covers
+# the whole embeddings table at the sf0.01 gate, stays O(1) at any scale
+# (the doc_jaccard_pairs / emb_lsh_recall_report precedent).
+_COSINE_SLICE_VECS = 1000
 
 _PAIR_COS_SQL = (
     "round("
@@ -2870,9 +2961,11 @@ _PAIR_COS_SQL = (
 @register(
     "emb_cosine_neardup_pairs",
     oracle=f"""
-    WITH p AS (
+    WITH e AS (
+      SELECT * FROM embeddings WHERE vec_id < {_COSINE_SLICE_VECS}
+    ), p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS_SQL} AS cosine
-      FROM embeddings a, embeddings b
+      FROM e a, e b
       WHERE a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
@@ -2882,13 +2975,23 @@ _PAIR_COS_SQL = (
 def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the fifth dedup family
     member (exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine):
-    all (id_a < id_b) pairs with round(cosine, 6) >= 0.4. Exact
-    broadcast-nested-loop variant (the oracle baseline); the 100 TB path
-    is lsh_near_dup_pairs, which joins within LSH buckets only and is
-    recall-tested against this plan in tests/test_similarity.py."""
+    all (id_a < id_b) pairs with round(cosine, 6) >= 0.4, on a
+    FIXED-SIZE slice (vec_id < 1000 — the whole table at the driver's
+    sf0.01 gate, an O(1) verification sample at any larger corpus),
+    exactly the doc_jaccard_pairs / emb_lsh_recall_report precedent: a
+    registered query is a production surface, and the UNBOUNDED
+    broadcast-nested-loop self-join this wrapped before round 7 is O(N²)
+    work with an N-scaling broadcast — a scale-killer the plan-hygiene
+    sweep (tests/test_plans.py) now flags. The 100 TB path for the same
+    semantics is lsh_near_dup_pairs (joins within LSH buckets only),
+    recall-tested against this exact plan in tests/test_similarity.py;
+    the unbounded exact join lives only in tests."""
     from ehr_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
 
-    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COSINE_SLICE_VECS
+    )
+    return cosine_near_dup_pairs(emb, threshold=0.4)
 
 
 @register(
@@ -3150,20 +3253,22 @@ def error_recent_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_gapfill",
-    oracle="""
-    WITH b AS (
+    oracle=f"""
+    WITH e AS (
+      SELECT * FROM events WHERE ts IS NOT NULL
+    ), b AS (
       SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
-      FROM events
+      FROM e
     ), spine AS (
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start FROM b
     ), g AS (
-      SELECT DISTINCT event_type FROM events
+      SELECT DISTINCT event_type FROM e
     ), grid AS (
       SELECT bucket_start, event_type FROM spine CROSS JOIN g
     ), a AS (
       SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-      FROM events GROUP BY 1, 2
+             COUNT(*) AS n, CAST(SUM(CAST({_FIN} AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM e GROUP BY 1, 2
     )
     SELECT grid.bucket_start, grid.event_type,
            COALESCE(a.n, 0) AS n_events,
@@ -3192,12 +3297,14 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_weekly_retention",
     oracle="""
     WITH weeks AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS week_start FROM events
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week_start
+      FROM events WHERE ts IS NOT NULL
     ), cohorts AS (
       SELECT user_id, MIN(week_start) AS cohort_week FROM weeks GROUP BY 1
     )
     SELECT c.cohort_week,
-           CAST(date_diff('week', c.cohort_week, w.week_start) AS BIGINT) AS weeks_since,
+           CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                          CAST(w.week_start AS DATE)) / 7 AS BIGINT) AS weeks_since,
            COUNT(*) AS n_active_users
     FROM weeks w JOIN cohorts c USING (user_id)
     GROUP BY 1, 2
@@ -3210,9 +3317,13 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     they return. Two shuffles (distinct user-weeks, then the cohort
     groupBy); the cohort table joins back on user_id (AQE broadcasts it
     at small SF, shuffles at scale — both fine, the key is uniform).
-    Week arithmetic uses date_trunc('week') (ISO Monday) which the
-    oracle mirrors exactly."""
-    e = _t(spark, sf_dir, "events")
+    Week arithmetic uses date_trunc('week') (ISO Monday) and counts
+    CALENDAR days / 7 between the two Mondays — epoch-second arithmetic
+    would be off by one across DST transitions (a local-time week is
+    604800 ± 3600 s), caught by the pre-epoch/far-future rows of the
+    adversarial events corpus. NULL-ts rows are off the timeline
+    (functions/measurement.py)."""
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     weeks = e.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("week_start")
     ).distinct()
@@ -3221,11 +3332,8 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         weeks.join(cohorts, "user_id")
         .groupBy(
             "cohort_week",
-            (
-                F.floor(
-                    (F.unix_timestamp("week_start") - F.unix_timestamp("cohort_week"))
-                    / (7 * 86400)
-                )
+            F.floor(
+                F.datediff(F.to_date("week_start"), F.to_date("cohort_week")) / 7
             ).alias("weeks_since"),
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
@@ -3234,18 +3342,22 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_rollup_merge",
-    oracle="""
+    oracle=f"""
+    WITH e AS (
+      SELECT ts, event_type, {_FIN} AS v
+      FROM events WHERE ts IS NOT NULL
+    )
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
            COUNT(*) AS n_events,
-           COUNT(value) AS n_values,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           COUNT(v) AS n_values,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6))
                 AS DOUBLE) AS sum_value,
-           MIN(value) AS min_value, MAX(value) AS max_value,
-           CASE WHEN COUNT(value) > 0
-                THEN CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+           MIN(v) AS min_value, MAX(v) AS max_value,
+           CASE WHEN COUNT(v) > 0
+                THEN CAST(CAST(SUM(CAST(v AS DECIMAL(18,6)))
                           AS DECIMAL(38,6)) AS DOUBLE)
-                     / CAST(COUNT(value) AS DOUBLE) END AS avg_value
-    FROM events
+                     / CAST(COUNT(v) AS DOUBLE) END AS avg_value
+    FROM e
     GROUP BY 1, 2
     """,
     tags=("rollup", "hypertable", "incremental", "mergeable"),
@@ -3438,7 +3550,7 @@ def events_user_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(GREATEST(0, LEAST(63,
                   FLOOR((value - 0.0) / (600.0 - 0.0) * 64.0))) AS BIGINT) AS bin,
              COUNT(*) AS cnt
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE isfinite(value) AND abs(value) < 1e12
       GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, bin, CAST(cnt AS BIGINT) AS cnt,
@@ -4092,7 +4204,7 @@ def order_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS r
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -4139,7 +4251,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pr AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS r
       FROM lineitem GROUP BY l_partkey
     ), tot AS (
@@ -4242,7 +4354,8 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(date_diff('day',
                 lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey),
+                                       ORDER BY o_orderdate NULLS FIRST,
+                                                o_orderkey NULLS FIRST),
                 o_orderdate) AS INTEGER) AS days_since_prev
     FROM orders
     """,
@@ -4252,12 +4365,20 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival analysis via LAG: days since each customer's
     previous order (null for the first). The order key includes
     o_orderkey so same-day orders have a deterministic predecessor.
+    NULL placement is pinned EXPLICITLY on both sides (Spark defaults
+    ascending NULLS FIRST, DuckDB NULLS LAST — the relational edge
+    corpus caught the silent divergence on a NULL o_orderdate): a
+    date-less order sorts first, so it is the 'previous' of the
+    customer's earliest dated order and both rows get NULL gaps.
     datediff and DuckDB's date_diff('day') agree on midnight
     timestamps; one shuffle on custkey."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -4392,11 +4513,11 @@ _SPAN_WINS_SQL = """
     oracle="""
     WITH tagged AS (
       SELECT CASE WHEN value < 0.0 THEN -1
-                  WHEN CAST(FLOOR((value - 0.0) / 30.0) AS INT) >= 20 THEN 20
+                  WHEN value >= 600.0 THEN 20
                   ELSE CAST(FLOOR((value - 0.0) / 30.0) AS INT) END AS bucket,
              CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a_,
              CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b_
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE isfinite(value) AND abs(value) < 1e12
     ), counts AS (
       SELECT bucket, CAST(SUM(a_) AS BIGINT) AS n_a,
              CAST(SUM(b_) AS BIGINT) AS n_b
@@ -4837,11 +4958,11 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT CASE WHEN value < 0 THEN -1
-                  WHEN CAST(floor(value / 25.0) AS INT) >= 20 THEN 20
+                  WHEN value >= 500.0 THEN 20
                   ELSE CAST(floor(value / 25.0) AS INT) END AS bucket,
              CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a,
              CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS b
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE isfinite(value) AND abs(value) < 1e12
     ), c AS (
       SELECT bucket, CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
       FROM t GROUP BY bucket
@@ -4884,7 +5005,7 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), r AS (
       SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -4931,7 +5052,7 @@ def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), r AS (
       SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -4977,12 +5098,13 @@ def user_event_type_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_rolling_week_totals",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           CAST(SUM(CAST({_FIN} AS DECIMAL(18,6))) OVER w AS DOUBLE)
              AS rolling_7d_value,
            CAST(COUNT(*) OVER w AS BIGINT) AS rolling_7d_events
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
     """,
@@ -4995,10 +5117,12 @@ def user_rolling_week_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     long is SECONDS in Spark, which would silently change peer groups
     and the 7-day boundary. Sum is decimal-exact inside the frame. One
     shuffle on user, per-partition sort; frames are computed by the
-    sliding aggregator, not per-row rescans."""
+    sliding aggregator, not per-row rescans. NULL-ts rows are off the
+    timeline and junk measurements are missing, per the events-domain
+    contract (functions/measurement.py)."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -5055,7 +5179,7 @@ def linestatus_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -5116,10 +5240,10 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
              CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
-                           THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                           THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                                 * (1 - CAST(l_discount AS DECIMAL(18,6)))
                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS nation_volume,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -5164,7 +5288,7 @@ def nation1_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "branded_quantity_band_revenue",
     oracle="""
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -5257,7 +5381,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_year_profit",
     oracle="""
     SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                        * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
                        - CAST(0.6 AS DECIMAL(18,6))
                          * CAST(p.p_retailprice AS DECIMAL(18,6))
@@ -5308,7 +5432,7 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_top_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
                 AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
@@ -5354,10 +5478,10 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_ratio",
     oracle="""
     SELECT CAST(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                   THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                         * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
-                / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                / CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)
            AS DOUBLE) AS promo_revenue_pct,
            COUNT(*) AS n_lines
@@ -5590,51 +5714,51 @@ def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 6's list is exactly the 26 entries with
-# no driver row in ANY CORRECTNESS_r*.json so far: the 25 registry
-# entries absent from both r04 and r05 (computed from the recorded
-# artifacts, all green in the round-5 judge's independent sf0.01 DuckDB
-# re-run) plus media_image_features, whose oracle lands this round (its
-# prior rows were rows-only). Trade-off, made explicitly: the queries
-# this demotes past slot 50 lose DRIVER regression coverage for the
-# round, but every registry entry still runs against the identical
-# DuckDB oracle in tests/test_queries_oracle.py (the full-registry
-# replica of the driver's gate), so a regression in a demoted query
-# still fails CI — the driver sweep is the independent confirmation,
-# pytest is the compensating gate.
+# least every other round. Round 7's list is exactly the 26 entries whose
+# LAST driver row is r04 — the stalest third of the staleness census
+# (26 last-green r04, 44 r05, 50 r06), computed from the recorded
+# CORRECTNESS_r*.json artifacts. It deliberately includes the four
+# events-family queries the round-7 contract work touched
+# (events_value_delta, events_value_drift, user_event_type_scd2,
+# user_rolling_week_totals) so the contract's stock-hash-stability claim
+# gets independent driver confirmation this round. Trade-off, made
+# explicitly: the queries this demotes past slot 50 lose DRIVER
+# regression coverage for the round, but every registry entry still runs
+# against the identical DuckDB oracle in tests/test_queries_oracle.py
+# (the full-registry replica of the driver's gate), so a regression in a
+# demoted query still fails CI — the driver sweep is the independent
+# confirmation, pytest is the compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- the four TPC-H shapes added late in round 5 (Q6/Q10/Q14/Q18) ---
-    "forecast_revenue_change",
-    "returned_item_top_customers",
-    "promo_revenue_ratio",
-    "large_volume_orders",
-    # --- text quality / chunking / retrieval / selection ---
-    "doc_gopher_quality_report",
-    "doc_token_chunks",
-    "doc_unigram_lm_scores",
-    "doc_pps_token_sample",
-    "doc_bm25_search",
-    "doc_hybrid_rrf_search",
-    "doc_dsir_selection",
-    # --- dedup late additions ---
-    "doc_incremental_near_dedup",
-    "doc_duplicate_spans",
-    "doc_substring_dedup",
-    # --- sketches / drift / skew / graph / rollup maintenance ---
-    "nation_trade_pagerank",
-    "events_hourly_rollup_merge",
-    "user_cms_accuracy",
-    "event_user_hll",
-    "events_user_skew_stats",
-    "events_value_quantile_sketch",
-    "orders_bloom_prune_stats",
-    "events_value_psi_drift",
-    # --- multimodal plans (media_image_features: first-ever hash row —
-    # its aHash oracle lands this round) ---
-    "media_image_channel_stats",
-    "media_image_features",
-    "media_audio_segment_plan",
-    "media_frame_sample_plan",
+    # --- relational core (last driver row r04) ---
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "top_orders_per_customer",
+    "branded_quantity_band_revenue",
+    "customer_order_gaps",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "linestatus_priority_classes",
+    "nation1_market_share",
+    "nation_pair_trade_volume",
+    # --- events/temporal family (r04; four touched by the r7 contract) ---
+    "events_stratified_sample",
+    "events_value_delta",
+    "events_value_drift",
+    "user_event_type_scd2",
+    "user_rolling_week_totals",
+    # --- text/dedup/retrieval (r04) ---
+    "corpus_curation_funnel",
+    "doc_benchmark_contamination",
+    "doc_incremental_dedup",
+    "doc_repetition_stats",
+    "doc_simhash_band_pairs",
+    "doc_split_counts",
+    "doc_token_histogram",
+    "doc_top_tfidf_terms",
+    # --- similarity / pipeline e2e (r04) ---
+    "emb_ivf_knn_fullprobe",
+    "fhir_pipeline_cleaned_patients",
 )
 
 
@@ -5646,7 +5770,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 6
+SWEEP_ROTATION_ROUND = 7
 
 
 def _sweep_order() -> list[str]:

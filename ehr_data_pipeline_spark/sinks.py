@@ -27,6 +27,8 @@ dots are illegal or quote-demanding identifiers in most targets.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -80,6 +82,17 @@ def execute_jdbc_statement(
         conn.close()
 
 
+def pk_constraint_name(table: str) -> str:
+    """Constraint identifier for ``write_jdbc``'s post-DDL PRIMARY KEY:
+    the LAST dot-separated segment of the table string, dequoted and
+    sanitized, plus ``_pk``. ``schema.tbl`` must yield ``tbl_pk`` —
+    ``schema.tbl_pk`` is invalid SQL (a dot inside an unquoted
+    identifier) — and a quoted mixed-case segment must not leak quote
+    characters into the name."""
+    last = table.split(".")[-1].strip('"')
+    return re.sub(r"\W", "_", last) + "_pk"
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -111,14 +124,24 @@ def write_jdbc(
         writer = writer.option(k, v)
     writer.save()
     if primary_key and mode == "overwrite":
-        # Spark's emitted DDL quotes column identifiers, so the constraint
-        # must too (ANSI double quotes) — an unquoted name would be
-        # case-folded by the target and miss the column
+        # Spark's emitted DDL quotes COLUMN identifiers, so the constraint
+        # columns must too (ANSI double quotes) — unquoted they would be
+        # case-folded by the target and miss the column. The TABLE string,
+        # by contrast, goes into Spark's CREATE TABLE verbatim (the writer
+        # does not quote it), so the ALTER passes the same string verbatim
+        # to resolve identically — including schema qualification or
+        # user-supplied quoting. The constraint NAME derives from the LAST
+        # identifier segment only, dequoted and sanitized: `schema.tbl`
+        # must yield tbl_pk, never the invalid `schema.tbl_pk`, and a
+        # quoted/mixed segment must not inject quote characters into the
+        # identifier.
         cols = ", ".join(f'"{c.replace(".", "_")}"' for c in primary_key)
+        constraint = pk_constraint_name(table)
         execute_jdbc_statement(
             df.sparkSession,
             url,
-            f"ALTER TABLE {table} ADD CONSTRAINT {table}_pk PRIMARY KEY ({cols})",
+            f"ALTER TABLE {table} ADD CONSTRAINT {constraint}"
+            f" PRIMARY KEY ({cols})",
             properties,
         )
 

@@ -108,14 +108,22 @@ def sessionize(
     (merging-window state in the JVM state store; no Python in the loop —
     ``applyInPandasWithState`` stays reserved for semantics built-ins
     can't express). A session groups a user's events while consecutive
-    gaps are < ``gap``; boundaries are half-open, so an event exactly
-    ``gap`` after its predecessor starts a new session.
+    gaps are <= ``gap`` — the boundary is INCLUSIVE (session windows
+    [t, t+gap] merge on touch), so an event exactly ``gap`` after its
+    predecessor still extends the session; only a strictly larger gap
+    starts a new one. Pinned cross-engine by the exact-gap pair in
+    tests/test_edge_corpus.py.
 
     Emits (user_id, session_start, session_end, n_events) with the real
     first/last event times (``session_window.end`` would be
     last event + gap). Works identically over a batch DataFrame
     (``watermark=None``) — the batch twin is the ``user_sessions``
-    registry query, oracle-checked against a lag/cumsum SQL formulation."""
+    registry query, oracle-checked against a lag/cumsum SQL formulation.
+
+    Timeline contract: ``session_window`` silently drops NULL event-time
+    rows in streaming; the explicit filter makes the batch path do the
+    SAME thing, on purpose and visibly (``functions/measurement.py``)."""
+    events = events.where(F.col("ts").isNotNull())
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
     return (

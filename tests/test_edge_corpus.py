@@ -265,3 +265,199 @@ def test_edge_events_matches_oracle(spark, edge_events_dir, edge_events_con, nam
     spec = REGISTRY[name]
     df = spec.fn(spark, edge_events_dir)
     compare_spark_vs_oracle(df, edge_events_con, spec.oracle, name=f"{name}[edge]")
+
+
+# ---------------------------------------------------------------------------
+# Relational edge corpus: degenerate lineitem/orders — NULL join/group keys,
+# orphan keys on both sides, duplicate keys (join fanout), NULL measures and
+# dates, extreme-but-in-domain decimals (|v| < 1e12 per the measurement
+# contract: the business columns are schema-domain, so the adversarial axis
+# here is keys/NULLs/duplicates/extremes, not junk doubles), empty-string
+# and NULL enum values, pre-epoch and far-future dates — swept against every
+# oracle that references ONLY these two tables. Plus the two degenerate
+# cardinalities the verdict called out: EMPTY tables and ONE-ROW tables.
+# The events sweep caught 15 real divergences on its first run; this is the
+# same auto-discovery trick pointed at the relational family.
+# ---------------------------------------------------------------------------
+
+
+def _relational_only_names() -> list[str]:
+    names = []
+    others = tuple(
+        t for t in _OTHER_TABLES if t not in ("lineitem", "orders")
+    ) + ("documents",)
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        o = s.oracle.lower()
+        refs_li_or = re.search(r"\blineitem\b", o) or re.search(r"\borders\b", o)
+        if refs_li_or and not any(re.search(rf"\b{t}\b", o) for t in others):
+            names.append(n)
+    return names
+
+
+RELATIONAL_ONLY = _relational_only_names()
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s) if s is not None else None
+
+
+def _edge_lineitem() -> list[tuple]:
+    # (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax,
+    #  returnflag, linestatus, shipdate)
+    return [
+        # NULLs, one column at a time
+        (None, 1, 1, 1, 1.0, 100.0, 0.05, 0.02, "N", "O", _ts("1995-01-01T00:00:00")),
+        (1, None, 1, 2, 2.0, 200.0, 0.05, 0.02, "N", "O", _ts("1995-01-02T00:00:00")),
+        (1, 1, None, 3, 3.0, 300.0, 0.05, 0.02, "A", "F", _ts("1995-01-03T00:00:00")),
+        (1, 1, 1, 4, None, 400.0, 0.05, 0.02, "R", "F", _ts("1995-01-04T00:00:00")),
+        (1, 1, 1, 5, 5.0, None, 0.05, 0.02, "N", "O", _ts("1995-01-05T00:00:00")),
+        (1, 1, 1, 6, 6.0, 600.0, None, 0.02, "N", "O", _ts("1995-01-06T00:00:00")),
+        (1, 1, 1, 7, 7.0, 700.0, 0.05, None, "N", "O", _ts("1995-01-07T00:00:00")),
+        (1, 1, 1, 8, 8.0, 800.0, 0.05, 0.02, None, "O", _ts("1995-01-08T00:00:00")),
+        (1, 1, 1, 9, 9.0, 900.0, 0.05, 0.02, "N", None, _ts("1995-01-09T00:00:00")),
+        (1, 1, 1, 10, 10.0, 1000.0, 0.05, 0.02, "N", "O", None),  # NULL shipdate
+        # empty-string enums (distinct from NULL in both engines)
+        (2, 2, 2, 1, 11.0, 1100.0, 0.0, 0.0, "", "", _ts("1996-06-15T00:00:00")),
+        # duplicate (orderkey, linenumber) — duplicate-key stress
+        (3, 3, 3, 1, 12.0, 1200.0, 0.1, 0.08, "A", "F", _ts("1994-03-01T00:00:00")),
+        (3, 3, 3, 1, 13.0, 1300.0, 0.1, 0.08, "A", "F", _ts("1994-03-01T00:00:00")),
+        # duplicate orderkey, join fanout against duplicate orders rows
+        (4, 4, 4, 1, 14.0, 1400.0, 0.02, 0.01, "R", "F", _ts("1993-07-01T00:00:00")),
+        (4, 4, 4, 2, 15.0, 1500.0, 0.02, 0.01, "R", "F", _ts("1993-07-02T00:00:00")),
+        # orphan orderkey (no orders row)
+        (999, 5, 5, 1, 16.0, 1600.0, 0.03, 0.01, "N", "O", _ts("1997-01-01T00:00:00")),
+        # extreme-but-in-domain decimals: +/-9.99e11, 0, sub-cent 1e-7
+        (5, 6, 6, 1, 999_000_000_000.0, 999_000_000_000.0, 0.0, 0.0,
+         "N", "O", _ts("1995-05-01T00:00:00")),
+        (5, 6, 6, 2, -999_000_000_000.0, -999_000_000_000.0, 0.0, 0.0,
+         "N", "O", _ts("1995-05-02T00:00:00")),
+        (5, 6, 6, 3, 0.0, 0.0, 0.0, 0.0, "N", "O", _ts("1995-05-03T00:00:00")),
+        (5, 6, 6, 4, 1e-7, 1e-7, 1.0, -1.0, "N", "O", _ts("1995-05-04T00:00:00")),
+        # negative quantity / discount > 1 / negative tax (in-domain junk)
+        (6, 7, 7, 1, -24.5, 500.0, 1.5, -0.5, "A", "F", _ts("1992-01-01T00:00:00")),
+        # pre-epoch and far-future ship dates
+        (7, 8, 8, 1, 17.0, 1700.0, 0.04, 0.02, "N", "O", _ts("1900-01-01T00:00:00")),
+        (7, 8, 8, 2, 18.0, 1800.0, 0.04, 0.02, "N", "O", _ts("2200-12-31T00:00:00")),
+        # a regular substrate so percentiles/rollups have structure
+        *[
+            (10 + i, 10 + (i % 5), 10 + (i % 3), 1 + (i % 4),
+             float(i + 1), 100.0 * (i + 1), 0.01 * (i % 10), 0.01 * (i % 8),
+             ("N", "A", "R")[i % 3], ("O", "F")[i % 2],
+             _ts(f"1995-{1 + i % 12:02d}-{1 + i % 28:02d}T00:00:00"))
+            for i in range(24)
+        ],
+    ]
+
+
+def _edge_orders() -> list[tuple]:
+    # (orderkey, custkey, orderstatus, totalprice, orderdate, orderpriority)
+    return [
+        (None, 1, "O", 100.0, _ts("1995-01-01T00:00:00"), "1-URGENT"),   # NULL key
+        (1, None, "O", 200.0, _ts("1995-01-02T00:00:00"), "2-HIGH"),     # NULL cust
+        (2, 2, None, 300.0, _ts("1995-01-03T00:00:00"), "3-MEDIUM"),     # NULL status
+        (3, 3, "F", None, _ts("1994-03-01T00:00:00"), "4-NOT SPECIFIED"),  # NULL price
+        (4, 4, "F", 400.0, None, "5-LOW"),                               # NULL date
+        # duplicate orderkey (fanout with lineitem's duplicate key 4)
+        (4, 4, "F", 500.0, _ts("1993-07-01T00:00:00"), "5-LOW"),
+        # empty-string enums; NULL priority
+        (5, 5, "", 600.0, _ts("1995-05-01T00:00:00"), ""),
+        (6, 6, "O", 700.0, _ts("1992-01-01T00:00:00"), None),
+        # orphan custkey-less order far in the future / past
+        (7, 7, "O", 800.0, _ts("2200-12-31T00:00:00"), "1-URGENT"),
+        (8, 7, "O", 900.0, _ts("1900-01-01T00:00:00"), "2-HIGH"),
+        # same customer, same orderdate: window tiebreak stress
+        (9, 8, "O", 1000.0, _ts("1995-06-01T00:00:00"), "3-MEDIUM"),
+        (10, 8, "F", 1100.0, _ts("1995-06-01T00:00:00"), "3-MEDIUM"),
+        (11, 8, "O", 1200.0, _ts("1995-06-01T00:00:00"), "1-URGENT"),
+        # extreme totalprice
+        (12, 9, "O", 999_000_000_000.0, _ts("1995-07-01T00:00:00"), "2-HIGH"),
+        (13, 9, "O", -999_000_000_000.0, _ts("1995-07-02T00:00:00"), "2-HIGH"),
+        # regular substrate matching the lineitem substrate's orderkeys
+        *[
+            (10 + i, 1 + (i % 6), ("O", "F", "P")[i % 3],
+             250.0 * (i + 1),
+             _ts(f"1995-{1 + i % 12:02d}-{1 + i % 28:02d}T00:00:00"),
+             ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")[i % 5])
+            for i in range(24)
+        ],
+    ]
+
+
+def _write_relational(d, li_rows, o_rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lc = list(zip(*li_rows)) if li_rows else [[] for _ in range(11)]
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(lc[0], pa.int64()),
+            "l_partkey": pa.array(lc[1], pa.int64()),
+            "l_suppkey": pa.array(lc[2], pa.int64()),
+            "l_linenumber": pa.array(lc[3], pa.int32()),
+            "l_quantity": pa.array(lc[4], pa.float64()),
+            "l_extendedprice": pa.array(lc[5], pa.float64()),
+            "l_discount": pa.array(lc[6], pa.float64()),
+            "l_tax": pa.array(lc[7], pa.float64()),
+            "l_returnflag": pa.array(lc[8], pa.string()),
+            "l_linestatus": pa.array(lc[9], pa.string()),
+            "l_shipdate": pa.array(lc[10], pa.timestamp("us")),
+        }),
+        str(d / "lineitem.parquet"),
+    )
+    oc = list(zip(*o_rows)) if o_rows else [[] for _ in range(6)]
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(oc[0], pa.int64()),
+            "o_custkey": pa.array(oc[1], pa.int64()),
+            "o_orderstatus": pa.array(oc[2], pa.string()),
+            "o_totalprice": pa.array(oc[3], pa.float64()),
+            "o_orderdate": pa.array(oc[4], pa.timestamp("us")),
+            "o_orderpriority": pa.array(oc[5], pa.string()),
+        }),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+_REL_CORPORA = {
+    "mixed": (_edge_lineitem, _edge_orders),
+    "single_row": (
+        lambda: _edge_lineitem()[11:12],  # the empty-string-enum row
+        lambda: _edge_orders()[7:8],      # the NULL-priority row
+    ),
+    "empty": (lambda: [], lambda: []),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(_REL_CORPORA))
+def rel_corpus(request, tmp_path_factory):
+    li_fn, o_fn = _REL_CORPORA[request.param]
+    d = tmp_path_factory.mktemp(f"edge_rel_{request.param}")
+    dir_ = _write_relational(d, li_fn(), o_fn())
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dir_}/{t}.parquet'")
+    yield request.param, dir_, con
+    con.close()
+
+
+def test_relational_sweep_covers_the_expected_surface():
+    assert len(RELATIONAL_ONLY) >= 15
+    for must in (
+        "q1_pricing_summary", "customer_running_order_totals",
+        "customer_order_gaps", "rollup_order_stats",
+        "lineitem_quantity_percentiles", "duplicate_group_stats",
+    ):
+        assert must in RELATIONAL_ONLY
+
+
+@pytest.mark.parametrize("name", RELATIONAL_ONLY)
+def test_edge_relational_matches_oracle(spark, rel_corpus, name):
+    corpus, dir_, con = rel_corpus
+    spec = REGISTRY[name]
+    df = spec.fn(spark, dir_)
+    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[{corpus}]")

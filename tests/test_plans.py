@@ -400,14 +400,20 @@ def test_hybrid_rrf_windows_only_over_topk_frames(spark):
 
 
 def test_registry_wide_plan_hygiene(spark):
-    """Every one of the 120 registered queries, machine-audited for the
-    two structural scale-killers: a CartesianProduct anywhere, or an
-    unpartitioned Window whose input is not visibly bounded (top-k /
-    limit / grouped-aggregate within its immediate subtree — the
-    tools/scale_audit.py heuristic). The named tests above pin down
-    specific plan SHAPES; this sweep guarantees no NEW query ships with
-    either anti-pattern unnoticed."""
-    from tools.scale_audit import _unpartitioned_window_over_unbounded
+    """Every registered query, machine-audited for the three structural
+    scale-killers: a CartesianProduct anywhere, an unpartitioned Window
+    whose child subtree is not provably bounded (top-k / limit / global
+    or __bucket aggregate — tools/scale_audit.py), or a
+    BroadcastNestedLoopJoin whose build side is not visibly bounded
+    (the pre-round-7 emb_cosine_neardup_pairs anti-pattern: an
+    unbounded all-pairs self-join whose broadcast grows with the
+    corpus). The named tests above pin down specific plan SHAPES; this
+    sweep guarantees no NEW query ships with any of the three
+    unnoticed."""
+    from tools.scale_audit import (
+        _bnlj_over_unbounded,
+        _unpartitioned_window_over_unbounded,
+    )
 
     offenders = []
     for name in REGISTRY:
@@ -416,4 +422,24 @@ def test_registry_wide_plan_hygiene(spark):
             offenders.append((name, "CartesianProduct"))
         if _unpartitioned_window_over_unbounded(plan):
             offenders.append((name, "unpartitioned window over unbounded input"))
+        if _bnlj_over_unbounded(plan):
+            offenders.append((name, "BroadcastNestedLoopJoin over unbounded build side"))
     assert not offenders, offenders
+
+
+def test_bnlj_hygiene_catches_the_old_cosine_shape(spark, sf_dir):
+    """The hygiene sweep must FLAG the exact shape emb_cosine_neardup_pairs
+    had before round 7 bounded it: an all-pairs broadcast self-join of the
+    full (unfiltered) embeddings table."""
+    from tools.scale_audit import _bnlj_over_unbounded
+
+    from ehr_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+    from ehr_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bad = cosine_near_dup_pairs(emb, threshold=0.4)
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert _bnlj_over_unbounded(plan), (
+        "hygiene heuristic no longer catches the unbounded all-pairs BNLJ:\n"
+        + plan
+    )

@@ -260,3 +260,38 @@ def test_write_jdbc_primary_key_constraint_enforced(spark):
     with pytest.raises(Exception) as exc:
         write_jdbc(dup, url, "addresses", mode="append")
     assert "duplicate key" in str(exc.value).lower() or "23505" in str(exc.value)
+
+
+def test_pk_constraint_name_schema_qualified():
+    """ADVICE r6: `ALTER TABLE schema.tbl ADD CONSTRAINT schema.tbl_pk`
+    is invalid SQL (dot inside an identifier) — the constraint name must
+    derive from the LAST segment only, dequoted and sanitized."""
+    from ehr_data_pipeline_spark.sinks import pk_constraint_name
+
+    assert pk_constraint_name("patients") == "patients_pk"
+    assert pk_constraint_name("clinical.patients") == "patients_pk"
+    assert pk_constraint_name('clinical."Mixed Case"') == "Mixed_Case_pk"
+    assert pk_constraint_name('"order"') == "order_pk"
+
+
+def test_write_jdbc_schema_qualified_pk_live_derby(spark):
+    """The post-DDL hook end-to-end on a SCHEMA-QUALIFIED table: Derby
+    auto-creates the APP default schema only, so use an explicitly
+    created one; the ALTER must target schema.tbl verbatim while naming
+    the constraint from the last segment."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ehr_data_pipeline_spark.sinks import execute_jdbc_statement, write_jdbc
+
+    url = "jdbc:derby:memory:sinks_schema;create=true"
+    execute_jdbc_statement(spark, url, "CREATE SCHEMA clinical")
+    schema = StructType([StructField("pid", LongType(), nullable=False)])
+    df = spark.createDataFrame([(1,), (2,)], schema)
+    write_jdbc(df, url, "clinical.visits", primary_key=("pid",))
+    cons = spark.read.format("jdbc").option("url", url).option(
+        "query",
+        "SELECT c.constraintname FROM sys.sysconstraints c "
+        "JOIN sys.systables t ON t.tableid = c.tableid "
+        "WHERE t.tablename = 'VISITS' AND c.type = 'P'",
+    ).load().collect()
+    assert [r[0] for r in cons] == ["VISITS_PK"]

@@ -58,11 +58,57 @@ def _stage_metrics(app_url: str, stage_ids: set[int]) -> dict[str, int]:
     return tot
 
 
+def _depth(line: str) -> int:
+    """Tree depth of a plan line — the column where the operator name
+    starts, i.e. after the tree-art prefix (spaces, ':', '+', '-')."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """The plan lines strictly below node ``i`` in its subtree (every
+    following line until depth returns to <= node i's depth) — keyed on
+    tree structure, not a fixed line window."""
+    d = _depth(lines[i])
+    out = []
+    for ln in lines[i + 1:]:
+        if ln.strip() and _depth(ln) <= d:
+            break
+        out.append(ln)
+    return out
+
+
+# An Aggregate line is a PROVABLE bound only when it is global (one
+# output row: keys=[]) or grouped on the two-phase prefix-sum's __bucket
+# id (<= n_buckets rows by construction, packing.py/sampling.py). Any
+# other grouped aggregate can emit corpus-scale group counts and is NOT
+# accepted — the round-6 audit accepted any Aggregate within 4 lines,
+# which let a global window over a high-cardinality aggregate pass.
+_BOUNDED_AGG = re.compile(r"Aggregate(?:\(\d+\))?\s*\(?keys=\[(|__bucket#[^\],]*)\]")
+
+
+def _bounded_chain(sub: list[str]) -> bool:
+    """True when the unary operator chain at the head of ``sub`` reaches
+    a provably-bounded frame (top-k / limit / global or __bucket
+    aggregate / literal local relation) BEFORE any row-multiplying node
+    (join / generate / union) — a Limit below a join does not bound the
+    join's output, so scanning stops there."""
+    for ln in sub:
+        if re.search(r"Join|Generate|Union|CartesianProduct", ln):
+            return False
+        if re.search(r"TakeOrderedAndProject|Limit|LocalTableScan|^\s*\W*Range ", ln):
+            return True
+        if _BOUNDED_AGG.search(ln):
+            return True
+    return False
+
+
 def _unpartitioned_window_over_unbounded(plan: str) -> bool:
-    """True when some Window has an empty PARTITION BY and its direct
-    child is NOT a bounded top-k/limit frame (the global-sort-of-the-
-    corpus anti-pattern; windows directly above TakeOrderedAndProject or
-    a driver-sized aggregate are fine)."""
+    """True when some Window has an empty PARTITION BY and its child
+    subtree is NOT a provably bounded frame (the global-sort-of-the-
+    corpus anti-pattern). Bounds accepted: top-k/limit, a literal local
+    relation, a GLOBAL aggregate, or the prefix-sum ``__bucket`` totals
+    aggregate — see :data:`_BOUNDED_AGG` for why grouped aggregates in
+    general are not bounds."""
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         m = re.search(r"Window \[.*windowspecdefinition\(([^)]*)\)", ln)
@@ -75,14 +121,57 @@ def _unpartitioned_window_over_unbounded(plan: str) -> bool:
         # heuristically: no element before the first ASC/DESC token
         first = spec.split(",")[0]
         if " ASC" in first or " DESC" in first:
-            # bounded-input shapes put the bound within the window's next
-            # few plan lines: top-k (TakeOrderedAndProject/Limit) directly
-            # below, or a grouped aggregate (the two-phase prefix-sum's
-            # <=n_buckets bucket-totals frame) behind the window's
-            # Sort/Exchange pair
-            sub = "\n".join(lines[i + 1 : i + 5])
-            if not re.search(r"TakeOrderedAndProject|Limit|Aggregate", sub):
+            if not _bounded_chain(_subtree(lines, i)):
                 return True
+    return False
+
+
+def _bnlj_over_unbounded(plan: str) -> bool:
+    """True when a BroadcastNestedLoopJoin's BUILD side is not visibly
+    bounded — the O(N²)-work / N-scaling-broadcast anti-pattern the
+    pre-round-7 emb_cosine_neardup_pairs shipped (unbounded all-pairs
+    self-join). Bounds accepted on the broadcast subtree: a pushed or
+    residual range filter on an id (the fixed-slice precedent), a
+    limit/top-k, a literal local relation, or ANY aggregate (the
+    one-row split points, distinct-group dimensions and centroid tables
+    the legitimate broadcast joins carry — grouped aggregates are
+    accepted here, unlike the window bound, because a broadcast of a
+    grouped aggregate already has a hard 8 GB ceiling and the driver
+    OOMs loudly, whereas an unpartitioned window dies slowly)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        sub = _subtree(lines, i)
+        if not sub:
+            return True  # format drift: flag for a human
+        # the join's DIRECT children sit at the minimum depth of its
+        # subtree; the build side is the direct child that IS the
+        # broadcast (a BroadcastExchange / broadcast query stage /
+        # reused broadcast). Searching the whole subtree instead would
+        # match broadcasts belonging to hash joins inside the PROBE
+        # side and mis-audit their build inputs.
+        child_depth = min(_depth(s) for s in sub if s.strip())
+        child_idx = [j for j, s in enumerate(sub) if _depth(s) == child_depth]
+        build = None
+        for j in child_idx:
+            if re.search(r"BroadcastExchange|BroadcastQueryStage|ReusedExchange", sub[j]):
+                build = [sub[j]] + _subtree(sub, j)
+                break
+        if build is None:
+            # no broadcast child found (plan-format drift): flag it —
+            # better a false positive a human inspects than a silent pass
+            return True
+        txt = "\n".join(build)
+        bounded = bool(
+            re.search(r"TakeOrderedAndProject|Limit|LocalTableScan|ExistingRDD", txt)
+            or re.search(r"Aggregate", txt)
+            or re.search(r"LessThan(?:OrEqual)?\(|EqualTo\(", txt)
+            or re.search(r"[<>=]=? \d", txt)
+            or re.search(r"ReusedExchange", txt)
+        )
+        if not bounded:
+            return True
     return False
 
 
