@@ -19,6 +19,7 @@ sweep automatically.
 
 from __future__ import annotations
 
+import math
 import re
 
 import duckdb
@@ -188,6 +189,16 @@ def _edge_events() -> tuple[list, list]:
         (1011, ts("2024-01-01T10:00:00"), 5, "click", -273.15, '{"k": 8}'),
         (1012, ts("2024-01-01T11:00:00"), 5, "click", 0.0, '{"k": 9}'),
         (1013, ts("2024-01-01T12:00:00"), 5, "click", 1e308, '{"k": 10}'),
+        # measurement-domain boundary: the largest doubles strictly below
+        # 1e12 are IN-domain and must aggregate; they cannot round up to
+        # 1e12 in DECIMAL(18,6) because the double ulp at 1e12 (~1.2e-4)
+        # exceeds the rounding threshold (5e-7) — pinned here on both
+        # engines. 1e12 itself is out-of-domain (guard is strict <).
+        (1021, ts("2024-01-01T13:00:00"), 5, "click",
+         math.nextafter(1e12, 0), '{"k": 18}'),
+        (1022, ts("2024-01-01T14:00:00"), 5, "click",
+         -math.nextafter(1e12, 0), '{"k": 19}'),
+        (1023, ts("2024-01-01T15:00:00"), 5, "click", 1e12, '{"k": 20}'),
         (1014, ts("1969-12-31T23:59:59"), 6, "signup", 1.5, '{"k": 11}'),   # pre-epoch
         (1015, ts("2200-06-15T12:00:00"), 6, "click", 2.5, '{"k": 12}'),    # far future
         # duplicate event_id, distinct payloads
