@@ -74,6 +74,56 @@ def measurement_sql(expr: str = "value") -> str:
     )
 
 
+def valid_vector(col: str | Column, dim: int) -> Column:
+    """The embeddings contract, third member of the family: a valid
+    embedding has EXACTLY ``dim`` components, every component finite with
+    |x| < 10^12 (the measurement domain), and a nonzero norm (a zero
+    vector has no direction — its cosine is 0/0). Anything else is an
+    invalid row the similarity operators exclude at entry.
+
+    Why this must be a contract and not a per-query fix: a wrong-length
+    vector DIVERGES silently between engines — Spark's ``zip_with`` pads
+    the short side with NULL and the whole dot-product fold goes NULL,
+    while DuckDB's ``list_transform(range(1, dim+1), ...)`` yields NULL
+    elements that ``list_sum`` SKIPS, producing a partial dot product.
+    NaN/±Inf components poison sums on both engines but then hit
+    engine-specific NaN comparison semantics in top-k ranks. Exclusion at
+    entry, mirrored by :func:`vector_sql` in every embeddings-family
+    oracle, is the only formulation that hashes identically. Pinned by
+    the embeddings edge corpus in tests/test_edge_corpus.py.
+
+    The guard is null-safe per component (a NULL component is invalid,
+    not propagated), so the result is always a real boolean."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def comp_ok(x: Column) -> Column:
+        xd = x.cast("double")
+        return (
+            x.isNotNull()
+            & (xd > F.lit(float("-inf")))
+            & (xd < F.lit(float("inf")))
+            & (F.abs(xd) < F.lit(MEASUREMENT_MAX_ABS))
+        )
+
+    return (
+        c.isNotNull()
+        & (F.size(c) == F.lit(dim))
+        & F.forall(c, comp_ok)
+        & F.exists(c, lambda x: x.cast("double") != F.lit(0.0))
+    )
+
+
+def vector_sql(expr: str = "embedding", dim: int = 64) -> str:
+    """DuckDB oracle twin of :func:`valid_vector`."""
+    return (
+        f"({expr} IS NOT NULL AND len({expr}) = {dim}"
+        f" AND len(list_filter({expr}, x -> x IS NULL"
+        f" OR NOT isfinite(CAST(x AS DOUBLE))"
+        f" OR abs(CAST(x AS DOUBLE)) >= 1e12)) = 0"
+        f" AND len(list_filter({expr}, x -> CAST(x AS DOUBLE) <> 0)) > 0)"
+    )
+
+
 def is_invalid_measurement(col: str | Column) -> Column:
     """True for present-but-invalid measurements (NaN, ±Inf, |v| ≥ 10^12)
     — the predicate the quality suite counts. NULL values are MISSING,

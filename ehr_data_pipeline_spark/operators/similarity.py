@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ehr_data_pipeline_spark.functions.measurement import valid_vector
 from ehr_data_pipeline_spark.partitioning import ensure_min_partitions
 
 DEFAULT_PLANES = 8
@@ -87,17 +88,22 @@ def brute_force_knn(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × full corpus scan → one
     window rank per query. Rank orders by ROUND(cosine, 6) DESC with a
     neighbor-id tiebreak (deterministic and engine-portable); a query
-    never matches itself."""
+    never matches itself. Invalid vectors (NULL / wrong-``dim`` /
+    non-finite or out-of-domain components / zero norm — the embeddings
+    contract, functions/measurement.py) are excluded on BOTH sides at
+    entry."""
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     q = F.broadcast(
-        queries.select(
+        queries.where(keep).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
     )
-    c = ensure_min_partitions(corpus).select(
+    c = ensure_min_partitions(corpus.where(keep)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = (
@@ -208,15 +214,20 @@ def lsh_knn(
     cheaper joins but lower recall; more tables buy recall back at the
     cost of indexing the corpus L times. The scale story: shuffle on
     (table, bucket) joins within buckets only — never an all-pairs
-    cross join — and AQE splits skewed hot buckets."""
+    cross join — and AQE splits skewed hot buckets. Invalid vectors are
+    excluded on both sides per the embeddings contract
+    (functions/measurement.py)."""
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     c = _with_table_buckets(
-        ensure_min_partitions(corpus).select(
+        ensure_min_partitions(corpus.where(keep)).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         ),
         "__cv", dim, n_planes, n_tables,
     )
     q = _with_table_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        queries.where(keep).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
         "__qv", dim, n_planes, n_tables,
     )
     candidates = (
@@ -248,6 +259,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
     pair whose ROUND(cosine, 6) >= threshold. The fifth member of the
@@ -258,8 +270,11 @@ def cosine_near_dup_pairs(
     The self-join is all-pairs (broadcast nested loop with the smaller
     projection broadcast) — correct at any SF but O(N²) work, so at
     100 TB use the LSH-bucketed variant and keep this one for
-    verification samples."""
-    df = ensure_min_partitions(df)
+    verification samples. Invalid vectors are excluded at entry per the
+    embeddings contract (functions/measurement.py)."""
+    df = ensure_min_partitions(
+        df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
+    )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
@@ -288,9 +303,13 @@ def lsh_near_dup_pairs(
     the L tables (shuffle on (table, bucket) only, never all-pairs);
     exact cosine then confirms candidates against the threshold, so
     precision is 1.0 and only recall is approximate (tuned by P/L —
-    pairs at cos θ share a bucket in one table with prob (1-θ/π)^P)."""
+    pairs at cos θ share a bucket in one table with prob (1-θ/π)^P).
+    Invalid vectors are excluded at entry per the embeddings contract
+    (functions/measurement.py)."""
     s = _with_table_buckets(
-        ensure_min_partitions(df).select(
+        ensure_min_partitions(
+            df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
+        ).select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
         ),
         "__v", dim, n_planes, n_tables,
@@ -359,6 +378,7 @@ def train_ivf_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> list[tuple[int, list[float]]]:
     """Coarse-quantizer training for IVF: deterministic seeding (the
     n_list vectors with the smallest ids) followed by ``n_iters`` Lloyd
@@ -368,7 +388,10 @@ def train_ivf_centroids(
     rides to executors as literals — no join, no stored model. Each Lloyd
     pass is one shuffle on cid; at 100 TB train on a sampled fraction
     (``df.sample``) — centroid quality needs ~1000 points per list, not
-    the full corpus."""
+    the full corpus. Invalid vectors are excluded BEFORE seeding, so the
+    deterministic smallest-id seeds are always valid vectors (embeddings
+    contract, functions/measurement.py)."""
+    df = df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
     seed = [
         (i, [float(x) for x in r[1]])
         for i, r in enumerate(
@@ -404,6 +427,7 @@ def ivf_knn(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cell-probe alternative
     to hyperplane LSH. Index: every corpus vector is assigned to its
@@ -413,8 +437,12 @@ def ivf_knn(
     ~n_probe/n_list instead of 1. Shuffle only on the cell id — at 100 TB
     the corpus is written partitioned/bucketed BY cid once, and every
     search is a partition-pruned read joining queries to their probed
-    cells. Recall tunes with n_probe (= 1.0 when n_probe = n_list)."""
-    centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col)
+    cells. Recall tunes with n_probe (= 1.0 when n_probe = n_list).
+    Invalid vectors are excluded from index, training and queries per
+    the embeddings contract (functions/measurement.py)."""
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    corpus, queries = corpus.where(keep), queries.where(keep)
+    centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col, dim)
     corpus = ensure_min_partitions(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -647,7 +675,11 @@ def label_centroids(
     on the label; components are quantized to 1e-7 fixed-point BIGINTs
     before summing, so the aggregate is exact integer math —
     order-independent across partitions (and oracle-checkable) — then two
-    IEEE divisions produce the double mean."""
+    IEEE divisions produce the double mean. Invalid vectors are excluded
+    at entry (embeddings contract, functions/measurement.py) — without
+    the guard a NaN component would abort the BIGINT quantization cast
+    under ANSI on both engines."""
+    df = df.where(valid_vector(F.col(vec_col), dim))
     comps = [
         (
             F.sum(

@@ -2756,7 +2756,9 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.similarity.label_centroids`` (same fixed-point pattern)."""
     from ehr_data_pipeline_spark.operators.similarity import label_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # vec_id IS NOT NULL mirrors the family-wide oracle guard CTE — an
+    # embeddings row is addressable by id (embeddings contract)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
     return label_centroids(emb, label_col="label", vec_col="embedding",
                            dim=_CENTROID_COLS_SPARK)
 
@@ -2804,11 +2806,14 @@ def _lsh_any_table_match(a: str, b: str, n_tables: int) -> str:
       WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
       GROUP BY 1, 2
     ), p AS (
+      -- DISTINCT joins: the Spark twin dedups candidates by id pair, so
+      -- the vector fetch must not fan out over identical duplicate rows
       SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cosine
       FROM cand
-      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+      JOIN (SELECT DISTINCT vec_id, embedding AS qv FROM embeddings) q
         ON q.vec_id = cand.query_id
-      JOIN embeddings e ON e.vec_id = cand.neighbor_id
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) e
+        ON e.vec_id = cand.neighbor_id
     ), r AS (
       SELECT query_id, neighbor_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3008,8 +3013,13 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p AS (
       SELECT cand.id_a, cand.id_b, {_PAIR_COS_SQL} AS cosine
       FROM cand
-      JOIN embeddings a ON a.vec_id = cand.id_a
-      JOIN embeddings b ON b.vec_id = cand.id_b
+      -- DISTINCT: the Spark twin dedups candidate PAIRS by id
+      -- (dropDuplicates), so the vector fetch must not fan out over
+      -- identical duplicate base rows (embeddings edge corpus)
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) a
+        ON a.vec_id = cand.id_a
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) b
+        ON b.vec_id = cand.id_b
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
     """,
@@ -5709,6 +5719,46 @@ def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings contract (functions/measurement.py): the similarity operators
+# exclude invalid vectors (NULL / wrong-dim / non-finite or out-of-domain
+# components / zero norm) at entry, so every embeddings-family oracle must
+# see the SAME subset. Stated once: a guard CTE shadowing the raw table is
+# prepended to each family oracle (main.embeddings qualifies the base table
+# past DuckDB's circular-CTE check). On schema-valid corpora the guard
+# keeps every row — stock hashes are unchanged — and on the adversarial
+# embeddings corpus (tests/test_edge_corpus.py) it is the contract.
+# ---------------------------------------------------------------------------
+
+_EMB_FAMILY = (
+    "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
+    "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
+    "emb_lsh_neardup_pairs",
+)
+
+
+def _guard_embeddings_oracle(sql: str) -> str:
+    from ehr_data_pipeline_spark.functions.measurement import vector_sql
+
+    cte = (
+        "embeddings AS (SELECT * FROM main.embeddings"
+        " WHERE vec_id IS NOT NULL AND "
+        + vector_sql("embedding", 64) + ")"
+    )
+    s = sql.lstrip()
+    if s.upper().startswith("WITH"):
+        return "WITH " + cte + ",\n" + s[len("WITH"):]
+    return "WITH " + cte + "\n" + s
+
+
+for _n in _EMB_FAMILY:
+    _s = REGISTRY[_n]
+    REGISTRY[_n] = QuerySpec(
+        _s.name, _s.fn, _guard_embeddings_oracle(_s.oracle), _s.bench, _s.tags
+    )
+del _n, _s
 
 
 # The driver's correctness sweep covers the first 50 exported queries only.

@@ -472,3 +472,108 @@ def test_edge_relational_matches_oracle(spark, rel_corpus, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, dir_)
     compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[{corpus}]")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings edge corpus: NULL vectors, zero vectors, NaN/±Inf/out-of-domain
+# components, WRONG-LENGTH vectors (the silent divergence: Spark's zip_with
+# nulls the whole fold while DuckDB's list_sum skips the NULL elements and
+# returns a partial dot product), empty lists, NULL component inside an
+# otherwise-valid vector, NULL vec_id/label, duplicated identical rows, and
+# a valid substrate with engineered near-duplicate directions — swept
+# against every oracle that references ONLY the embeddings table. The
+# valid-vector guard (functions/measurement.py) is the contract under test.
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_only_names() -> list[str]:
+    names = []
+    others = tuple(t for t in _OTHER_TABLES if t != "embeddings") + ("documents",)
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        o = s.oracle.lower()
+        if "embeddings" in o and not any(
+            re.search(rf"\b{t}\b", o) for t in others
+        ):
+            names.append(n)
+    return names
+
+
+EMBEDDINGS_ONLY = _embeddings_only_names()
+
+
+def _vec(i: int, dim: int = 64) -> list[float]:
+    # deterministic valid vector; label-clustered directions so kNN and
+    # centroids have structure
+    return [((i * 31 + j * 7) % 17 - 8) * 0.25 + (i % 4) for j in range(dim)]
+
+
+def _edge_embeddings() -> list[tuple]:
+    rows = [(i, _vec(i), i % 4) for i in range(30)]
+    rows += [
+        # near-duplicate pair: same direction, different scale (cosine 1.0)
+        (50, [2.0 * x for x in _vec(3)], 3),
+        # degenerate rows — every one must be EXCLUDED by the guard
+        (100, None, 0),                                   # NULL vector
+        (101, [0.0] * 64, 1),                             # zero norm
+        (102, [float("nan")] + _vec(7)[1:], 2),           # NaN component
+        (103, [float("inf")] + _vec(8)[1:], 3),           # +Inf component
+        (104, [-float("inf")] + _vec(9)[1:], 0),          # -Inf component
+        (105, [1e30] + _vec(10)[1:], 1),                  # finite, out of domain
+        (106, _vec(11)[:32], 2),                          # short (dim 32)
+        (107, _vec(12) + [1.0], 3),                       # long (dim 65)
+        (108, [], 0),                                     # empty list
+        (109, [None] + _vec(13)[1:], 1),                  # NULL component
+        (None, _vec(14), 2),                              # NULL id, valid vector
+        (110, _vec(15), None),                            # NULL label, valid
+        # duplicated identical row (same id, same vector, same label)
+        (111, _vec(16), 0),
+        (111, _vec(16), 0),
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_embeddings")
+    rows = _edge_embeddings()
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "vec_id": pa.array(cols[0], pa.int64()),
+            "embedding": pa.array(cols[1], pa.list_(pa.float32())),
+            "label": pa.array(cols[2], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_con(edge_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{edge_emb_dir}/embeddings.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_embeddings_sweep_covers_the_expected_surface():
+    assert len(EMBEDDINGS_ONLY) >= 7
+    for must in (
+        "emb_knn_topk", "emb_label_centroids", "emb_ivf_knn",
+        "emb_cosine_neardup_pairs", "emb_lsh_neardup_pairs",
+    ):
+        assert must in EMBEDDINGS_ONLY
+
+
+@pytest.mark.parametrize("name", EMBEDDINGS_ONLY)
+def test_edge_embeddings_matches_oracle(spark, edge_emb_dir, edge_emb_con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, edge_emb_dir)
+    compare_spark_vs_oracle(df, edge_emb_con, spec.oracle, name=f"{name}[edge]")

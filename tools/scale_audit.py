@@ -163,11 +163,16 @@ def _bnlj_over_unbounded(plan: str) -> bool:
             # better a false positive a human inspects than a silent pass
             return True
         txt = "\n".join(build)
+        # selectivity bounds are accepted only in their PUSHED form
+        # (LessThan/EqualTo/... inside a scan's PushedFilters) — a
+        # residual `= N` text match would also fire on row-shape guards
+        # like `size(embedding) = 64`, which bound NOTHING about
+        # cardinality (the valid-vector contract filter taught us this:
+        # it made the unbounded all-pairs canary pass silently)
         bounded = bool(
             re.search(r"TakeOrderedAndProject|Limit|LocalTableScan|ExistingRDD", txt)
             or re.search(r"Aggregate", txt)
-            or re.search(r"LessThan(?:OrEqual)?\(|EqualTo\(", txt)
-            or re.search(r"[<>=]=? \d", txt)
+            or re.search(r"(?:LessThan|GreaterThan)(?:OrEqual)?\(|EqualTo\(", txt)
             or re.search(r"ReusedExchange", txt)
         )
         if not bounded:
