@@ -2427,6 +2427,15 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+_COS_SQL = (
+    "round("
+    "list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"
+    ", 6)"
+)
+
+
 @register(
     "doc_hybrid_rrf_search",
     oracle=f"""
@@ -2439,11 +2448,13 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), q AS (
       SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), sem AS (
+      -- full cosine, not the raw dot product: the dot-only form ranked
+      -- identically ONLY because the stock embeddings are unit-norm —
+      -- an assumption the combined edge corpus (non-normalized vectors)
+      -- falsified, so the oracle now states the engine's real score
       SELECT e.vec_id AS doc_id,
-             ROW_NUMBER() OVER (ORDER BY round(
-               list_sum(list_transform(range(1, 65),
-                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-               , 6) DESC, e.vec_id ASC) AS sem_rank
+             ROW_NUMBER() OVER (ORDER BY {_COS_SQL} DESC,
+                                e.vec_id ASC) AS sem_rank
       FROM embeddings e, q
       WHERE e.vec_id <> 0
     )
@@ -2470,17 +2481,22 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = Σ 1/(60 + rank). Rank fusion is what makes hybrid search
     oracle-checkable: ranks are exact integers on both engines (BM25 via
     the fixed-point micro scores; the semantic side via the kNN family's
-    ``similarity.cosine`` rounded to 6 — the embeddings are
-    unit-normalized, which is why the family's dot-product SQL twin
-    ranks identically), and the fused score is a fixed two-term IEEE
-    chain. The full outer join keeps docs found by only one retriever —
-    rank 0 marks 'not retrieved by this side'."""
+    ``similarity.cosine`` rounded to 6, replayed as the full cosine in
+    SQL), and the fused score is a fixed two-term IEEE chain. The full
+    outer join keeps docs found by only one retriever — rank 0 marks
+    'not retrieved by this side'. The embeddings input rides through the
+    vector contract guard (functions/measurement.py) like the rest of
+    the similarity family — a zero-norm vector would otherwise abort the
+    whole query on the ANSI 0/0 cosine."""
+    from ehr_data_pipeline_spark.functions.measurement import valid_vector
     from ehr_data_pipeline_spark.operators.similarity import cosine
     from ehr_data_pipeline_spark.operators.text_analysis import bm25_scores
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & valid_vector("embedding", 64)
+    )
     # Scale note: each branch first takes its top-50 with orderBy().limit()
     # — Spark plans that as TakeOrderedAndProject (per-partition heaps, a
     # 50-row merge on the driver side of the exchange), NOT a global sort.
@@ -2688,15 +2704,6 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------
-
-_COS_SQL = (
-    "round("
-    "list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))"
-    ", 6)"
-)
-
 
 @register(
     "emb_knn_topk",
@@ -4128,9 +4135,13 @@ def order_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, l_suppkey, l_extendedprice,
              ROW_NUMBER() OVER (
                PARTITION BY l_partkey
-               ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber
+               ORDER BY l_extendedprice,
+                        l_suppkey NULLS FIRST,
+                        l_orderkey NULLS FIRST,
+                        l_linenumber NULLS FIRST
              ) AS rn
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     )
     SELECT r.l_partkey AS p_partkey, p.p_name, s.s_name,
            r.l_extendedprice AS cheapest_price
@@ -4150,14 +4161,22 @@ def part_cheapest_line_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins to the part/supplier dims. Scale notes: one shuffle on
     l_partkey for the window (WindowGroupLimit pushes the rank-1 filter
     below the sort), dims broadcast; the p_size filter prunes parts before
-    the join build side."""
+    the join build side. A line with NULL price cannot be 'cheapest' —
+    unpriced lines are excluded up front (NULLS FIRST would crown them,
+    NULLS LAST differs per engine; the star edge corpus caught this) and
+    the tiebreak NULL placement is pinned explicitly on both sides."""
     from pyspark.sql.window import Window
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("l_partkey").orderBy(
-        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+        F.col("l_extendedprice").asc(),
+        F.col("l_suppkey").asc_nulls_first(),
+        F.col("l_orderkey").asc_nulls_first(),
+        F.col("l_linenumber").asc_nulls_first(),
     )
     cheapest = (
         li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber")
@@ -4334,7 +4353,8 @@ def brand_size_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS balance_pct_rank,
            cume_dist() OVER w AS balance_cume_dist
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
     """,
     tags=("window", "ntile", "rank-family"),
 )
@@ -4343,12 +4363,18 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NTILE), percent_rank and cume_dist in ONE window pass (same
     partition + order ⇒ single sort, three functions). The order key
     includes c_custkey so the total order is unique — without it NTILE's
-    bucket assignment of tied balances is engine-dependent. One shuffle
-    on nation, per-partition sort, no global sort."""
+    bucket assignment of tied balances is engine-dependent — and NULL
+    placement is pinned EXPLICITLY on both sides (Spark defaults NULLS
+    FIRST ascending, DuckDB NULLS LAST; the star edge corpus caught the
+    quartile shift on a NULL balance). One shuffle on nation,
+    per-partition sort, no global sort."""
     from pyspark.sql.window import Window
 
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_first(),
+        F.col("c_custkey").asc_nulls_first(),
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",
@@ -5736,6 +5762,8 @@ _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
     "emb_lsh_neardup_pairs",
+    # consumes embeddings alongside documents — same vector contract
+    "doc_hybrid_rrf_search",
 )
 
 

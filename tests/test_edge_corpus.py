@@ -577,3 +577,233 @@ def test_edge_embeddings_matches_oracle(spark, edge_emb_dir, edge_emb_con, name)
     spec = REGISTRY[name]
     df = spec.fn(spark, edge_emb_dir)
     compare_spark_vs_oracle(df, edge_emb_con, spec.oracle, name=f"{name}[edge]")
+
+
+# ---------------------------------------------------------------------------
+# Star-schema edge corpus: the multi-table relational queries (star joins,
+# pivots, quartiles, top-k, pagerank) against degenerate DIMENSIONS too —
+# NULL join keys on both sides, orphan keys in both directions, duplicate
+# identical dimension rows (join fanout), NULL/empty enum values, extreme
+# in-domain balances/prices — composed with the degenerate lineitem/orders
+# from the relational sweep. Auto-discovers every oracle whose references
+# are a subset of the seven TPC-H tables but NOT covered by the
+# lineitem/orders-only sweep above.
+# ---------------------------------------------------------------------------
+
+_STAR_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem")
+
+
+def _star_only_names() -> list[str]:
+    names = []
+    others = ("events", "documents", "embeddings")
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        o = s.oracle.lower()
+        refs = {t for t in _STAR_TABLES if re.search(rf"\b{t}\b", o)}
+        if not refs or any(re.search(rf"\b{t}\b", o) for t in others):
+            continue
+        if refs <= {"lineitem", "orders"}:
+            continue  # already swept by the relational corpus above
+        names.append(n)
+    return names
+
+
+STAR_ONLY = _star_only_names()
+
+
+def _edge_dims() -> dict[str, list[tuple]]:
+    return {
+        # (r_regionkey, r_name)
+        "region": [
+            (0, "AMERICA"), (1, "ASIA"), (2, None), (None, "NULLKEY"),
+            (1, "ASIA"),  # duplicate identical row
+        ],
+        # (n_nationkey, n_name, n_regionkey)
+        "nation": [
+            (0, "UNITED STATES", 0), (1, "CHINA", 1), (2, "JAPAN", 1),
+            (3, None, 0),            # NULL name
+            (4, "ORPHAN", 99),       # orphan region
+            (5, "NOREGION", None),   # NULL region key
+            (None, "NULLNATION", 0),  # NULL nation key
+        ],
+        # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        "customer": [
+            (1, "alpha", 0, 100.0, "BUILDING"),
+            (2, "beta", 1, 7500.0, "AUTOMOBILE"),
+            (3, "gamma", 2, None, "BUILDING"),          # NULL balance
+            (4, "delta", 99, -999.99, "MACHINERY"),     # orphan nation
+            (5, "epsilon", None, 999_000_000_000.0, ""),  # NULL nation, extreme, empty seg
+            (6, None, 0, -999_000_000_000.0, None),     # NULL name/segment
+            (7, "eta", 1, 0.0, "BUILDING"),
+            (8, "theta", 2, 8000.0, "HOUSEHOLD"),
+            (9, "iota", 0, 7200.0, "BUILDING"),
+            (None, "nullkey", 0, 50.0, "BUILDING"),     # NULL cust key
+            (9, "iota", 0, 7200.0, "BUILDING"),         # duplicate identical
+        ],
+        # (s_suppkey, s_name, s_nationkey, s_acctbal)
+        "supplier": [
+            (1, "s-one", 0, 10.0), (2, "s-two", 1, 20.0),
+            (3, "s-three", 2, None),                    # NULL balance
+            (4, "s-four", 99, -30.0),                   # orphan nation
+            (5, "s-five", None, 999_000_000_000.0),     # NULL nation, extreme
+            (6, None, 0, 40.0),                         # NULL name
+            (None, "s-null", 1, 50.0),                  # NULL supp key
+            (10, "s-ten", 0, 60.0), (11, "s-eleven", 1, 70.0),
+            (12, "s-twelve", 2, 80.0),
+            (10, "s-ten", 0, 60.0),                     # duplicate identical
+        ],
+        # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+        "part": [
+            (1, "part one", "Brand#11", "PROMO BRUSHED", 5, 100.0),
+            (2, "part two", "Brand#22", "STANDARD POLISHED", 10, 200.0),
+            (3, "part three", None, "PROMO ANODIZED", None, None),
+            (4, "part four", "Brand#11", None, 15, -50.0),
+            (5, "part five", "", "ECONOMY BURNISHED", 0, 999_000_000_000.0),
+            (6, None, "Brand#33", "PROMO PLATED", 20, 300.0),
+            (None, "nullpart", "Brand#44", "SMALL PLATED", 25, 400.0),
+            (10, "part ten", "Brand#11", "PROMO BRUSHED", 5, 500.0),
+            (11, "part eleven", "Brand#22", "LARGE POLISHED", 30, 600.0),
+            (12, "part twelve", "Brand#33", "PROMO TIN", 35, 700.0),
+            (13, "part thirteen", "Brand#44", "MEDIUM BRASS", 40, 800.0),
+            (14, "part fourteen", "Brand#55", "ECONOMY TIN", 45, 900.0),
+            (10, "part ten", "Brand#11", "PROMO BRUSHED", 5, 500.0),  # dup
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def star_corpus(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_star")
+    _write_relational(d, _edge_lineitem(), _edge_orders())
+    dims = _edge_dims()
+    schemas = {
+        "region": {"r_regionkey": pa.int32(), "r_name": pa.string()},
+        "nation": {"n_nationkey": pa.int32(), "n_name": pa.string(),
+                   "n_regionkey": pa.int32()},
+        "customer": {"c_custkey": pa.int64(), "c_name": pa.string(),
+                     "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+                     "c_mktsegment": pa.string()},
+        "supplier": {"s_suppkey": pa.int64(), "s_name": pa.string(),
+                     "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+        "part": {"p_partkey": pa.int64(), "p_name": pa.string(),
+                 "p_brand": pa.string(), "p_type": pa.string(),
+                 "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    }
+    for t, schema in schemas.items():
+        cols = list(zip(*dims[t]))
+        pq.write_table(
+            pa.table({name: pa.array(cols[i], typ)
+                      for i, (name, typ) in enumerate(schema.items())}),
+            str(d / f"{t}.parquet"),
+        )
+    con = duckdb.connect()
+    for t in _STAR_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    yield str(d), con
+    con.close()
+
+
+def test_star_sweep_covers_the_expected_surface():
+    assert len(STAR_ONLY) >= 20
+    for must in (
+        "q5_nation_revenue", "nation_priority_pivot", "nation_year_profit",
+        "customer_balance_quartiles", "nation_trade_pagerank",
+        "late_sole_supplier_ranking",
+    ):
+        assert must in STAR_ONLY
+
+
+@pytest.mark.parametrize("name", STAR_ONLY)
+def test_edge_star_matches_oracle(spark, star_corpus, name):
+    dir_, con = star_corpus
+    spec = REGISTRY[name]
+    df = spec.fn(spark, dir_)
+    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[star]")
+
+
+# ---------------------------------------------------------------------------
+# Cross-family stragglers: the two registry queries whose oracles span TWO
+# table families sit outside the per-family auto-discovery above — cover
+# them explicitly with combined degenerate corpora so NO oracle-backed
+# registry entry escapes adversarial coverage (the remaining three are the
+# FHIR e2e, swept by the dirty-fixture goldens, and the two recall reports,
+# whose constant floor oracles are meaningless on degenerate data).
+# ---------------------------------------------------------------------------
+
+
+def test_edge_events_plus_region_projection(spark, edge_events_dir):
+    """events_projected_aligned (events + region): schema alignment must
+    hold when the region dim itself is degenerate (NULL keys/names,
+    duplicate rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "r_regionkey": pa.array([0, 1, 2, None, 1], pa.int32()),
+            "r_name": pa.array(["AMERICA", "ASIA", None, "NULLKEY", "ASIA"],
+                               pa.string()),
+        }),
+        f"{edge_events_dir}/region.parquet",
+    )
+    con = duckdb.connect()
+    for t in ("events", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_events_dir}/{t}.parquet'"
+        )
+    try:
+        spec = REGISTRY["events_projected_aligned"]
+        df = spec.fn(spark, edge_events_dir)
+        compare_spark_vs_oracle(
+            df, con, spec.oracle, name="events_projected_aligned[edge]"
+        )
+    finally:
+        con.close()
+
+
+def test_edge_hybrid_rrf_on_combined_corpus(spark, tmp_path_factory):
+    """doc_hybrid_rrf_search (documents + embeddings): lexical BM25 over
+    the degenerate documents PLUS semantic scoring over the degenerate
+    embeddings, fused — both families' junk at once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_hybrid")
+    rows = _edge_rows()
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    erows = _edge_embeddings()
+    ecols = list(zip(*erows))
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ecols[0], pa.int64()),
+            "embedding": pa.array(ecols[1], pa.list_(pa.float32())),
+            "label": pa.array(ecols[2], pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    try:
+        spec = REGISTRY["doc_hybrid_rrf_search"]
+        df = spec.fn(spark, str(d))
+        compare_spark_vs_oracle(
+            df, con, spec.oracle, name="doc_hybrid_rrf_search[edge]"
+        )
+    finally:
+        con.close()
