@@ -398,6 +398,11 @@ def train_ivf_centroids(
             df.select(id_col, vec_col).orderBy(id_col).limit(n_list).collect()
         )
     ]
+    if not seed:
+        # empty (or fully-invalid) corpus: no centroids to train — the
+        # caller emits an empty result (caught by the empty-corpus sweep;
+        # the unguarded seed[0] was an IndexError crash)
+        return []
     centroids = seed
     dim = len(seed[0][1])
     for _ in range(n_iters):
@@ -443,6 +448,14 @@ def ivf_knn(
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     corpus, queries = corpus.where(keep), queries.where(keep)
     centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col, dim)
+    if not centroids:
+        # empty corpus ⇒ empty index ⇒ empty result, correct schema
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     corpus = ensure_min_partitions(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

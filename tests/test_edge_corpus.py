@@ -807,3 +807,65 @@ def test_edge_hybrid_rrf_on_combined_corpus(spark, tmp_path_factory):
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Empty-corpus sweeps: the relational empty-table variant caught Spark's
+# no-rows-over-empty-input grouping-sets semantics diverging from the SQL
+# standard; run the documents/events/embeddings families against EMPTY
+# tables too — empty-group cardinality (global agg 1 row vs groupBy 0),
+# min/max-derived spines, iterative fixed points and sketch finalization
+# are all shapes that only degenerate this way.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_family_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_empty_family")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }),
+        str(d / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(DOC_ONLY) | set(EVENTS_ONLY) | set(EMBEDDINGS_ONLY))
+)
+def test_empty_corpus_matches_oracle(spark, empty_family_dir, name):
+    dir_, con = empty_family_dir
+    spec = REGISTRY[name]
+    df = spec.fn(spark, dir_)
+    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[empty]")
