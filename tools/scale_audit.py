@@ -230,6 +230,7 @@ def main() -> None:
             "flags": {k: v in plan_pre for k, v in PLAN_FLAGS.items()},
             "unpartitioned_unbounded_window":
                 _unpartitioned_window_over_unbounded(plan_pre),
+            "bnlj_unbounded_build": _bnlj_over_unbounded(plan_pre),
         }
         print(f"{name}: {wall:.2f}s shuffleRec={met['shuffle_write_records']} "
               f"inRec={met['input_records']}", flush=True)
@@ -270,18 +271,23 @@ def main() -> None:
             f"| {'y' if fl['arrow_py'] else ''} |"
         )
     bad = [n for n, r in results.items()
-           if r["flags"]["cartesian"] or r["unpartitioned_unbounded_window"]]
+           if r["flags"]["cartesian"] or r["unpartitioned_unbounded_window"]
+           or r["bnlj_unbounded_build"]]
     lines += ["", "## Flagged anti-patterns", ""]
     if bad:
         lines += [f"- **{n}**: "
                   + ("CartesianProduct; " if results[n]["flags"]["cartesian"] else "")
-                  + ("unpartitioned window over unbounded input"
+                  + ("unpartitioned window over unbounded input; "
                      if results[n]["unpartitioned_unbounded_window"] else "")
+                  + ("BroadcastNestedLoopJoin over unbounded build side"
+                     if results[n]["bnlj_unbounded_build"] else "")
                   for n in bad]
     else:
         lines.append("None: no CartesianProduct anywhere; every "
                      "unpartitioned Window sits above a bounded top-k/"
-                     "limit or driver-sized aggregate frame.")
+                     "limit or driver-sized aggregate frame; every "
+                     "BroadcastNestedLoopJoin build side is visibly "
+                     "bounded.")
     with open(f"{args.out}.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}.md + {args.out.lower()}.json")
