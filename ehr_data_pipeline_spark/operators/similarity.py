@@ -45,6 +45,49 @@ from ehr_data_pipeline_spark.partitioning import ensure_min_partitions
 DEFAULT_PLANES = 8
 
 
+def infer_dim(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "int | None":
+    """Vector dimensionality when the caller doesn't supply it: the size
+    of the non-NULL vector on the SMALLEST-id row — deterministic (no
+    arbitrary ``first()``), one bounded TakeOrderedAndProject job at call
+    time. Returns ``None`` for an empty / all-NULL input, in which case
+    the operators short-circuit to an empty result instead of silently
+    excluding every row (ADVICE r7: a caller with non-64-dim embeddings
+    who omitted ``dim`` used to get empty output from the default-64
+    validity guard)."""
+    rows = (
+        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__i"), F.size(vec_col).alias("__d"))
+        .orderBy("__i")
+        .limit(1)
+        .collect()
+    )
+    return int(rows[0]["__d"]) if rows else None
+
+
+def _resolve_dim(df: DataFrame, dim: "int | None", id_col: str, vec_col: str) -> "int | None":
+    return dim if dim is not None else infer_dim(df, id_col, vec_col)
+
+
+def _empty_knn(df: DataFrame, id_col: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, rank, cosine) frame with the id
+    column's real type — the dim-inference-failed (empty corpus) result."""
+    return df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(1).alias("rank"),
+        F.lit(0.0).alias("cosine"),
+    ).limit(0)
+
+
+def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id_a, id_b, cosine) frame — ditto for the pair surfaces."""
+    return df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(0.0).alias("cosine"),
+    ).limit(0)
+
+
 def to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -88,7 +131,7 @@ def brute_force_knn(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × full corpus scan → one
     window rank per query. Rank orders by ROUND(cosine, 6) DESC with a
@@ -96,7 +139,11 @@ def brute_force_knn(
     never matches itself. Invalid vectors (NULL / wrong-``dim`` /
     non-finite or out-of-domain components / zero norm — the embeddings
     contract, functions/measurement.py) are excluded on BOTH sides at
-    entry."""
+    entry; when ``dim`` is omitted it is inferred from the corpus
+    (:func:`infer_dim`)."""
+    dim = _resolve_dim(corpus, dim, id_col, vec_col)
+    if dim is None:
+        return _empty_knn(corpus, id_col)
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     q = F.broadcast(
         queries.where(keep).select(
@@ -199,7 +246,7 @@ def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    dim: int = 64,
+    dim: "int | None" = None,
     n_planes: int = DEFAULT_PLANES,
     n_tables: int = 8,
     id_col: str = "vec_id",
@@ -216,7 +263,10 @@ def lsh_knn(
     (table, bucket) joins within buckets only — never an all-pairs
     cross join — and AQE splits skewed hot buckets. Invalid vectors are
     excluded on both sides per the embeddings contract
-    (functions/measurement.py)."""
+    (functions/measurement.py); ``dim=None`` infers it from the corpus."""
+    dim = _resolve_dim(corpus, dim, id_col, vec_col)
+    if dim is None:
+        return _empty_knn(corpus, id_col)
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     c = _with_table_buckets(
         ensure_min_partitions(corpus.where(keep)).select(
@@ -259,7 +309,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
     pair whose ROUND(cosine, 6) >= threshold. The fifth member of the
@@ -271,7 +321,11 @@ def cosine_near_dup_pairs(
     projection broadcast) — correct at any SF but O(N²) work, so at
     100 TB use the LSH-bucketed variant and keep this one for
     verification samples. Invalid vectors are excluded at entry per the
-    embeddings contract (functions/measurement.py)."""
+    embeddings contract (functions/measurement.py); ``dim=None`` infers
+    it from the data."""
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+    if dim is None:
+        return _empty_pairs(df, id_col)
     df = ensure_min_partitions(
         df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
     )
@@ -289,10 +343,89 @@ def cosine_near_dup_pairs(
     )
 
 
+def _vector_groups(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Identical-vector groups — the distinct-first work-avoidance core
+    of the pair surfaces: one (__id, __v, __rid, __n) row per input id,
+    where __rid is the group representative (minimum id among rows whose
+    vectors are bit-identical) and __n the group size. Real corpora are
+    duplicate-heavy by construction (that is why dedup exists), and a
+    group of k identical vectors used to cost k²/2 identical exact-cosine
+    verifications inside every shared LSH bucket — the 10× replica
+    measured wall ×121.7 for the pair surface (SCALE_RATIOS.md r7).
+    Grouping first bounds verification work by the number of DISTINCT
+    pairs. One shuffle, on the vector bytes (a partitioned window — the
+    plan-hygiene sweep's unpartitioned-window rule stays satisfied);
+    duplicate full rows collapse at the id-dedup (the pair contract is
+    one vector per id)."""
+    valid = (
+        ensure_min_partitions(
+            df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
+        )
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .dropDuplicates(["__id"])
+    )
+    gw = Window.partitionBy("__v")
+    return valid.select(
+        "__id",
+        "__v",
+        F.min("__id").over(gw).alias("__rid"),
+        F.count(F.lit(1)).over(gw).alias("__n"),
+    )
+
+
+def _rep_near_dup_pairs(
+    mem: DataFrame, threshold: float, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """(ra, rb, cosine) verified near-dup pairs over the DISTINCT vectors
+    only: cross-group candidates from the banded LSH join + exact-cosine
+    confirmation, plus one SELF row (ra == rb) per group of ≥ 2 identical
+    vectors — identical vectors always share every bucket and their
+    cosine (≈1.0, computed with the same fold so the value is
+    bit-identical to the pairwise formula) is evaluated once per group
+    instead of once per member pair."""
+    reps = mem.where(F.col("__id") == F.col("__rid")).select("__id", "__v", "__n")
+    s = _with_table_buckets(
+        reps.select("__id", "__v"), "__v", dim, n_planes, n_tables
+    )
+    a = s.select(
+        F.col("__id").alias("ra"), F.col("__v").alias("__va"),
+        "__table", "__bucket",
+    )
+    b = s.select(
+        F.col("__id").alias("rb"), F.col("__v").alias("__vb"),
+        "__table", "__bucket",
+    )
+    cross = (
+        a.join(b, ["__table", "__bucket"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "__va", "rb", "__vb")
+        # id-keyed dedup: vectors are functionally dependent on the ids
+        .dropDuplicates(["ra", "rb"])
+        .select(
+            "ra",
+            "rb",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    selfp = (
+        reps.where(F.col("__n") >= 2)
+        .select(
+            F.col("__id").alias("ra"),
+            F.col("__id").alias("rb"),
+            F.round(cosine(F.col("__v"), F.col("__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    return cross.unionByName(selfp)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
-    dim: int = 64,
+    dim: "int | None" = None,
     n_planes: int = 4,
     n_tables: int = 8,
     id_col: str = "vec_id",
@@ -304,38 +437,103 @@ def lsh_near_dup_pairs(
     exact cosine then confirms candidates against the threshold, so
     precision is 1.0 and only recall is approximate (tuned by P/L —
     pairs at cos θ share a bucket in one table with prob (1-θ/π)^P).
+
+    Duplicate-proof (round 8): identical vectors are collapsed FIRST
+    (:func:`_vector_groups`), candidates and exact verification run over
+    distinct vectors only (:func:`_rep_near_dup_pairs`), and surviving
+    rep pairs expand back to member pairs through two id-equi joins whose
+    fan-out is exactly the answer size — no duplicated verification
+    work. On the 10× duplicate-heavy replica this removes the k²/2
+    identical cosine folds per k-group that made the old shape go
+    wall ×121.7 at input ×10 (SCALE_RATIOS.md r7). Output is
+    bit-identical to verifying every member pair directly: identical
+    vectors share every bucket, and cosine depends only on the vector
+    values. The pair EMISSION itself is still inherently answer-sized —
+    for a production dedup decision prefer :func:`lsh_near_dup_groups`,
+    whose output is linear in corpus size.
+
     Invalid vectors are excluded at entry per the embeddings contract
-    (functions/measurement.py)."""
-    s = _with_table_buckets(
-        ensure_min_partitions(
-            df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
-        ).select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-        ),
-        "__v", dim, n_planes, n_tables,
-    )
-    a = s.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-        "__table", "__bucket",
-    )
-    b = s.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-        "__table", "__bucket",
-    )
-    candidates = (
-        a.join(b, ["__table", "__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__va", "id_b", "__vb")
-        # id-keyed dedup: vectors are functionally dependent on the ids
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    (functions/measurement.py); ``dim=None`` infers it from the data."""
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+    if dim is None:
+        return _empty_pairs(df, id_col)
+    mem = _vector_groups(df, id_col, vec_col, dim)
+    pairs = _rep_near_dup_pairs(mem, threshold, dim, n_planes, n_tables)
+    ma = mem.select(F.col("__rid").alias("ra"), F.col("__id").alias("__ma"))
+    mb = mem.select(F.col("__rid").alias("rb"), F.col("__id").alias("__mb"))
     return (
-        candidates.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        pairs.join(ma, "ra")
+        .join(mb, "rb")
+        # cross-group: every member combination, oriented; within-group:
+        # each unordered member pair once
+        .filter((F.col("ra") != F.col("rb")) | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "cosine",
         )
-        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def lsh_near_dup_groups(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: "int | None" = None,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup GROUP membership — the production dedup surface
+    (VERDICT r7 #1): (id, group_id) for every vector that belongs to a
+    near-duplicate cluster, where group_id is the minimum id reachable
+    through the verified near-dup pair graph (transitive closure via
+    ``near_dup_components``) — a deterministic canonical representative,
+    so "keep group_id, drop the rest" is a stable dedup policy. Output
+    is LINEAR in corpus size (one row per clustered vector), unlike the
+    pair surface whose output is quadratic in duplicate-group size —
+    this is the variant whose cost stays flat on duplicate-heavy
+    corpora.
+
+    Scale shape: components run over the DISTINCT-vector rep graph only
+    (groups of identical vectors contribute one node, not k² edges);
+    members inherit their rep's component through one id-equi join, and
+    an identical-vector group of ≥ 2 with no external neighbor is its
+    own cluster (its members are mutual near-dups at cosine 1.0 by
+    definition). Matches the transitive closure of
+    :func:`lsh_near_dup_pairs` exactly — the oracle replays that
+    equivalence with a recursive CTE."""
+    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+    if dim is None:
+        return df.select(
+            F.col(id_col), F.col(id_col).alias("group_id")
+        ).limit(0)
+    mem = _vector_groups(df, id_col, vec_col, dim)
+    cross = _rep_near_dup_pairs(mem, threshold, dim, n_planes, n_tables).where(
+        F.col("ra") != F.col("rb")
+    )
+    comp = near_dup_components(cross, "ra", "rb")
+    return (
+        mem.select("__id", "__rid", "__n")
+        .join(
+            comp.select(F.col("id").alias("__rid"), "component"),
+            "__rid",
+            "left",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("component").isNotNull(), F.col("component"))
+            # identical-vector groups cluster on their own only when the
+            # self cosine (1.0) clears the threshold — always, for any
+            # real threshold ≤ 1.0
+            .when(
+                (F.col("__n") >= 2) & F.lit(threshold <= 1.0), F.col("__rid")
+            )
+            .alias("group_id"),
+        )
+        .where(F.col("group_id").isNotNull())
     )
 
 
@@ -378,7 +576,7 @@ def train_ivf_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: "int | None" = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse-quantizer training for IVF: deterministic seeding (the
     n_list vectors with the smallest ids) followed by ``n_iters`` Lloyd
@@ -390,7 +588,11 @@ def train_ivf_centroids(
     (``df.sample``) — centroid quality needs ~1000 points per list, not
     the full corpus. Invalid vectors are excluded BEFORE seeding, so the
     deterministic smallest-id seeds are always valid vectors (embeddings
-    contract, functions/measurement.py)."""
+    contract, functions/measurement.py); ``dim=None`` infers it from the
+    data (empty input ⇒ no centroids)."""
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+    if dim is None:
+        return []
     df = df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
     seed = [
         (i, [float(x) for x in r[1]])
@@ -432,7 +634,7 @@ def ivf_knn(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cell-probe alternative
     to hyperplane LSH. Index: every corpus vector is assigned to its
@@ -444,7 +646,11 @@ def ivf_knn(
     search is a partition-pruned read joining queries to their probed
     cells. Recall tunes with n_probe (= 1.0 when n_probe = n_list).
     Invalid vectors are excluded from index, training and queries per
-    the embeddings contract (functions/measurement.py)."""
+    the embeddings contract (functions/measurement.py); ``dim=None``
+    infers it from the corpus."""
+    dim = _resolve_dim(corpus, dim, id_col, vec_col)
+    if dim is None:
+        return _empty_knn(corpus, id_col)
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     corpus, queries = corpus.where(keep), queries.where(keep)
     centroids = train_ivf_centroids(corpus, n_list, n_iters, id_col, vec_col, dim)
@@ -691,7 +897,9 @@ def label_centroids(
     IEEE divisions produce the double mean. Invalid vectors are excluded
     at entry (embeddings contract, functions/measurement.py) — without
     the guard a NaN component would abort the BIGINT quantization cast
-    under ANSI on both engines."""
+    under ANSI on both engines. ``dim`` stays an explicit parameter here
+    (no inference): it determines the OUTPUT SCHEMA (c0..c{dim-1}), and a
+    DataFrame's schema must not depend on the data."""
     df = df.where(valid_vector(F.col(vec_col), dim))
     comps = [
         (

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ehr_data_pipeline_spark.operators.text_analysis import (
     fingerprint128,
@@ -226,7 +227,7 @@ def jaccard_pairs_prefix(
         F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     if persist_shingles:
-        base = base.persist()
+        base = _persist_tracked(base)
     e = base.select("id", F.size("sh").alias("nsh"), F.explode("sh").alias("g"))
     dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
@@ -242,7 +243,7 @@ def jaccard_pairs_prefix(
     if persist_shingles:
         # the self-join reads pref from BOTH sides; without a persist the
         # whole explode→df-count→window subtree is computed twice
-        pref = pref.persist()
+        pref = _persist_tracked(pref)
     # PPJoin asymmetric prefixes under the canonical (size, id) processing
     # order: the smaller doc of a pair acts as the INDEX side and only its
     # SHORTER index prefix (|y| − ceil(2t/(1+t)·|y|) + 1) participates in
@@ -381,6 +382,36 @@ def curate_corpus_funnel(
 _MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime
 
 
+# Frames persisted by the pair builders in this session, so long-lived
+# sessions can reclaim them (ADVICE r7: repeated minhash_lsh_pairs /
+# jaccard_pairs_prefix / near_dedup_against_index calls accumulate cached
+# candidate sets for the life of the session otherwise). Lifetime
+# contract: a persisted index/candidate frame lives until the caller
+# invokes release_builder_caches(), spark.catalog.clearCache() (what
+# bench.py does between queries), or the session ends — it CANNOT be
+# unpersisted inside the builder because the returned DataFrame is lazy
+# and still reads it.
+_LIVE_BUILDER_CACHES: list[DataFrame] = []
+
+
+def release_builder_caches() -> None:
+    """Unpersist every index/candidate frame the pair builders persisted
+    in this session (best-effort; safe to call at any time — Spark
+    recomputes an unpersisted frame if a plan still references it)."""
+    while _LIVE_BUILDER_CACHES:
+        df = _LIVE_BUILDER_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped
+            pass
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_BUILDER_CACHES.append(df)
+    return df
+
+
 def _materialize_candidates(candidates: DataFrame, enabled: bool) -> DataFrame:
     """Persist AND materialize a candidate-pair frame before its
     verification joins. The candidate set is the narrow waist of every
@@ -393,9 +424,11 @@ def _materialize_candidates(candidates: DataFrame, enabled: bool) -> DataFrame:
     is still just the id pairs (MEMORY_AND_DISK spills gracefully), and
     the extra pass is over data the verification reads anyway. Callers
     gate it on their persist flag so cache-free lazy plans stay
-    available."""
+    available. NOTE this makes the builder run a Spark job at call time
+    and the cache live past the call — see release_builder_caches() for
+    the lifetime contract."""
     if enabled:
-        candidates = candidates.persist()
+        candidates = _persist_tracked(candidates)
         candidates.count()
     return candidates
 
@@ -521,7 +554,7 @@ def near_dedup_against_index(
     the latter to the index table, exactly like the exact-dedup variant."""
     bidx = build_minhash_index(batch, id_col, text_col, k, num_hashes)
     if persist_index:
-        bidx = bidx.persist()
+        bidx = _persist_tracked(bidx)
     bb = _band_entries(bidx, num_hashes, bands)
     ib = _band_entries(index, num_hashes, bands)
 
@@ -571,46 +604,71 @@ def near_dedup_against_index(
     return fresh, new_entries
 
 
-def minhash_lsh_pairs(
+def _shingle_groups(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.6,
-    k: int = DEFAULT_SHINGLE_K,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    persist_index: bool = True,
+    id_col: str,
+    text_col: str,
+    k: int,
+    persist_index: bool,
 ) -> DataFrame:
-    """Near-dup pairs at scale: shingle → MinHash signature → band-bucket
-    candidate join → exact-Jaccard verification.
-
-    With H=16, b=4 (r=4 rows/band): P(candidate) = 1-(1-J⁴)⁴ — ≈0.99 at
-    J=0.9, ≈0.43 at J=0.6 — so near-exact recall for true near-dups and
-    sharp suppression of the background. Verified output is always a
-    SUBSET of jaccard_pairs(threshold); candidate recall is the only
-    approximation.
-
-    Shuffles: one on (band_idx, band_key) for the bucket join, one
-    distinct on candidate pairs, two id-equi-joins for verification.
-
-    The (id, shingles, signature) index feeds three plan branches (band
-    explode + both verification joins); shingling/hashing is the dominant
-    CPU (higher-order functions evaluate interpreted, per element), so
-    ``persist_index`` caches it instead of recomputing 3× — measured 2.5×
-    on the sf0.1 corpus. In a persistent 100 TB deployment the index is
-    not recomputed per run at all: write it once as a table bucketed by
-    band key (sinks.write_bucketed) and the candidate join prunes
-    buckets with no shuffle."""
+    """Identical-shingle-set groups — the distinct-first work-avoidance
+    core of the MinHash pair surfaces (the text twin of
+    similarity._vector_groups): one (id, sh, __rid, __n) row per input
+    doc, where __rid is the minimum id among docs whose CANONICAL shingle
+    set (md5 of the sorted hash array) is identical and __n the number of
+    DISTINCT doc ids in the group. Everything downstream — signature,
+    band keys, size prune, exact Jaccard — is a pure function of the
+    shingle SET, so a group of k identical docs needs ONE signature and
+    one verification per distinct counterpart instead of k²/2 identical
+    Jaccard intersections inside every shared band bucket (wall ×121.7
+    at input ×10 on the duplicate-heavy replica, SCALE_RATIOS.md r7).
+    One extra shuffle, on the compact 128-bit group fingerprint (a
+    partitioned window — plan-hygiene clean)."""
     base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), hashed_shingle_set(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"),
+        hashed_shingle_set(F.col(text_col), k).alias("sh"),
     ).filter(F.size("sh") > 0)
-    sig = base.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    gfp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.col("sh")), lambda x: x.cast("string")),
+        )
+    )
+    gw = Window.partitionBy("__gfp")
+    grouped = base.withColumn("__gfp", gfp).select(
+        "id",
+        "sh",
+        F.min("id").over(gw).alias("__rid"),
+        # DISTINCT ids: a duplicated id inside a group must not fabricate
+        # a self near-dup pair (the pair contract is doc_a < doc_b)
+        F.size(F.collect_set(F.col("id")).over(gw)).alias("__n"),
+    )
     if persist_index:
-        sig = sig.persist()
-    base = sig.select("id", "sh")
+        grouped = _persist_tracked(grouped)
+    return grouped
+
+
+def _rep_minhash_pairs(
+    grouped: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    persist_index: bool,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) verified near-dup pairs over the DISTINCT
+    shingle sets only: banding + size-ratio prune + exact-Jaccard
+    verification on group representatives, plus one SELF row per group
+    of ≥ 2 distinct docs (identical sets always share every band; their
+    Jaccard is exactly 1.0, computed once with the same expression so
+    the value is bit-identical to the pairwise formula)."""
+    reps = grouped.where(F.col("id") == F.col("__rid")).select("id", "sh", "__n")
+    sig = reps.select(
+        "id", "sh", "__n", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    if persist_index:
+        sig = _persist_tracked(sig)
 
     banded = _band_entries(sig, num_hashes, bands)
-
     a, b = banded.alias("a"), banded.alias("b")
     # size-ratio pruning (PPJoin-style): J(A,B) <= min(|A|,|B|)/max(...),
     # so candidates failing the ratio can NEVER pass the threshold — drop
@@ -631,8 +689,8 @@ def minhash_lsh_pairs(
     )
     candidates = _materialize_candidates(candidates, persist_index)
 
-    sh = base
-    return (
+    sh = sig.select("id", "sh")
+    cross = (
         candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.id"))
         .select(
@@ -641,6 +699,130 @@ def minhash_lsh_pairs(
             jaccard_distinct(F.col("sa.sh"), F.col("sb.sh")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    selfp = (
+        sig.where(F.col("__n") >= 2)
+        .select(
+            F.col("id").alias("doc_a"),
+            F.col("id").alias("doc_b"),
+            jaccard_distinct(F.col("sh"), F.col("sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return cross.unionByName(selfp)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    persist_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs at scale: shingle → MinHash signature → band-bucket
+    candidate join → exact-Jaccard verification.
+
+    With H=16, b=4 (r=4 rows/band): P(candidate) = 1-(1-J⁴)⁴ — ≈0.99 at
+    J=0.9, ≈0.43 at J=0.6 — so near-exact recall for true near-dups and
+    sharp suppression of the background. Verified output is always a
+    SUBSET of jaccard_pairs(threshold); candidate recall is the only
+    approximation.
+
+    Duplicate-proof (round 8): docs with identical canonical shingle sets
+    are collapsed FIRST (:func:`_shingle_groups`), the signature/banding/
+    verification pipeline runs over group representatives only
+    (:func:`_rep_minhash_pairs`), and surviving rep pairs expand back to
+    member pairs through two id-equi joins whose fan-out is exactly the
+    answer size. Identical sets share every band and Jaccard is a pure
+    function of the sets, so the output is bit-identical to verifying
+    every member pair — but a group of k exact copies now costs one
+    signature and one verification per distinct counterpart instead of
+    k²/2 (the duplicate-heavy 10× replica measured wall ×121.7 for the
+    old shape). The pair EMISSION stays answer-sized by nature; for the
+    production dedup decision prefer :func:`minhash_dup_groups` (linear
+    output).
+
+    Shuffles: group fingerprint window, one (band_idx, band_key) bucket
+    join, candidate distinct, two id-equi verification joins, two
+    id-equi expansion joins — all key-partitioned, nothing all-pairs.
+
+    ``persist_index`` caches the grouped shingles + rep signatures
+    (each feeds ≥ 3 plan branches; shingling/hashing is the dominant
+    CPU) — see ``release_builder_caches`` for the cache lifetime. In a
+    persistent 100 TB deployment the index is written ONCE bucketed by
+    band key (sinks.write_bucketed) and never recomputed per run."""
+    grouped = _shingle_groups(df, id_col, text_col, k, persist_index)
+    pairs = _rep_minhash_pairs(grouped, threshold, num_hashes, bands, persist_index)
+    ma = grouped.select(F.col("__rid").alias("doc_a"), F.col("id").alias("__ma"))
+    mb = grouped.select(F.col("__rid").alias("doc_b"), F.col("id").alias("__mb"))
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        # cross-group: every member combination, oriented; within-group:
+        # each unordered member pair once
+        .filter(
+            (F.col("doc_a") != F.col("doc_b")) | (F.col("__ma") < F.col("__mb"))
+        )
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    persist_index: bool = True,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup GROUP membership — the production dedup surface
+    (VERDICT r7 #1): (doc_id, group_id) for every doc in a near-dup
+    cluster, group_id = the minimum doc id reachable through the
+    verified pair graph (transitive closure, = the connected component's
+    canonical representative). Output is LINEAR in corpus size — one row
+    per clustered doc — so unlike the pair surface its cost stays flat
+    on duplicate-heavy corpora: components run over the DISTINCT-set rep
+    graph only (a group of k exact copies is ONE node), members inherit
+    their rep's component through one id-equi join, and an
+    identical-set group of ≥ 2 with no external neighbor is its own
+    cluster (mutual Jaccard 1.0). Equals the transitive closure of
+    :func:`minhash_lsh_pairs` exactly — the oracle replays that with a
+    recursive CTE."""
+    grouped = _shingle_groups(df, id_col, text_col, k, persist_index)
+    cross = _rep_minhash_pairs(
+        grouped, threshold, num_hashes, bands, persist_index
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    comp = near_dup_components(cross, "doc_a", "doc_b", max_iter=max_iter)
+    return (
+        grouped.select("id", "__rid", "__n")
+        .join(
+            comp.select(F.col("id").alias("__rid"), "component"),
+            "__rid",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("component").isNotNull(), F.col("component"))
+            # self-qualifying identical-set groups: Jaccard 1.0 clears any
+            # real threshold ≤ 1.0
+            .when(
+                (F.col("__n") >= 2) & F.lit(threshold <= 1.0), F.col("__rid")
+            )
+            .alias("group_id"),
+        )
+        .where(F.col("group_id").isNotNull())
+        # duplicated input ids collapse to one membership row
+        .distinct()
     )
 
 

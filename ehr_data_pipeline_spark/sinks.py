@@ -88,8 +88,14 @@ def pk_constraint_name(table: str) -> str:
     sanitized, plus ``_pk``. ``schema.tbl`` must yield ``tbl_pk`` —
     ``schema.tbl_pk`` is invalid SQL (a dot inside an unquoted
     identifier) — and a quoted mixed-case segment must not leak quote
-    characters into the name."""
-    last = table.split(".")[-1].strip('"')
+    characters into the name. Segment splitting respects double-quoted
+    identifiers (ADVICE r7): ``'sch'."my.table"`` derives from
+    ``my.table``, not the ``table"`` fragment a naive split produces —
+    the split point is a dot followed by an EVEN number of remaining
+    ``"`` chars (i.e. a dot outside quotes, for balanced quoting)."""
+    last = re.split(r'\.(?=(?:[^"]*"[^"]*")*[^"]*$)', table)[-1]
+    # dequote, un-double any embedded escaped quotes, then sanitize
+    last = last.strip('"').replace('""', '"')
     return re.sub(r"\W", "_", last) + "_pk"
 
 
@@ -135,7 +141,13 @@ def write_jdbc(
         # must yield tbl_pk, never the invalid `schema.tbl_pk`, and a
         # quoted/mixed segment must not inject quote characters into the
         # identifier.
-        cols = ", ".join(f'"{c.replace(".", "_")}"' for c in primary_key)
+        # dots are renamed to match normalize_columns; embedded double
+        # quotes are escaped by doubling (ANSI) so they cannot break out
+        # of the quoted identifier (ADVICE r7)
+        cols = ", ".join(
+            '"{}"'.format(c.replace(".", "_").replace('"', '""'))
+            for c in primary_key
+        )
         constraint = pk_constraint_name(table)
         execute_jdbc_statement(
             df.sparkSession,

@@ -437,7 +437,10 @@ def _write_relational(d, li_rows, o_rows):
 _REL_CORPORA = {
     "mixed": (_edge_lineitem, _edge_orders),
     "single_row": (
-        lambda: _edge_lineitem()[11:12],  # the empty-string-enum row
+        # index 10 IS the empty-string-enum row (11 is the first
+        # duplicate-key row — the old slice exercised that one instead,
+        # ADVICE r7)
+        lambda: _edge_lineitem()[10:11],
         lambda: _edge_orders()[7:8],      # the NULL-priority row
     ),
     "empty": (lambda: [], lambda: []),

@@ -57,6 +57,8 @@ def test_q3_topk_avoids_global_sort(spark):
         "emb_ivf_knn",
         "doc_simhash_band_pairs",
         "emb_lsh_neardup_pairs",
+        "emb_lsh_neardup_groups",
+        "doc_minhash_dup_groups",
     ],
 )
 def test_candidate_pair_operators_join_within_buckets(spark, name):

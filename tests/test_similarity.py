@@ -285,3 +285,101 @@ def test_cosine_near_dup_pairs_arrow_empty_input(spark):
     out = cosine_near_dup_pairs_arrow(empty)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_emb(spark, emb):
+    """Duplicate-heavy embeddings: every vec_id < 30 vector replicated
+    3× under fresh ids — the web-scale shape the distinct-first rewrite
+    targets."""
+    base = emb.filter(F.col("vec_id") < 30)
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(1000 * (i + 1))).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(2)
+    ]
+    out = base
+    for c in copies:
+        out = out.unionByName(c)
+    return out.cache()
+
+
+def test_lsh_near_dup_pairs_duplicate_heavy(dup_heavy_emb):
+    """Distinct-first verification must keep the pairwise OUTPUT contract
+    on a duplicate-heavy corpus: every identical-copy pair present at
+    cosine 1.0 (identical vectors share every bucket — no probabilistic
+    miss), all emitted pairs a subset of the exact ground truth with
+    identical rounded values."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(dup_heavy_emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(
+            dup_heavy_emb, threshold=0.4, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for p, c in got.items():
+        assert c == exact[p], p
+    # every identical-copy pair (v, v+1000, v+2000) must be emitted
+    for v in range(30):
+        ids = [v, v + 1000, v + 2000]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert got.get((a, b)) == 1.0, (a, b)
+
+
+def test_lsh_near_dup_groups_matches_pair_closure(dup_heavy_emb):
+    """The group surface equals the transitive closure of the pair
+    surface — and identical-copy groups cluster even with no external
+    neighbor."""
+    from ehr_data_pipeline_spark.operators.similarity import lsh_near_dup_groups
+    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+
+    pairs = lsh_near_dup_pairs(dup_heavy_emb, threshold=0.4, n_planes=4, n_tables=8)
+    closure = {
+        (r["id"], r["component"])
+        for r in near_dup_components(pairs, "id_a", "id_b").collect()
+    }
+    membership = {
+        (r["vec_id"], r["group_id"])
+        for r in lsh_near_dup_groups(
+            dup_heavy_emb, threshold=0.4, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert membership == closure
+    # every triplicated vector is in a group canonicalized at its min id
+    labels = dict(membership)
+    for v in range(30):
+        assert labels[v + 1000] == labels[v + 2000] == labels[v]
+        assert labels[v] <= v
+
+
+def test_infer_dim_non_64_and_empty(spark):
+    """ADVICE r7: omitting ``dim`` must work for any dimensionality
+    (inferred from the data), and an empty corpus yields an empty frame
+    with the contract schema instead of a crash or silent all-exclusion."""
+    from ehr_data_pipeline_spark.operators.similarity import infer_dim, ivf_knn
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    df8 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert infer_dim(df8) == 8
+    # dim omitted: operators infer 8 and return real results
+    knn = brute_force_knn(df8, df8.filter(F.col("vec_id") < 2), k=2).collect()
+    assert len(knn) == 4
+    pairs = cosine_near_dup_pairs(df8, threshold=0.9).collect()
+    assert len(pairs) > 0
+    assert len(ivf_knn(df8, df8.filter(F.col("vec_id") < 2), k=2, n_list=2).collect()) == 4
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert infer_dim(empty) is None
+    out = brute_force_knn(empty, empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    p = lsh_near_dup_pairs(empty)
+    assert p.count() == 0 and p.columns == ["id_a", "id_b", "cosine"]

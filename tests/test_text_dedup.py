@@ -98,6 +98,142 @@ def test_minhash_lsh_matches_ground_truth(corpus):
     assert len(lsh) >= len(exact) - 1  # allow one probabilistic miss
 
 
+@pytest.fixture(scope="module")
+def dup_heavy_corpus(spark):
+    """Duplicate-heavy corpus — the web-scale shape the distinct-first
+    rewrite targets: 3 exact-copy groups (sizes 4, 3, 2), a near-dup
+    bridging two groups, and singletons."""
+    rows = (
+        [(i, BASE) for i in range(4)]  # group A: 4 exact copies
+        + [(10 + i, BASE.replace("afternoon", "morning")) for i in range(3)]
+        # group B: 3 copies of a near-dup of A
+        + [(20 + i, "unrelated words about shuffle partitions and codegen "
+                    "stages and broadcast thresholds in adaptive plans")
+           for i in range(2)]  # group C: 2 copies, no neighbor
+        + [(30, "a singleton document with its own distinct content and "
+                "no duplicate anywhere in this corpus at all")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_duplicate_heavy_matches_pairwise_semantics(dup_heavy_corpus):
+    """The distinct-first rewrite must emit EXACTLY the pairs the naive
+    per-member verification would: within-group pairs at jaccard 1.0,
+    cross-group member pairs at the rep pair's jaccard, nothing else —
+    and the group surface must equal the transitive closure of the pair
+    surface."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        minhash_dup_groups,
+        near_dup_components,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(dup_heavy_corpus, threshold=0.6).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(dup_heavy_corpus, threshold=0.6).collect()
+    }
+    # precision 1.0: verified subset of the exact ground truth, identical values
+    assert set(pairs) <= set(exact)
+    for p, j in pairs.items():
+        assert j == exact[p], p
+    # every within-group pair is present at exactly 1.0 (identical docs
+    # always share every band — no probabilistic miss possible)
+    groups = [[0, 1, 2, 3], [10, 11, 12], [20, 21]]
+    for g in groups:
+        for i, a in enumerate(g):
+            for b in g[i + 1:]:
+                assert pairs.get((a, b)) == 1.0, (a, b)
+    # cross-group A↔B expansion: all 4×3 member combinations, one value
+    ab = {(a, b) for a in range(4) for b in (10, 11, 12)}
+    got_ab = {p for p in pairs if p in ab}
+    assert got_ab == ab
+    assert len({pairs[p] for p in ab}) == 1  # same rep-level jaccard
+    # the singleton and group C never pair outside themselves
+    assert not any(30 in p for p in pairs)
+    assert not any((20 in p or 21 in p) and not set(p) <= {20, 21} for p in pairs)
+
+    # group surface == transitive closure of the emitted pairs
+    pair_df = minhash_lsh_pairs(dup_heavy_corpus, threshold=0.6)
+    closure = {
+        (r["id"], r["component"])
+        for r in near_dup_components(pair_df).collect()
+    }
+    membership = {
+        (r["doc_id"], r["group_id"])
+        for r in minhash_dup_groups(dup_heavy_corpus, threshold=0.6).collect()
+    }
+    assert membership == closure
+    # groups A+B merge under the bridge; C clusters on its own
+    assert {m for m in membership if m[0] in (0, 1, 2, 3, 10, 11, 12)} == {
+        (d, 0) for d in (0, 1, 2, 3, 10, 11, 12)
+    }
+    assert {(20, 20), (21, 20)} <= membership
+    assert not any(m[0] == 30 for m in membership)
+
+
+def test_duplicates_add_zero_verification_work(spark, corpus, dup_heavy_corpus):
+    """The measured form of the distinct-first claim, without timing
+    flakiness: adding exact copies to a corpus must NOT grow the
+    candidate set or the rep pair set the verification join processes —
+    duplicates only expand the final answer. Pinned on the internal
+    helpers: rep counts, candidate counts and verified rep-pair counts
+    are identical for a corpus and the same corpus with every doc
+    duplicated 3×."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _rep_minhash_pairs,
+        _shingle_groups,
+    )
+
+    base = corpus
+    tripled = base
+    for i in (1, 2):
+        tripled = tripled.unionByName(
+            base.select((F.col("doc_id") + F.lit(100 * i)).alias("doc_id"), "text")
+        )
+
+    def work_facts(df):
+        grouped = _shingle_groups(df, "doc_id", "text", 4, persist_index=False)
+        reps = grouped.where(F.col("id") == F.col("__rid"))
+        pairs = _rep_minhash_pairs(
+            grouped, 0.6, 16, 4, persist_index=False
+        ).where(F.col("doc_a") != F.col("doc_b"))
+        return reps.count(), pairs.count()
+
+    n_reps_base, n_pairs_base = work_facts(base)
+    n_reps_tripled, n_pairs_tripled = work_facts(tripled)
+    assert n_reps_tripled == n_reps_base  # 3× the rows, same distinct sets
+    assert n_pairs_tripled == n_pairs_base  # same cross-rep verification work
+    # while the ANSWER (pair expansion) did grow — the output is the
+    # quadratic part, by definition of a pair surface
+    out_base = minhash_lsh_pairs(base, threshold=0.6, persist_index=False).count()
+    out_tripled = minhash_lsh_pairs(
+        tripled, threshold=0.6, persist_index=False
+    ).count()
+    assert out_tripled > 3 * out_base
+
+
+def test_release_builder_caches_unpersists(spark, corpus):
+    """ADVICE r7: repeated pair-builder calls must not leak persisted
+    candidate/index frames for the life of the session — the release
+    helper reclaims every tracked cache."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _LIVE_BUILDER_CACHES,
+        release_builder_caches,
+    )
+
+    release_builder_caches()  # start clean
+    minhash_lsh_pairs(corpus, threshold=0.6).collect()
+    assert len(_LIVE_BUILDER_CACHES) > 0
+    tracked = list(_LIVE_BUILDER_CACHES)
+    release_builder_caches()
+    assert _LIVE_BUILDER_CACHES == []
+    for df in tracked:
+        assert not df.is_cached
+
+
 def test_simhash_hamming(spark, corpus):
     sims = {
         r["doc_id"]: r["s"]
@@ -264,11 +400,14 @@ def test_jaccard_prefix_persist_flag_same_result(corpus):
 
     spark = corpus.sparkSession
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
     cached = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
         for r in jaccard_pairs_prefix(corpus, threshold=0.6).collect()
     }
+    # snapshot AFTER the persisting call: the False call must add nothing
+    # (a before/after+1 bound would depend on what earlier tests left in
+    # the CacheManager — identical analyzed plans dedupe there)
+    mid = jsc.getPersistentRDDs().size()
     uncached = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
         for r in jaccard_pairs_prefix(
@@ -276,9 +415,7 @@ def test_jaccard_prefix_persist_flag_same_result(corpus):
         ).collect()
     }
     assert uncached == cached and len(uncached) > 0
-    # the persist_shingles=True call adds exactly its shingle cache; the
-    # False call must add nothing beyond that
-    assert jsc.getPersistentRDDs().size() <= before + 1
+    assert jsc.getPersistentRDDs().size() == mid
 
 
 def test_drop_duplicates_any_keeps_one_per_key(spark):

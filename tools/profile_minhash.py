@@ -1,8 +1,9 @@
 """Phase-level profile of doc_minhash_lsh_pairs at a given SF dir.
 
-Times each plan phase in isolation (count() to force) so the 13-15 s
-bench wall can be attributed: shingling+hashing, signature, banding,
-candidate join, verification.
+Times each plan phase of the round-8 distinct-first pipeline in
+isolation (count() to force) so the bench wall can be attributed:
+shingling+hashing, shingle-set grouping, signature over reps, banding,
+candidate join, verification, member expansion.
 """
 import os
 import sys
@@ -16,9 +17,12 @@ from ehr_data_pipeline_spark.operators.text_dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
     _band_entries,
+    _rep_minhash_pairs,
+    _shingle_groups,
     hashed_shingle_set,
     minhash_lsh_pairs,
     minhash_signature,
+    release_builder_caches,
 )
 from ehr_data_pipeline_spark.partitioning import ensure_min_partitions
 
@@ -52,10 +56,15 @@ def main():
     timed("shingle+hash", base)
     timed("shingle+hash (2nd)", base)
 
-    sig = base.select(
-        "id", "sh", minhash_signature(F.col("sh"), DEFAULT_NUM_HASHES).alias("sig")
+    grouped = _shingle_groups(docs, "doc_id", "text", 4, persist_index=False)
+    timed("  +group window", grouped)
+
+    reps = grouped.where(F.col("id") == F.col("__rid")).select("id", "sh", "__n")
+    sig = reps.select(
+        "id", "sh", "__n",
+        minhash_signature(F.col("sh"), DEFAULT_NUM_HASHES).alias("sig"),
     )
-    timed("  +signature", sig)
+    timed("  +signature (reps)", sig)
 
     sigp = sig.persist()
     t0 = time.time()
@@ -98,9 +107,19 @@ def main():
     timed("  +verify (cached sig)", verified)
     sigp.unpersist()
 
+    # grouped+persisted rep pairs, then the member expansion on top —
+    # the delta between these two is the expansion cost
+    grouped_p = _shingle_groups(docs, "doc_id", "text", 4, persist_index=True)
+    pairs = _rep_minhash_pairs(
+        grouped_p, 0.6, DEFAULT_NUM_HASHES, DEFAULT_BANDS, persist_index=True
+    )
+    timed("rep pairs (persisted idx)", pairs)
+    release_builder_caches()
+
     t0 = time.time()
     n = minhash_lsh_pairs(docs, threshold=0.6).count()
     print(f"{'end-to-end op':30s} {time.time()-t0:7.2f}s  rows={n}", flush=True)
+    release_builder_caches()
     spark.stop()
 
 
