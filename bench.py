@@ -47,6 +47,37 @@ def _fhir_pipeline_10k(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), counts)
 
 
+def _fhir_pipeline_10k_staged(spark, sf_dir):
+    """The same 10k-bundle pipeline through the bronze-layer path
+    (``run_pipeline(stage_dir=...)``): ONE multiLine JSON parse landed as
+    exploded-entry parquet, then six column-pruned parquet scans — the
+    standard lake pattern at 100 TB, timed INCLUDING the bronze write so
+    the number is the honest end-to-end cost of the staged architecture,
+    directly comparable to ``fhir_pipeline_10k``'s re-parse-per-entity
+    cost. The gap between the two lines is the measured value of the
+    bronze layer on this corpus (and it widens with input size: the JSON
+    parse is ~all of the raw path's cost)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.fhir.pipeline import run_pipeline
+    from tools.make_fhir_corpus import ensure_fhir_corpus
+
+    corpus = ensure_fhir_corpus(FHIR_BENCH_BUNDLES)
+    tables = run_pipeline(
+        spark, corpus, output_dir=None, quality=False,
+        stage_dir="/tmp/fhir_bench_stage",
+    ).tables
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(rt).alias("entity"), "n_rows"
+        )
+        for rt, df in sorted(tables.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
 def _calibration_sec(spark) -> float:
     """Fixed CPU-bound microbenchmark: a seeded 4B-row whole-stage-
     codegen aggregate over spark.range — no I/O, no shuffle, no parquet,
@@ -84,6 +115,7 @@ def main() -> None:
 
     fns = {name: spec.fn for name, spec in bench_queries().items()}
     fns["fhir_pipeline_10k"] = _fhir_pipeline_10k
+    fns["fhir_pipeline_10k_staged"] = _fhir_pipeline_10k_staged
     # warm the JVM/JIT, parquet footers, and page cache — but NOT Spark's
     # block cache (cleared below), so the timed pass measures each query's
     # full cold-index cost rather than one-time JVM costs

@@ -1323,35 +1323,26 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
+def _simhash_groups(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_distance: int = 3,
-    n_bands: int = DEFAULT_BANDS,
-    total_bits: int = 60,
-    portable: bool = True,
+    id_col: str,
+    text_col: str,
+    total_bits: int,
+    portable: bool,
+    persist_groups: bool,
 ) -> DataFrame:
-    """SimHash near-dup pairs via band-bucket join — the sketch-based
-    scale path for Hamming-distance dedup. Each doc's sketch splits into
-    ``n_bands`` chunk keys; candidate pairs are docs sharing ANY chunk
-    (shuffle on (band_idx, band_value) only — never all-pairs), then the
-    exact Hamming distance filters candidates to ``<= max_distance``.
-
-    EXACT, not approximate, when ``max_distance < n_bands``: a pair with
-    at most n_bands−1 differing bits must leave one band untouched
-    (pigeonhole), so it is guaranteed to share a bucket — recall 1.0 and
-    precision 1.0 (verification filter). That makes the default
-    (distance ≤ 3, 4 bands) fully oracle-checkable against an all-pairs
-    SQL twin.
-
-    Scale: sketches are 60/64-bit bigints — the candidate state per row
-    is one long, not a shingle set, so this is the cheapest near-dup
-    family member at 100 TB; hot buckets (common band values from
-    boilerplate) are the skew risk, handled by AQE skew-join same as the
-    MinHash bands. ``portable=True`` uses the md5-derived hash family
-    (DuckDB-replayable); ``False`` uses xxhash64 (cheaper, Spark-only,
-    ``total_bits`` must then be 64)."""
+    """Identical-sketch groups — the distinct-first work-avoidance core
+    of the SimHash surfaces (the sketch twin of :func:`_shingle_groups`):
+    one (id, __sim, __rid, __n) row per doc, where __rid is the minimum
+    id among docs with the IDENTICAL sketch and __n the number of
+    DISTINCT doc ids in the group. Hamming distance is a pure function of
+    the sketches (identical sketches ⇒ distance 0, and they share every
+    band), so banding + verification can run over group representatives
+    only. The grouping key is one bigint — the cheapest fingerprint of
+    any dedup family — and the window shuffle it costs replaces the k²
+    candidate emission identical copies caused inside every shared bucket
+    (doc_simhash_band_pairs measured shuf ×99.2 at input ×10 on the
+    identical-copy replica, SCALE_RATIOS.md r8)."""
     from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
 
     tokens = whitespace_tokens(F.col(text_col))
@@ -1359,7 +1350,35 @@ def simhash_near_dup_pairs(
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), sim.alias("__sim")
     )
-    e = base.select(
+    gw = Window.partitionBy("__sim")
+    grouped = base.select(
+        "id",
+        "__sim",
+        F.min("id").over(gw).alias("__rid"),
+        # DISTINCT ids: a duplicated id must not fabricate a self pair
+        F.size(F.collect_set(F.col("id")).over(gw)).alias("__n"),
+    )
+    if persist_groups:
+        grouped = _persist_tracked(grouped)
+    return grouped
+
+
+def _rep_simhash_pairs(
+    grouped: DataFrame,
+    max_distance: int,
+    n_bands: int,
+    total_bits: int,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) verified near-dup pairs over the DISTINCT
+    sketches only: band-bucket candidate join + exact Hamming
+    verification on group representatives, plus one SELF row per group of
+    ≥ 2 distinct docs (identical sketches share every band; their
+    distance is exactly 0, computed with the same expression so the value
+    is bit-identical to the pairwise formula)."""
+    reps = grouped.where(F.col("id") == F.col("__rid")).select(
+        "id", "__sim", "__n"
+    )
+    e = reps.select(
         "id",
         "__sim",
         F.posexplode(
@@ -1374,17 +1393,142 @@ def simhash_near_dup_pairs(
         F.col("id").alias("doc_b"), F.col("__sim").alias("__sb"),
         "band_idx", "band_val",
     )
-    candidates = (
+    cross = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         # sketches are functionally dependent on the ids
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        candidates.select(
+        .select(
             "doc_a",
             "doc_b",
             hamming64(F.col("__sa"), F.col("__sb")).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+    )
+    selfp = (
+        reps.where(F.col("__n") >= 2)
+        .select(
+            F.col("id").alias("doc_a"),
+            F.col("id").alias("doc_b"),
+            hamming64(F.col("__sim"), F.col("__sim")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+    return cross.unionByName(selfp)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    n_bands: int = DEFAULT_BANDS,
+    total_bits: int = 60,
+    portable: bool = True,
+    persist_groups: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs via band-bucket join — the sketch-based
+    scale path for Hamming-distance dedup. Each doc's sketch splits into
+    ``n_bands`` chunk keys; candidate pairs are docs sharing ANY chunk
+    (shuffle on (band_idx, band_value) only — never all-pairs), then the
+    exact Hamming distance filters candidates to ``<= max_distance``.
+
+    EXACT, not approximate, when ``max_distance < n_bands``: a pair with
+    at most n_bands−1 differing bits must leave one band untouched
+    (pigeonhole), so it is guaranteed to share a bucket — recall 1.0 and
+    precision 1.0 (verification filter). That makes the default
+    (distance ≤ 3, 4 bands) fully oracle-checkable against an all-pairs
+    SQL twin.
+
+    Duplicate-proof (round 8): docs with identical sketches collapse
+    FIRST (:func:`_simhash_groups`), banding + Hamming verification run
+    over group representatives only, and surviving rep pairs expand back
+    to member pairs through two id-equi joins whose fan-out is exactly
+    the answer size — identical sketches share every band and Hamming
+    distance is a pure function of the sketches, so the output is
+    bit-identical to verifying every member pair, but a group of k exact
+    copies no longer emits k² candidates inside every shared bucket. The
+    pair EMISSION stays answer-sized by nature; for the production dedup
+    decision prefer :func:`simhash_dup_groups` (linear output).
+
+    Scale: sketches are 60/64-bit bigints — the candidate state per row
+    is one long, not a shingle set, so this is the cheapest near-dup
+    family member at 100 TB; hot buckets (common band values from
+    boilerplate) are the skew risk, handled by AQE skew-join same as the
+    MinHash bands. ``portable=True`` uses the md5-derived hash family
+    (DuckDB-replayable); ``False`` uses xxhash64 (cheaper, Spark-only,
+    ``total_bits`` must then be 64). ``persist_groups`` caches the
+    grouping (3 consumers); lifetime per ``release_builder_caches``."""
+    grouped = _simhash_groups(
+        df, id_col, text_col, total_bits, portable, persist_groups
+    )
+    pairs = _rep_simhash_pairs(grouped, max_distance, n_bands, total_bits)
+    ma = grouped.select(F.col("__rid").alias("doc_a"), F.col("id").alias("__ma"))
+    mb = grouped.select(F.col("__rid").alias("doc_b"), F.col("id").alias("__mb"))
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        # cross-group: every member combination, oriented; within-group:
+        # each unordered member pair once
+        .filter(
+            (F.col("doc_a") != F.col("doc_b")) | (F.col("__ma") < F.col("__mb"))
+        )
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    n_bands: int = DEFAULT_BANDS,
+    total_bits: int = 60,
+    portable: bool = True,
+    persist_groups: bool = True,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SimHash near-dup GROUP membership — the linear-output production
+    surface completing the group-twin triple (MinHash →
+    :func:`minhash_dup_groups`, embeddings →
+    ``similarity.lsh_near_dup_groups``, SimHash → this): (doc_id,
+    group_id) for every doc in a Hamming-ball cluster, group_id = the
+    minimum doc id reachable through the verified pair graph. Components
+    run over the DISTINCT-sketch rep graph only (a group of k identical
+    sketches is ONE node), members inherit their rep's component through
+    one id-equi join, and an identical-sketch group of ≥ 2 with no
+    external neighbor is its own cluster (mutual distance 0). Equals the
+    transitive closure of :func:`simhash_near_dup_pairs` exactly — the
+    oracle replays that equivalence with a recursive CTE."""
+    grouped = _simhash_groups(
+        df, id_col, text_col, total_bits, portable, persist_groups
+    )
+    cross = _rep_simhash_pairs(grouped, max_distance, n_bands, total_bits).where(
+        F.col("doc_a") != F.col("doc_b")
+    )
+    comp = near_dup_components(cross, "doc_a", "doc_b", max_iter=max_iter)
+    return (
+        grouped.select("id", "__rid", "__n")
+        .join(
+            comp.select(F.col("id").alias("__rid"), "component"),
+            "__rid",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("component").isNotNull(), F.col("component"))
+            # self-qualifying identical-sketch groups: distance 0 clears
+            # any real max_distance ≥ 0
+            .when(
+                (F.col("__n") >= 2) & F.lit(max_distance >= 0), F.col("__rid")
+            )
+            .alias("group_id"),
+        )
+        .where(F.col("group_id").isNotNull())
+        # duplicated input ids collapse to one membership row
+        .distinct()
     )

@@ -1839,6 +1839,56 @@ def doc_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_simhash_dup_groups",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+               tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM t
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p
+    ), reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id
+    """,
+    tags=("dedup", "simhash", "near-dup", "connected-components"),
+)
+def doc_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION surface of SimHash near-dup dedup — per-doc cluster
+    membership (doc_id, group_id) over the verified Hamming-ball pair
+    graph, completing the group-emission twin for all three near-dup
+    families (MinHash ``doc_minhash_dup_groups``, embeddings
+    ``emb_lsh_neardup_groups``, SimHash this). Output is linear in corpus
+    size where the pair surface tracks the (quadratic-on-duplicates) pair
+    answer — ``doc_simhash_band_pairs`` measured shuffle ×99 at input ×10
+    on the identical-copy replica because identical sketches pair
+    pairwise; here they collapse to ONE graph node before banding and
+    components run (operators/text_dedup.py _simhash_groups), so a group
+    of k exact copies costs one node + k membership rows. group_id =
+    minimum reachable doc_id. With max_distance 3 < 4 bands the pair
+    graph is EXACT (pigeonhole), so the all-pairs + recursive-CTE DuckDB
+    oracle hash-checks pairs AND closure end-to-end."""
+    from ehr_data_pipeline_spark.operators.text_dedup import simhash_dup_groups
+
+    return simhash_dup_groups(
+        _t(spark, sf_dir, "documents"), max_distance=3, n_bands=4, total_bits=60
+    )
+
+
+@register(
     "doc_winnow_pairs",
     oracle="""
     WITH n AS (
@@ -5914,6 +5964,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
     "doc_minhash_dup_groups",
     "emb_lsh_neardup_groups",
+    "doc_simhash_dup_groups",
     # --- relational core (last driver row r05) ---
     "cube_lineitem_flags",
     "duplicate_group_stats",

@@ -403,6 +403,66 @@ def test_simhash_band_pairs_exact_below_band_count(spark, corpus):
     assert len(banded) > 0  # the exact-dup triple sketches identically
 
 
+def test_simhash_duplicates_add_zero_verification_work(spark, corpus):
+    """The SimHash twin of the MinHash distinct-first claim: exact copies
+    must not grow the rep set or the verified rep-pair set — only the
+    final (answer-sized) expansion."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _rep_simhash_pairs,
+        _simhash_groups,
+        simhash_near_dup_pairs,
+    )
+
+    base = corpus
+    tripled = base
+    for i in (1, 2):
+        tripled = tripled.unionByName(
+            base.select((F.col("doc_id") + F.lit(100 * i)).alias("doc_id"), "text")
+        )
+
+    def work_facts(df):
+        grouped = _simhash_groups(df, "doc_id", "text", 60, True, False)
+        reps = grouped.where(F.col("id") == F.col("__rid"))
+        pairs = _rep_simhash_pairs(grouped, 3, 4, 60).where(
+            F.col("doc_a") != F.col("doc_b")
+        )
+        return reps.count(), pairs.count()
+
+    assert work_facts(tripled) == work_facts(base)
+    out_base = simhash_near_dup_pairs(base, persist_groups=False).count()
+    out_tripled = simhash_near_dup_pairs(tripled, persist_groups=False).count()
+    assert out_tripled > 3 * out_base
+
+
+def test_simhash_dup_groups_matches_closure(spark, dup_heavy_corpus):
+    """simhash_dup_groups == transitive closure of simhash_near_dup_pairs,
+    including identical-sketch groups with no external neighbor (group C)
+    and excluding singletons."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        near_dup_components,
+        simhash_dup_groups,
+        simhash_near_dup_pairs,
+    )
+
+    pair_df = simhash_near_dup_pairs(
+        dup_heavy_corpus, persist_groups=False
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    closure = {
+        (r["id"], r["component"])
+        for r in near_dup_components(pair_df).collect()
+    }
+    membership = {
+        (r["doc_id"], r["group_id"])
+        for r in simhash_dup_groups(
+            dup_heavy_corpus, persist_groups=False
+        ).collect()
+    }
+    assert membership == closure
+    # identical-copy group C (20, 21) clusters on its own; singleton 30 out
+    assert {(20, 20), (21, 20)} <= membership
+    assert not any(m[0] == 30 for m in membership)
+
+
 def test_near_dup_components_transitive_chain(spark):
     """A~B and B~C (A~C never emitted) must still land in ONE component
     labeled by the minimum id; disconnected pairs stay separate."""
