@@ -524,6 +524,26 @@ def build_minhash_index(
     )
 
 
+def minhash_band_entries(
+    index: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """The PERSISTED-INDEX companion of ``build_minhash_index``: derive
+    the compact (id, nsh, band_idx, band_key) inverted band-entry table
+    from an (id, sh, sig) index frame, to be landed ONCE next to the
+    index (plain or bucketed parquet via ``sinks.write_bucketed``) and
+    appended to per ingest batch — exactly like the index itself. Passing
+    it back as ``near_dedup_against_index(index_bands=...)`` makes the
+    per-batch candidate join scan FOUR small columns instead of
+    re-reading every historical shingle array and re-exploding bands per
+    batch; the full (id, sh) index is then touched only by the
+    verification lookup, which the candidate semi-structure prunes to
+    actual candidates. At 100 TB the band table is the piece a continuous
+    ingest reads every batch, so its compactness is the recurring cost."""
+    return _band_entries(index, num_hashes, bands)
+
+
 def near_dedup_against_index(
     batch: DataFrame,
     index: DataFrame,
@@ -534,6 +554,7 @@ def near_dedup_against_index(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     persist_index: bool = True,
+    index_bands: DataFrame | None = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Incremental NEAR-dup dedup — the continuous-ingest twin of
     ``dedup_against_index`` (which is exact-only): drop new-batch docs
@@ -565,7 +586,13 @@ def near_dedup_against_index(
     in-batch counterpart group G' has min id < x (∃ batch doc y ∈ G'
     with y < x ⟺ rep(G') < x, since rep is the group min). The drop SET
     is identical to per-doc evaluation; a group of k copies costs one
-    signature + one verification per distinct counterpart instead of k."""
+    signature + one verification per distinct counterpart instead of k.
+
+    ``index_bands``: optionally pass the persisted
+    :func:`minhash_band_entries` table for the index side — the per-batch
+    candidate join then scans that compact table instead of re-deriving
+    band entries from every historical shingle array on every batch (the
+    recurring cost a continuous 100 TB ingest actually pays)."""
     grouped = _shingle_groups(batch, id_col, text_col, k, persist_index)
     reps = grouped.where(F.col("id") == F.col("__rid")).select("id", "sh")
     rsig = reps.select(
@@ -574,7 +601,9 @@ def near_dedup_against_index(
     if persist_index:
         rsig = _persist_tracked(rsig)
     bb = _band_entries(rsig, num_hashes, bands)
-    ib = _band_entries(index, num_hashes, bands)
+    ib = index_bands if index_bands is not None else _band_entries(
+        index, num_hashes, bands
+    )
 
     def size_ok():
         return F.least(F.col("a.nsh"), F.col("b.nsh")) >= (

@@ -664,6 +664,48 @@ def test_near_dedup_against_index_drop_rules(spark):
     assert sorted(r["id"] for r in new_entries.collect()) == [11]
 
 
+def test_near_dedup_with_persisted_band_table(spark, dup_heavy_corpus, tmp_path):
+    """The persisted-index deployment shape: land minhash_band_entries
+    next to the index once, pass it back per batch — identical results
+    to deriving bands from the index, and the recurring per-batch scan
+    of the band table reads ONLY its four compact columns (no shingle
+    arrays re-read, no per-batch re-explosion)."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        minhash_band_entries,
+        near_dedup_against_index,
+    )
+
+    hist = dup_heavy_corpus.filter(F.col("doc_id") < 15)
+    batch = dup_heavy_corpus.filter(F.col("doc_id") >= 15)
+    index = build_minhash_index(hist)
+    bands_path = str(tmp_path / "index_bands")
+    minhash_band_entries(index).write.parquet(bands_path)
+    band_table = spark.read.parquet(bands_path)
+
+    fresh_d, entries_d = near_dedup_against_index(batch, index, persist_index=False)
+    fresh_p, entries_p = near_dedup_against_index(
+        batch, index, persist_index=False, index_bands=band_table
+    )
+    assert sorted(r["doc_id"] for r in fresh_p.collect()) == sorted(
+        r["doc_id"] for r in fresh_d.collect()
+    )
+    assert sorted(r["id"] for r in entries_p.collect()) == sorted(
+        r["id"] for r in entries_d.collect()
+    )
+    # the candidate join's scan of the persisted band table is pruned to
+    # the compact columns — the shingle arrays never travel per batch
+    plan = fresh_p._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    band_scans = [
+        m for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+        if "band_key" in m
+    ]
+    # "sh:array" = the shingle column; "nsh:int" (the size) is expected
+    assert band_scans and all("sh:array" not in m for m in band_scans)
+
+
 def test_near_dedup_against_index_independent_evaluation(spark):
     from ehr_data_pipeline_spark.operators.text_dedup import (
         build_minhash_index,
