@@ -674,3 +674,102 @@ def run_rollup_maintenance(
     )
     query.awaitTermination(timeout_sec)
     return query
+
+
+def near_dedup_maintenance_sink(
+    index_path: str,
+    fresh_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    k: int = 4,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """foreachBatch maintainer for CONTINUOUS near-dup dedup — the
+    streaming composition of ``text_dedup.near_dedup_against_index``:
+    each microbatch dedups against the maintained MinHash index (and
+    against its own lower ids), its fresh rows land in
+    ``{fresh_path}/epoch={batch_id}``, and the index grows by exactly the
+    fresh docs' entries into ``{index_path}/epoch={batch_id}``. Same
+    idempotent-epoch exactly-once argument as the SCD2 sink: a replayed
+    batch reads the index strictly below its own id and overwrites both
+    of its own epoch directories. The maintained state is the (id, sh,
+    sig) index — the thing a 100 TB ingest keeps anyway (land
+    ``minhash_band_entries`` next to it for the compact per-batch
+    candidate scan). Per-batch builder caches are released after the
+    writes so a long-lived stream does not accumulate them."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+        release_builder_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = [e for e in _state_epochs(index_path) if e < batch_id]
+        if prev:
+            index = spark.read.parquet(f"{index_path}/epoch={max(prev)}")
+        else:
+            index = build_minhash_index(
+                batch_df.limit(0), id_col, text_col, k, num_hashes
+            )
+        try:
+            fresh, new_entries = near_dedup_against_index(
+                batch_df, index, id_col, text_col, threshold,
+                k, num_hashes, bands,
+            )
+            fresh.write.mode("overwrite").parquet(
+                f"{fresh_path}/epoch={batch_id}"
+            )
+            index.unionByName(new_entries).write.mode("overwrite").parquet(
+                f"{index_path}/epoch={batch_id}"
+            )
+        finally:
+            release_builder_caches()
+
+    return write
+
+
+def read_near_dedup_fresh(spark: SparkSession, fresh_path: str) -> DataFrame:
+    """All documents the streaming near-dedup admitted so far: the union
+    of every COMPLETE fresh epoch (each epoch holds one microbatch's
+    survivors — disjoint by construction, so the union is the deduped
+    corpus in arrival order)."""
+    from functools import reduce
+
+    epochs = _state_epochs(fresh_path, complete_only=True)
+    if not epochs:
+        raise FileNotFoundError(f"no complete epochs under {fresh_path}")
+    parts = [
+        spark.read.parquet(f"{fresh_path}/epoch={e}") for e in sorted(epochs)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def run_near_dedup_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    fresh_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input through continuous near-dup
+    dedup with an ``availableNow`` trigger and a real checkpoint —
+    restartable: a later run over the same checkpoint dedups only newly
+    arrived files against the accumulated index."""
+    query = (
+        docs.writeStream.foreachBatch(
+            near_dedup_maintenance_sink(
+                index_path, fresh_path, id_col, text_col, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

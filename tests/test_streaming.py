@@ -559,3 +559,83 @@ def test_cm_and_hist_stream_maintenance_match_one_shot(checkpointed, tmp_path):
         q.awaitTermination(300)
         state_path = str(tmp_path / f"{label}_state")
         assert canon(read_epoch_state(spark, state_path)) == canon(one_shot), label
+
+
+def test_near_dedup_stream_maintenance_matches_sequential_batches(
+    checkpointed, tmp_path
+):
+    """Streaming near-dup dedup (foreachBatch over the maintained MinHash
+    index) must equal the SEQUENTIAL batch application of
+    near_dedup_against_index over the same file drops in the same order —
+    streaming is a composition of the batch operator, nothing more.
+    Restarting the same checkpoint after a late drop dedups only the new
+    file against the accumulated index; replaying the highest batch id is
+    idempotent."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        near_dedup_maintenance_sink,
+        read_near_dedup_fresh,
+        run_near_dedup_maintenance,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # ascending doc_id slices, one part-file each (modification-time
+    # ordering then matches slice order, as in the SCD2 test)
+    src = tmp_path / "doc_src"
+    slices = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+    ]
+    late = docs.filter(F.col("doc_id") >= 300)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    index_path = str(tmp_path / "nd_index")
+    fresh_path = str(tmp_path / "nd_fresh")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+
+    run_near_dedup_maintenance(stream(), index_path, fresh_path, ckpt)
+
+    def batch_sequential(batches):
+        index = build_minhash_index(docs.limit(0))
+        fresh_ids = set()
+        for b in batches:
+            fresh, new_entries = near_dedup_against_index(b, index)
+            fresh_ids |= {r["doc_id"] for r in fresh.collect()}
+            index = index.unionByName(new_entries)
+        return fresh_ids, index
+
+    expect_ids, _ = batch_sequential(slices)
+    got = {r["doc_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()}
+    assert got == expect_ids
+
+    # late drop + restart over the same checkpoint
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    run_near_dedup_maintenance(stream(), index_path, fresh_path, ckpt)
+    expect_full, _ = batch_sequential(slices + [late])
+    got_full = {
+        r["doc_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
+    }
+    assert got_full == expect_full
+    assert got <= got_full
+
+    # replay of the highest batch id recomputes from the same predecessor
+    last = max(_state_epochs(index_path))
+    sink = near_dedup_maintenance_sink(index_path, fresh_path)
+    sink(late, last)
+    got_replay = {
+        r["doc_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
+    }
+    assert got_replay == expect_full

@@ -210,9 +210,15 @@ def main() -> None:
         spec = REGISTRY[name]
         group = f"audit:{name}"
         sc.setJobGroup(group, name)
+        # time from BUILD, not just collect: pair/group builders run
+        # materialization jobs at call time (_materialize_candidates),
+        # which previously landed in the shuffle columns (job-group
+        # attribution) but NOT in wall — group-emission surfaces showed
+        # sub-second walls over multi-GB shuffles. Wall now covers the
+        # same work the record counts do.
+        t0 = time.perf_counter()
         df = spec.fn(spark, args.sf_dir)
         plan_pre = df._jdf.queryExecution().executedPlan().toString()
-        t0 = time.perf_counter()
         n_rows = len(df.collect())
         wall = time.perf_counter() - t0
         spark.catalog.clearCache()
