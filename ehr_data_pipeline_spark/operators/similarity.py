@@ -722,6 +722,113 @@ def ivf_knn(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    n_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+    persist_groups: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+    then within each cluster mark an item a semantic duplicate iff some
+    LOWER-id item in the same cluster has ROUND(cosine, 6) >= threshold
+    — the deterministic keep-first analog of the paper's keep-one-per-
+    ε-ball rule (the paper keeps a random/centroid-far member; any
+    single-survivor policy yields the same dedup rate, and min-id is the
+    engine's canonical-survivor convention). Output is LINEAR in corpus
+    size: one (id, cluster_id, kept) row per valid vector.
+
+    Why clustering makes this the 100 TB semantic-dedup path: pairwise
+    cosine runs WITHIN clusters only — total work Σ|cluster|², so with
+    n_clusters scaled ∝ N (the paper uses ~N/|cluster| with clusters of
+    a few thousand) the quadratic term is bounded by a constant per item
+    and the join is an equi-join on the cell id (shuffle on cid, AQE
+    splits skewed cells; never all-pairs). Unlike the LSH near-dup
+    family this catches SEMANTIC redundancy at lower thresholds where
+    hyperplane banding loses its selectivity (see the threshold
+    economics note on :func:`lsh_near_dup_pairs`); the trade is recall
+    at cluster boundaries — a near-dup pair split across two cells is
+    missed, which the paper accepts by construction.
+
+    Duplicate-proof like the rest of the family: bit-identical vectors
+    collapse first (:func:`_vector_groups`), assignment and the
+    within-cluster pairwise check run over group representatives only
+    (identical vectors always share a cell and a cosine, so a group of k
+    costs one assignment + its rep's comparisons, not k), and members
+    inherit the verdict through one id-equi join — every non-rep member
+    is a duplicate of its own rep (cosine exactly 1.0 after rounding)
+    for any threshold <= 1.0. The registered query seeds without Lloyd
+    refinement (``n_iters=0`` — the ``emb_ivf_knn`` precedent) so the
+    quantizer, the assignment argmin and the drop rule are all
+    SQL-derivable and the whole decision is hash-checked; ``n_iters>0``
+    runs the identical plan on refined centroids. Invalid vectors are
+    excluded at entry per the embeddings contract
+    (functions/measurement.py); ``dim=None`` infers it from the data."""
+    from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
+
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+
+    def empty() -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster_id"),
+            F.lit(True).alias("kept"),
+        ).limit(0)
+
+    if dim is None:
+        return empty()
+    centroids = train_ivf_centroids(df, n_clusters, n_iters, id_col, vec_col, dim)
+    if not centroids:
+        return empty()
+    mem = _vector_groups(df, id_col, vec_col, dim)
+    if persist_groups:
+        mem = _persist_tracked(mem)
+    assigned = mem.where(F.col("__id") == F.col("__rid")).select(
+        F.col("__id").alias("__rid"),
+        F.col("__v").alias("__rv"),
+        _centroid_dists(F.col("__v"), centroids)[0]["cid"].alias("__cid"),
+    )
+    a = assigned.select(
+        F.col("__rid").alias("__xa"), F.col("__rv").alias("__va"), "__cid"
+    )
+    b = assigned.select(
+        F.col("__rid").alias("__xb"), F.col("__rv").alias("__vb"), "__cid"
+    )
+    dropped = (
+        a.join(b, "__cid")
+        .filter(F.col("__xb") < F.col("__xa"))
+        .select(
+            "__xa",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__c"),
+        )
+        .filter(F.col("__c") >= F.lit(threshold))
+        .select(F.col("__xa").alias("__rid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        mem.select("__id", "__rid")
+        .join(assigned.select("__rid", "__cid"), "__rid")
+        .join(dropped, "__rid", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").cast("int").alias("cluster_id"),
+            F.when(
+                F.col("__id") != F.col("__rid"),
+                # non-rep member: its rep is a lower-id bit-identical
+                # vector — round(self-cosine, 6) is exactly 1.0
+                F.lit(not (1.0 >= threshold)),
+            )
+            .otherwise(F.col("__dup").isNull())
+            .alias("kept"),
+        )
+    )
+
+
 def _round_half_up_6(arr):
     """Match Spark's ``ROUND(double, 6)`` exactly: Catalyst rounds via
     ``BigDecimal.valueOf(x)`` — the SHORTEST decimal representation of the

@@ -3196,6 +3196,63 @@ def emb_lsh_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 8)
+    ), m AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS d
+      FROM m e, cent c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rnk
+        FROM dist) WHERE rnk = 1
+    ), dropped AS (
+      SELECT DISTINCT xa.vec_id
+      FROM assign xa
+      JOIN assign xb ON xb.cid = xa.cid AND xb.vec_id < xa.vec_id
+      JOIN m a ON a.vec_id = xa.vec_id
+      JOIN m b ON b.vec_id = xb.vec_id
+      WHERE {_PAIR_COS_SQL} >= 0.4
+    )
+    SELECT s.vec_id, CAST(s.cid AS INTEGER) AS cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    """,
+    bench=True,
+    tags=("dedup", "similarity", "semantic", "clustering"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster with the seeded IVF coarse
+    quantizer (8 smallest-id vectors, ``n_iters=0`` — the
+    ``emb_ivf_knn`` precedent that keeps the quantizer SQL-derivable),
+    then within each cluster drop every vector that has a LOWER-id
+    cluster-mate at ROUND(cosine, 6) >= 0.4. One (vec_id, cluster_id,
+    kept) row per valid vector — linear output, and the pairwise check
+    is confined to cluster cells (equi-join on cid), which is what makes
+    semantic dedup tractable at 100 TB when n_clusters scales with the
+    corpus. The oracle replays seeding, the assignment argmin, the
+    member-level drop rule and the keep-first survivor policy, so the
+    whole dedup decision — not just pair discovery — is hash-checked.
+    Complements the LSH family: catches low-threshold SEMANTIC
+    redundancy where hyperplane banding loses selectivity, at the cost
+    of recall across cluster boundaries (the paper's own trade)."""
+    from ehr_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4,
+        n_iters=0, dim=64,
+    )
+
+
 def _recall_row(
     exact: DataFrame,
     approx: DataFrame,
@@ -5910,7 +5967,7 @@ def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
-    "emb_lsh_neardup_pairs", "emb_lsh_neardup_groups",
+    "emb_lsh_neardup_pairs", "emb_lsh_neardup_groups", "emb_semantic_dedup",
     # consumes embeddings alongside documents — same vector contract
     "doc_hybrid_rrf_search",
 )
@@ -5965,6 +6022,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_minhash_dup_groups",
     "emb_lsh_neardup_groups",
     "doc_simhash_dup_groups",
+    "emb_semantic_dedup",
     # --- relational core (last driver row r05) ---
     "cube_lineitem_flags",
     "duplicate_group_stats",

@@ -383,3 +383,86 @@ def test_infer_dim_non_64_and_empty(spark):
     assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
     p = lsh_near_dup_pairs(empty)
     assert p.count() == 0 and p.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_semantic_dedup_keep_first_and_clusters(dup_heavy_emb, emb):
+    """SemDeDup semantics on the duplicate-heavy corpus: one row per
+    valid id, every identical copy dropped into its original's cluster,
+    and the keep-first rule — a vector is dropped iff some LOWER-id
+    cluster-mate clears the threshold — replayed against a brute-force
+    reference built from the operator's own assignment."""
+    from ehr_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(
+            dup_heavy_emb, n_clusters=4, threshold=0.4, n_iters=0
+        ).collect()
+    }
+    base_ids = {r["vec_id"] for r in dup_heavy_emb.select("vec_id").collect()}
+    assert set(out) == base_ids  # linear output: one verdict per vector
+    for v in range(30):
+        for copy in (v + 1000, v + 2000):
+            assert out[copy][0] == out[v][0], (v, copy)  # same cluster
+            assert out[copy][1] is False  # identical copy always dropped
+        assert out[v][0] in range(4)
+    # brute-force reference for the keep-first rule over the base slice
+    pair_cos = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(dup_heavy_emb, threshold=-1.0).collect()
+    }
+    for v in sorted(base_ids):
+        expect_dropped = any(
+            pair_cos.get((u, v), -1.0) >= 0.4 and out[u][0] == out[v][0]
+            for u in base_ids if u < v
+        )
+        assert out[v][1] == (not expect_dropped), v
+
+
+def test_semantic_dedup_duplicates_change_nothing_for_originals(emb):
+    """Duplicate-proofing: adding higher-id identical copies must not
+    change any original verdict (drop rule looks at lower ids only, and
+    reps are unchanged), and the kept set is identical — duplicates only
+    append dropped rows."""
+    from ehr_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 40)
+    tripled = base
+    for i in range(2):
+        tripled = tripled.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(10_000 * (i + 1))).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    verdict_base = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(base, n_clusters=4, threshold=0.4).collect()
+    }
+    verdict_tripled = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(tripled, n_clusters=4, threshold=0.4).collect()
+    }
+    for v, verdict in verdict_base.items():
+        assert verdict_tripled[v] == verdict, v
+    kept_base = {v for v, (_, k) in verdict_base.items() if k}
+    kept_tripled = {v for v, (_, k) in verdict_tripled.items() if k}
+    assert kept_base == kept_tripled
+
+
+def test_semantic_dedup_empty_and_dim_inference(spark):
+    """Contract schema on empty input; inferred dim on a non-64 corpus."""
+    from ehr_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_dedup(empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster_id", "kept"]
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    rows += [(100, [float(j) for j in range(8)])]
+    df8 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup(df8, n_clusters=2, threshold=0.99).collect()
+    assert len(got) == 7
+    assert all(r["cluster_id"] in (0, 1) for r in got)
