@@ -466,3 +466,44 @@ def test_semantic_dedup_empty_and_dim_inference(spark):
     got = semantic_dedup(df8, n_clusters=2, threshold=0.99).collect()
     assert len(got) == 7
     assert all(r["cluster_id"] in (0, 1) for r in got)
+
+
+def test_semantic_dedup_duplicates_add_zero_comparison_work(emb):
+    """The measured form of the distinct-first claim for semantic dedup,
+    without timing flakiness: adding exact copies must NOT grow the rep
+    set or the within-cluster comparison count — copies only inherit
+    verdicts through the member-expansion join. Mirrors
+    test_duplicates_add_zero_verification_work (text_dedup)."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _centroid_dists,
+        _vector_groups,
+        train_ivf_centroids,
+    )
+
+    base = emb.filter(F.col("vec_id") < 40)
+    tripled = base
+    for i in (1, 2):
+        tripled = tripled.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(10_000 * i)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+
+    def work_facts(df):
+        # copies take ids ABOVE the base range, so the smallest-id seeds
+        # (and with n_iters=0 the centroids) are identical by construction
+        cents = train_ivf_centroids(df, n_list=4, n_iters=0)
+        mem = _vector_groups(df, "vec_id", "embedding", 64)
+        reps = mem.where(F.col("__id") == F.col("__rid"))
+        assigned = reps.select(
+            F.col("__id").alias("rid"),
+            _centroid_dists(F.col("__v"), cents)[0]["cid"].alias("cid"),
+        )
+        a = assigned.select(F.col("rid").alias("xa"), "cid")
+        b = assigned.select(F.col("rid").alias("xb"), "cid")
+        n_cmp = a.join(b, "cid").filter(F.col("xb") < F.col("xa")).count()
+        return reps.count(), n_cmp
+
+    assert work_facts(tripled) == work_facts(base)
