@@ -829,6 +829,76 @@ def semantic_dedup(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin of
+    ``text_dedup.ngram_contamination`` (13-gram rule): flag every corpus
+    vector whose NEAREST benchmark vector clears ROUND(cosine, 6) >=
+    threshold. Catches paraphrased/translated eval contamination that
+    verbatim n-gram overlap misses — standard practice alongside exact
+    decontamination in LLM data curation. Returns one
+    (id, benchmark_id, cosine) row per contaminated corpus vector: the
+    top benchmark neighbor (cosine DESC, benchmark-id ASC tiebreak — the
+    kNN family's deterministic rank rule), so the output is linear in
+    the corpus and carries the evidence for each drop decision.
+
+    Plan shape: the benchmark set broadcasts (an eval suite is always
+    tiny next to a training corpus — the same smallness assumption the
+    n-gram rule's hash set makes), every corpus partition scores its
+    rows against it in-row, and a window PARTITIONED BY corpus id picks
+    the top neighbor — no shuffle beyond the window's hash exchange, so
+    cost is corpus-linear at any scale. Rows with equal ids on both
+    sides are never compared (safe under overlapping inputs); invalid
+    vectors are excluded on both sides per the embeddings contract
+    (functions/measurement.py); ``dim=None`` infers it from the
+    corpus."""
+    dim = _resolve_dim(corpus, dim, id_col, vec_col)
+
+    def empty() -> DataFrame:
+        return corpus.select(
+            F.col(id_col),
+            F.col(id_col).alias("benchmark_id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+
+    if dim is None:
+        return empty()
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    b = F.broadcast(
+        benchmark.where(keep)
+        .select(F.col(id_col).alias("benchmark_id"), F.col(vec_col).alias("__bv"))
+        .dropDuplicates(["benchmark_id"])
+    )
+    c = (
+        ensure_min_partitions(corpus.where(keep))
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv"))
+        .dropDuplicates(["__id"])
+    )
+    scored = (
+        c.crossJoin(b)
+        .filter(F.col("__id") != F.col("benchmark_id"))
+        .select(
+            "__id",
+            "benchmark_id",
+            F.round(cosine(F.col("__cv"), F.col("__bv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("cosine").desc(), F.col("benchmark_id").asc()
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter((F.col("__rnk") == 1) & (F.col("cosine") >= F.lit(threshold)))
+        .select(F.col("__id").alias(id_col), "benchmark_id", "cosine")
+    )
+
+
 def _round_half_up_6(arr):
     """Match Spark's ``ROUND(double, 6)`` exactly: Catalyst rounds via
     ``BigDecimal.valueOf(x)`` — the SHORTEST decimal representation of the

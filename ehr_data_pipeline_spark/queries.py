@@ -3253,6 +3253,56 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_semantic_decontamination",
+    oracle=f"""
+    WITH bm AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ), cp AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 <> 0
+    ), p AS (
+      SELECT a.vec_id, b.vec_id AS benchmark_id, {_PAIR_COS_SQL} AS cosine
+      FROM cp a JOIN bm b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT vec_id, benchmark_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, benchmark_id ASC)
+               AS rnk
+      FROM p
+    )
+    SELECT vec_id, benchmark_id, cosine FROM r
+    WHERE rnk = 1 AND cosine >= 0.4
+    """,
+    tags=("decontamination", "similarity", "quality-gate"),
+)
+def emb_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin of
+    ``doc_benchmark_contamination`` (13-gram rule), flagging corpus
+    vectors whose nearest benchmark vector clears cosine 0.4. Same
+    benchmark convention as the n-gram query: a deterministic 2% subset
+    (vec_id % 50 = 0) stands in for the eval suite and broadcasts;
+    everything else is the corpus. Output is one evidence row
+    (vec_id, top benchmark_id, cosine) per contaminated vector — linear
+    in the corpus, and the whole decision (broadcast scoring, top-1
+    tiebreak, threshold) replays in the oracle. Catches paraphrase-level
+    leakage the verbatim n-gram rule misses; at 100 TB the benchmark
+    side stays driver-size and the plan is one broadcast pass plus a
+    partitioned window."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        threshold=0.4,
+        dim=64,
+    )
+
+
 def _recall_row(
     exact: DataFrame,
     approx: DataFrame,
@@ -5968,6 +6018,7 @@ _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
     "emb_lsh_neardup_pairs", "emb_lsh_neardup_groups", "emb_semantic_dedup",
+    "emb_semantic_decontamination",
     # consumes embeddings alongside documents — same vector contract
     "doc_hybrid_rrf_search",
 )
@@ -6023,6 +6074,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "emb_lsh_neardup_groups",
     "doc_simhash_dup_groups",
     "emb_semantic_dedup",
+    "emb_semantic_decontamination",
     # --- relational core (last driver row r05) ---
     "cube_lineitem_flags",
     "duplicate_group_stats",

@@ -507,3 +507,62 @@ def test_semantic_dedup_duplicates_add_zero_comparison_work(emb):
         return reps.count(), n_cmp
 
     assert work_facts(tripled) == work_facts(base)
+
+
+def test_semantic_dedup_cluster_scaling_reduces_comparisons(emb):
+    """The documented scale remedy (n_clusters ∝ N keeps per-item work
+    constant) actually works on real data: quadrupling the cell count
+    must strictly shrink the within-cluster comparison count."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _centroid_dists,
+        _vector_groups,
+        train_ivf_centroids,
+    )
+
+    def n_comparisons(k):
+        cents = train_ivf_centroids(emb, n_list=k, n_iters=0)
+        mem = _vector_groups(emb, "vec_id", "embedding", 64)
+        assigned = mem.where(F.col("__id") == F.col("__rid")).select(
+            F.col("__id").alias("rid"),
+            _centroid_dists(F.col("__v"), cents)[0]["cid"].alias("cid"),
+        )
+        a = assigned.select(F.col("rid").alias("xa"), "cid")
+        b = assigned.select(F.col("rid").alias("xb"), "cid")
+        return a.join(b, "cid").filter(F.col("xb") < F.col("xa")).count()
+
+    assert n_comparisons(8) < n_comparisons(2)
+
+
+def test_semantic_contamination_flags_planted_leakage(spark, emb):
+    """A scaled copy of a benchmark vector (cosine 1.0 — 'paraphrase'
+    leakage the verbatim rule would miss) must be flagged against that
+    benchmark id; output carries only corpus ids, self-comparison is
+    impossible, and an empty benchmark flags nothing."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    bench = emb.filter(F.col("vec_id") < 5)
+    leaked = bench.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + F.lit(777)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).unionByName(leaked)
+    rows = {
+        r["vec_id"]: (r["benchmark_id"], r["cosine"])
+        for r in semantic_contamination(corpus, bench, threshold=0.4).collect()
+    }
+    assert rows[780] == (3, 1.0)  # the planted leak, attributed exactly
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert set(rows) <= corpus_ids
+    assert all(bid in range(5) and cos >= 0.4 for bid, cos in rows.values())
+    # overlapping inputs never self-compare
+    self_rows = semantic_contamination(bench, bench, threshold=-1.0).collect()
+    assert all(r["vec_id"] != r["benchmark_id"] for r in self_rows)
+    # empty benchmark: nothing to leak against
+    none = semantic_contamination(
+        corpus, emb.filter(F.col("vec_id") < 0), threshold=0.4
+    )
+    assert none.count() == 0
+    assert none.columns == ["vec_id", "benchmark_id", "cosine"]
