@@ -829,6 +829,99 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental SemDeDup for continuous ingest — the semantic
+    completion of ``dedup_against_index`` (exact) and
+    ``near_dedup_against_index`` (MinHash): dedup an arriving batch
+    against a persisted vector index under a FIXED coarse quantizer
+    (``centroids`` — train once on history, hold fixed across batches so
+    cell assignments never move). A batch vector drops iff some indexed
+    vector OR some lower-id batch vector shares its cell at
+    ROUND(cosine, 6) >= threshold — the same independent-evaluation rule
+    as the near-dup family, so when index ids all precede batch ids the
+    result is IDENTICAL to batch-mode :func:`semantic_dedup` restricted
+    to the batch (asserted in tests). Returns ``(fresh, new_entries)``:
+    the batch rows that survive, and their (id, vector) index rows for
+    the caller to append — the grown index feeds the next batch.
+
+    Duplicate-proof on both sides: identical batch vectors collapse to
+    group representatives (:func:`_vector_groups` — non-rep members are
+    in-batch duplicates of a lower id by construction), and the index
+    dedups to DISTINCT vectors before the cell join (existence is all
+    the drop rule needs, so k identical index entries cost one
+    comparison). A re-ingested vector always drops against its own index
+    entry (cosine 1.0). With no quantizer (``centroids == []`` — empty
+    history) no cell comparisons are possible and one representative per
+    distinct valid batch vector is fresh (the identical-vector collapse
+    still applies). At 100 TB the index is written
+    partitioned BY cell id, so each batch cell joins a partition-pruned
+    read and history never rescans."""
+    from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
+
+    dim = _resolve_dim(index, dim, id_col, vec_col) or _resolve_dim(
+        batch, dim, id_col, vec_col
+    )
+    empty_entries = batch.select(F.col(id_col), F.col(vec_col)).limit(0)
+    if dim is None:
+        return batch.limit(0), empty_entries
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    mem = _persist_tracked(_vector_groups(batch, id_col, vec_col, dim))
+    reps = mem.where(F.col("__id") == F.col("__rid")).select("__id", "__v")
+    if not centroids:
+        fresh_ids = reps.select(F.col("__id").alias(id_col))
+    else:
+        bt = reps.select(
+            "__id", "__v",
+            _centroid_dists(F.col("__v"), centroids)[0]["cid"].alias("__cid"),
+        )
+        hist = (
+            ensure_min_partitions(index.where(keep))
+            .select(F.col(vec_col).alias("__hv"))
+            .dropDuplicates()
+            .select(
+                "__hv",
+                _centroid_dists(F.col("__hv"), centroids)[0]["cid"].alias("__cid"),
+            )
+        )
+        hist_hits = (
+            bt.join(hist, "__cid")
+            .select(
+                "__id",
+                F.round(cosine(F.col("__v"), F.col("__hv")), 6).alias("__c"),
+            )
+            .filter(F.col("__c") >= F.lit(threshold))
+            .select("__id")
+        )
+        a = bt.select(F.col("__id").alias("__xa"), F.col("__v").alias("__va"), "__cid")
+        b = bt.select(F.col("__id").alias("__xb"), F.col("__v").alias("__vb"), "__cid")
+        batch_hits = (
+            a.join(b, "__cid")
+            .filter(F.col("__xb") < F.col("__xa"))
+            .select(
+                F.col("__xa").alias("__id"),
+                F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__c"),
+            )
+            .filter(F.col("__c") >= F.lit(threshold))
+            .select("__id")
+        )
+        dropped = hist_hits.unionByName(batch_hits).distinct()
+        fresh_ids = (
+            reps.join(dropped, reps["__id"] == dropped["__id"], "left_anti")
+            .select(F.col("__id").alias(id_col))
+        )
+    fresh = batch.where(keep).dropDuplicates([id_col]).join(fresh_ids, id_col)
+    new_entries = fresh.select(F.col(id_col), F.col(vec_col))
+    return fresh, new_entries
+
+
 def semantic_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -3254,6 +3254,66 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_incremental_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < 25 ORDER BY vec_id ASC LIMIT 8)
+    ), m AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS d
+      FROM m e, cent c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rnk
+        FROM dist) WHERE rnk = 1
+    ), dropped AS (
+      SELECT DISTINCT xa.vec_id
+      FROM assign xa
+      JOIN assign xb ON xb.cid = xa.cid AND xb.vec_id < xa.vec_id
+      JOIN m a ON a.vec_id = xa.vec_id
+      JOIN m b ON b.vec_id = xb.vec_id
+      WHERE xa.vec_id >= 25 AND {_PAIR_COS_SQL} >= 0.4
+    )
+    SELECT s.vec_id FROM assign s
+    WHERE s.vec_id >= 25
+      AND s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    tags=("dedup", "incremental", "semantic", "clustering", "index"),
+)
+def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a persisted vector index — the
+    semantic completion of `doc_incremental_dedup` (exact) and
+    `doc_incremental_near_dedup` (MinHash): vectors with id < 25 stand
+    in for the indexed history, the rest arrive as the batch; the coarse
+    quantizer is trained ONCE on the history (8 seeded cells, n_iters=0)
+    and held fixed, and a batch vector drops iff any indexed vector or
+    any lower-id batch vector shares its cell at cosine >= 0.4. Because
+    history ids all precede batch ids, the oracle states the whole
+    two-phase rule as one 'exists a lower-id same-cell near-dup' join —
+    the same collapse the MinHash incremental oracle uses. Output: the
+    batch's fresh vec_ids."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_against_index,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") < 25)
+    batch = emb.filter(F.col("vec_id") >= 25)
+    cents = train_ivf_centroids(history, n_list=8, n_iters=0, dim=64)
+    fresh, _new_entries = semantic_dedup_against_index(
+        batch, history, cents, threshold=0.4, dim=64
+    )
+    return fresh.select("vec_id")
+
+
+@register(
     "emb_semantic_decontamination",
     oracle=f"""
     WITH bm AS (
@@ -6018,7 +6078,7 @@ _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
     "emb_lsh_neardup_pairs", "emb_lsh_neardup_groups", "emb_semantic_dedup",
-    "emb_semantic_decontamination",
+    "emb_semantic_decontamination", "emb_incremental_semantic_dedup",
     # consumes embeddings alongside documents — same vector contract
     "doc_hybrid_rrf_search",
 )
@@ -6075,6 +6135,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_simhash_dup_groups",
     "emb_semantic_dedup",
     "emb_semantic_decontamination",
+    "emb_incremental_semantic_dedup",
     # --- relational core (last driver row r05) ---
     "cube_lineitem_flags",
     "duplicate_group_stats",

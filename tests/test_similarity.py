@@ -566,3 +566,73 @@ def test_semantic_contamination_flags_planted_leakage(spark, emb):
     )
     assert none.count() == 0
     assert none.columns == ["vec_id", "benchmark_id", "cosine"]
+
+
+def test_semantic_dedup_against_index_matches_batch_mode(emb):
+    """When index ids all precede batch ids and the quantizer is seeded
+    from the history prefix, the incremental path must return EXACTLY
+    the batch-mode kept set restricted to the batch — the independent
+    lower-id drop rule collapses the two phases into one."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_against_index,
+        train_ivf_centroids,
+    )
+
+    history = emb.filter(F.col("vec_id") < 25)
+    batch = emb.filter(F.col("vec_id") >= 25)
+    cents = train_ivf_centroids(history, n_list=8, n_iters=0, dim=64)
+    fresh, entries = semantic_dedup_against_index(
+        batch, history, cents, threshold=0.4, dim=64
+    )
+    got = {r["vec_id"] for r in fresh.collect()}
+    # batch-mode over the full corpus seeds from the same smallest-id
+    # prefix, so cells and the drop rule coincide
+    want = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, n_clusters=8, threshold=0.4, dim=64).collect()
+        if r["kept"] and r["vec_id"] >= 25
+    }
+    assert got == want
+    assert {r["vec_id"] for r in entries.collect()} == got
+
+
+def test_semantic_dedup_against_index_reingest_and_growth(spark, emb):
+    """Continuous-ingest semantics: fresh entries append to the index,
+    and a later batch re-ingesting one of them (same vector, any id)
+    drops against the grown index; with no quantizer (empty history)
+    only identical-vector collapse applies."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_against_index,
+        train_ivf_centroids,
+    )
+
+    history = emb.filter(F.col("vec_id") < 25)
+    cents = train_ivf_centroids(history, n_list=4, n_iters=0, dim=64)
+    batch1 = emb.filter((F.col("vec_id") >= 25) & (F.col("vec_id") < 40))
+    fresh1, entries1 = semantic_dedup_against_index(
+        batch1, history.select("vec_id", "embedding"), cents, threshold=0.4, dim=64
+    )
+    grown = history.select("vec_id", "embedding").unionByName(entries1)
+    fresh1_ids = sorted(r["vec_id"] for r in fresh1.collect())
+    assert fresh1_ids  # something survived batch1
+    # batch2 = a re-ingest of the first survivor under a fresh id
+    reingest = (
+        emb.filter(F.col("vec_id") == fresh1_ids[0])
+        .select((F.col("vec_id") + F.lit(5000)).alias("vec_id"), "embedding")
+    )
+    fresh2, _ = semantic_dedup_against_index(
+        reingest, grown, cents, threshold=0.4, dim=64
+    )
+    assert fresh2.count() == 0  # cosine 1.0 against its own index entry
+    # empty history, no quantizer: distinct batch vectors all fresh
+    doubled = batch1.unionByName(
+        batch1.select((F.col("vec_id") + F.lit(9000)).alias("vec_id"),
+                      "embedding", "label")
+    )
+    fresh3, _ = semantic_dedup_against_index(
+        doubled, spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        [], threshold=0.4, dim=64,
+    )
+    got3 = {r["vec_id"] for r in fresh3.collect()}
+    assert got3 == {r["vec_id"] for r in batch1.select("vec_id").collect()}
