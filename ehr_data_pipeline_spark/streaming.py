@@ -773,3 +773,92 @@ def run_near_dedup_maintenance(
     )
     query.awaitTermination(timeout_sec)
     return query
+
+
+def semantic_dedup_maintenance_sink(
+    index_path: str,
+    fresh_path: str,
+    centroids: "list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: "int | None" = None,
+):
+    """foreachBatch maintainer for CONTINUOUS semantic dedup — the
+    streaming composition of ``similarity.semantic_dedup_against_index``,
+    completing the semantic family's third cadence (batch / incremental /
+    continuous) exactly as the MinHash sink does for near-dup. The coarse
+    quantizer (``centroids``) is trained ONCE — on a history sample,
+    before the stream starts — and held fixed, so cell assignments never
+    move between microbatches and the drop decision is reproducible
+    across restarts. Each microbatch dedups against the maintained
+    (id, vector) index and its own lower ids; fresh rows land in
+    ``{fresh_path}/epoch={batch_id}``, the index grows by exactly the
+    fresh entries into ``{index_path}/epoch={batch_id}``. Same
+    idempotent-epoch exactly-once argument as the SCD2/near-dup sinks:
+    a replayed batch reads the index strictly below its own id and
+    overwrites both of its own epoch directories. At 100 TB the landed
+    index is additionally partitioned by cell id so each batch joins a
+    partition-pruned read. Per-batch builder caches are released after
+    the writes."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        release_builder_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = [e for e in _state_epochs(index_path) if e < batch_id]
+        if prev:
+            index = spark.read.parquet(f"{index_path}/epoch={max(prev)}")
+        else:
+            index = batch_df.select(id_col, vec_col).limit(0)
+        try:
+            fresh, new_entries = semantic_dedup_against_index(
+                batch_df, index, centroids, threshold, id_col, vec_col, dim
+            )
+            fresh.write.mode("overwrite").parquet(
+                f"{fresh_path}/epoch={batch_id}"
+            )
+            index.unionByName(new_entries).write.mode("overwrite").parquet(
+                f"{index_path}/epoch={batch_id}"
+            )
+        finally:
+            release_builder_caches()
+
+    return write
+
+
+def run_semantic_dedup_maintenance(
+    vectors: DataFrame,
+    index_path: str,
+    fresh_path: str,
+    checkpoint: str,
+    centroids: "list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: "int | None" = None,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input through continuous semantic
+    dedup with an ``availableNow`` trigger and a real checkpoint —
+    restartable: a later run over the same checkpoint dedups only newly
+    arrived files against the accumulated index. Read the admitted
+    corpus back with :func:`read_near_dedup_fresh` (the epoch layout is
+    shared)."""
+    query = (
+        vectors.writeStream.foreachBatch(
+            semantic_dedup_maintenance_sink(
+                index_path, fresh_path, centroids, id_col, vec_col,
+                threshold, dim,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

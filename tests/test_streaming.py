@@ -639,3 +639,88 @@ def test_near_dedup_stream_maintenance_matches_sequential_batches(
         r["doc_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
     }
     assert got_replay == expect_full
+
+
+def test_semantic_dedup_stream_maintenance_matches_sequential_batches(
+    checkpointed, tmp_path
+):
+    """Streaming semantic dedup (foreachBatch over the maintained vector
+    index under a FIXED quantizer) must equal the sequential batch
+    application of semantic_dedup_against_index over the same file drops
+    — incl. a late drop on a restarted checkpoint and a replay of the
+    highest batch id."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_against_index,
+        train_ivf_centroids,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        read_near_dedup_fresh,
+        run_semantic_dedup_maintenance,
+        semantic_dedup_maintenance_sink,
+    )
+
+    spark = checkpointed
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # quantizer trained once, on the first slice — held fixed thereafter
+    cents = train_ivf_centroids(
+        emb.filter(F.col("vec_id") < 150), n_list=4, n_iters=0, dim=64
+    )
+    src = tmp_path / "emb_src"
+    slices = [
+        emb.filter(F.col("vec_id") < 150),
+        emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+    ]
+    late = emb.filter(F.col("vec_id") >= 300)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    index_path = str(tmp_path / "sd_index")
+    fresh_path = str(tmp_path / "sd_fresh")
+    ckpt = str(tmp_path / "sd_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+
+    run_semantic_dedup_maintenance(
+        stream(), index_path, fresh_path, ckpt, cents, dim=64
+    )
+
+    def batch_sequential(batches):
+        index = emb.limit(0)
+        fresh_ids = set()
+        for b in batches:
+            fresh, new_entries = semantic_dedup_against_index(
+                b, index, cents, dim=64
+            )
+            fresh_ids |= {r["vec_id"] for r in fresh.collect()}
+            index = index.unionByName(new_entries)
+        return fresh_ids
+
+    expect = batch_sequential(slices)
+    got = {r["vec_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()}
+    assert got == expect
+
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    run_semantic_dedup_maintenance(
+        stream(), index_path, fresh_path, ckpt, cents, dim=64
+    )
+    expect_full = batch_sequential(slices + [late])
+    got_full = {
+        r["vec_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
+    }
+    assert got_full == expect_full
+    assert got <= got_full
+
+    # replay of the highest batch id recomputes from the same predecessor
+    last = max(_state_epochs(index_path))
+    sink = semantic_dedup_maintenance_sink(index_path, fresh_path, cents, dim=64)
+    sink(late, last)
+    got_replay = {
+        r["vec_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
+    }
+    assert got_replay == expect_full
