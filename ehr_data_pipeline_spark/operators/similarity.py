@@ -950,7 +950,25 @@ def semantic_contamination(
     sides are never compared (safe under overlapping inputs); invalid
     vectors are excluded on both sides per the embeddings contract
     (functions/measurement.py); ``dim=None`` infers it from the
-    corpus."""
+    corpus.
+
+    Duplicate-proof on BOTH sides like the rest of the family —
+    measured before the fix: an identical-copy ×10 replica (both sides
+    grow tenfold) cost wall ×23.6, because every copy pair was scored.
+    Identical corpus vectors collapse to group representatives
+    (:func:`_vector_groups`; members inherit the verdict through one
+    id-equi join), and identical benchmark vectors collapse to their
+    MINIMUM id. When the corpus and benchmark id spaces are disjoint —
+    the decontamination shape, a corpus row is never its own eval item —
+    output is provably identical to full scoring: the rank-1 benchmark
+    id at the top rounded cosine is always its own vector's min-id
+    representative (a lower-id copy would outrank it under the
+    id-ascending tiebreak). Under OVERLAPPING id spaces the equal-id
+    guard is applied per member after expansion, which is conservative:
+    a row whose inherited top match carries its own id loses its
+    evidence row instead of falling back to the second-best match."""
+    from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
+
     dim = _resolve_dim(corpus, dim, id_col, vec_col)
 
     def empty() -> DataFrame:
@@ -966,28 +984,35 @@ def semantic_contamination(
     b = F.broadcast(
         benchmark.where(keep)
         .select(F.col(id_col).alias("benchmark_id"), F.col(vec_col).alias("__bv"))
-        .dropDuplicates(["benchmark_id"])
+        .groupBy("__bv")
+        .agg(F.min("benchmark_id").alias("benchmark_id"))
     )
-    c = (
-        ensure_min_partitions(corpus.where(keep))
-        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv"))
-        .dropDuplicates(["__id"])
+    mem = _persist_tracked(_vector_groups(corpus, id_col, vec_col, dim))
+    reps = mem.where(F.col("__id") == F.col("__rid")).select(
+        F.col("__id").alias("__rid2"), F.col("__v").alias("__cv")
     )
     scored = (
-        c.crossJoin(b)
-        .filter(F.col("__id") != F.col("benchmark_id"))
+        ensure_min_partitions(reps)
+        .crossJoin(b)
+        .filter(F.col("__rid2") != F.col("benchmark_id"))
         .select(
-            "__id",
+            "__rid2",
             "benchmark_id",
             F.round(cosine(F.col("__cv"), F.col("__bv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("__id").orderBy(
+    w = Window.partitionBy("__rid2").orderBy(
         F.col("cosine").desc(), F.col("benchmark_id").asc()
     )
-    return (
+    top = (
         scored.withColumn("__rnk", F.row_number().over(w))
         .filter((F.col("__rnk") == 1) & (F.col("cosine") >= F.lit(threshold)))
+        .select("__rid2", "benchmark_id", "cosine")
+    )
+    return (
+        mem.select("__id", F.col("__rid").alias("__rid2"))
+        .join(top, "__rid2")
+        .filter(F.col("__id") != F.col("benchmark_id"))
         .select(F.col("__id").alias(id_col), "benchmark_id", "cosine")
     )
 

@@ -636,3 +636,59 @@ def test_semantic_dedup_against_index_reingest_and_growth(spark, emb):
     )
     got3 = {r["vec_id"] for r in fresh3.collect()}
     assert got3 == {r["vec_id"] for r in batch1.select("vec_id").collect()}
+
+
+def test_semantic_contamination_duplicates_add_zero_scoring_work(emb):
+    """Duplicate-proofing the decontamination scorer: tripling BOTH the
+    corpus and the benchmark with identical copies must not change the
+    scored-candidate count (reps × distinct benchmark vectors), while
+    every copy still receives its verdict row — and verdicts for the
+    original ids are unchanged."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _vector_groups,
+        semantic_contamination,
+    )
+
+    bench = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+
+    def tripled(df, stride):
+        out = df
+        for i in (1, 2):
+            out = out.unionByName(
+                df.select(
+                    (F.col("vec_id") + F.lit(stride * i)).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+            )
+        return out
+
+    base = {
+        r["vec_id"]: (r["benchmark_id"], r["cosine"])
+        for r in semantic_contamination(corpus, bench, threshold=0.0).collect()
+    }
+    big = {
+        r["vec_id"]: (r["benchmark_id"], r["cosine"])
+        for r in semantic_contamination(
+            tripled(corpus, 10_000), tripled(bench, 100_000), threshold=0.0
+        ).collect()
+    }
+    for v, verdict in base.items():
+        assert big[v] == verdict, v  # originals unchanged
+        # copies inherit the same evidence row
+        assert big[v + 10_000] == verdict and big[v + 20_000] == verdict, v
+    # the scored candidate set is reps × distinct benchmark vectors —
+    # identical between the two corpora
+    def n_candidates(c, b):
+        reps = (
+            _vector_groups(c, "vec_id", "embedding", 64)
+            .where(F.col("__id") == F.col("__rid"))
+            .count()
+        )
+        distinct_bench = b.select("embedding").distinct().count()
+        return reps * distinct_bench
+
+    assert n_candidates(corpus, bench) == n_candidates(
+        tripled(corpus, 10_000), tripled(bench, 100_000)
+    )
