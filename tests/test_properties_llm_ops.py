@@ -183,3 +183,71 @@ def test_hist_merge_law_and_quantile_bound(spark, values, split, q):
     # the ceil(qN)-th order statistic lives in the same bin the
     # estimator interpolates within, so they differ by < one bin width
     assert abs(est - true_val) <= (hi - lo) / nb + 1e-9
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(0, 2), min_size=4, max_size=4),
+        min_size=1,
+        max_size=24,
+    ),
+    n_clusters=st.integers(1, 4),
+    thr=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@SETTINGS
+def test_semantic_dedup_matches_python_reference(spark, vecs, n_clusters, thr):
+    """semantic_dedup over random small integer vectors (duplicates and
+    near-dups arise naturally, zero vectors are invalid by contract)
+    must equal the literal Python statement of its semantics: seeded
+    argmin assignment (distance then cid tiebreak), drop iff a lower-id
+    cluster-mate clears ROUND(cosine, 6) >= threshold. Integer
+    components keep every dot product exact in double, so both
+    engines compute bit-identical cosines; rounding reuses the
+    Spark-ROUND-parity helper."""
+    import math
+
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _round_half_up_6,
+        semantic_dedup,
+    )
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(
+            df, n_clusters=n_clusters, threshold=thr, n_iters=0, dim=4
+        ).collect()
+    }
+
+    valid = [(i, v) for i, v in enumerate(vecs) if any(x != 0 for x in v)]
+    seeds = [v for _, v in valid[:n_clusters]]
+    if not seeds:
+        assert got == {}
+        return
+
+    def cell(v):
+        return min(
+            range(len(seeds)),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, seeds[c])), c),
+        )
+
+    def cos6(a, b):
+        raw = sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        return float(_round_half_up_6(np.asarray([raw], dtype=np.float64))[0])
+
+    assign = {i: cell(v) for i, v in valid}
+    want = {}
+    for i, v in valid:
+        dropped = any(
+            assign[j] == assign[i] and cos6(v, w) >= thr
+            for j, w in valid
+            if j < i
+        )
+        want[i] = (assign[i], not dropped)
+    assert got == want
