@@ -26,7 +26,10 @@ def _fhir_pipeline_10k(spark, sf_dir):
     the warm-up pass; the timed pass hits the marker file). Returns one
     per-entity row-count frame whose collect forces EVERY cleaned entity
     plan, so the timing covers the full multi-entity pipeline, not one
-    table. ``sf_dir`` is ignored: the corpus is fixed-size by design so
+    table. Since r9 the direct path single-parses by default (persisted
+    exploded scan, SURVEY §2.2 P1), so this times ONE JSON parse + cache
+    materialization + six cached filters — not six re-parses.
+    ``sf_dir`` is ignored: the corpus is fixed-size by design so
     the number is comparable across rounds regardless of the driver's SF
     choice."""
     from functools import reduce
@@ -53,10 +56,10 @@ def _fhir_pipeline_10k_staged(spark, sf_dir):
     exploded-entry parquet, then six column-pruned parquet scans — the
     standard lake pattern at 100 TB, timed INCLUDING the bronze write so
     the number is the honest end-to-end cost of the staged architecture,
-    directly comparable to ``fhir_pipeline_10k``'s re-parse-per-entity
-    cost. The gap between the two lines is the measured value of the
-    bronze layer on this corpus (and it widens with input size: the JSON
-    parse is ~all of the raw path's cost)."""
+    directly comparable to ``fhir_pipeline_10k``'s single-parse cached
+    path. The remaining gap between the two lines is cache-vs-parquet
+    residency plus the durable bronze write (pre-r9, when the direct
+    path re-parsed once per entity, the gap was 2.1×)."""
     from functools import reduce
 
     from pyspark.sql import functions as F

@@ -8,8 +8,11 @@ here each entity table is a single unexecuted plan — scan → explode →
 route → extract → clean — that executes exactly once, when the sink
 writes it. Consequences at 100 TB:
 
-- one distributed pass over the bundle files per entity (and the scan
-  itself is shared until the router's filters diverge);
+- ONE distributed parse of the bundle files total: the direct path
+  persists the shared exploded scan (``single_parse``, SURVEY §2.2 P1 —
+  "6× filter over one cached exploded scan"), the staged path lands it
+  as bronze parquet; ``single_parse=False`` opts back into fully
+  independent per-entity plans (6 parses);
 - cleaning row counts (the reference's ``len(df)`` logging, A6) ride
   along as ``observe()`` metrics on the write action instead of forcing
   extra ``count()`` scans;
@@ -35,12 +38,27 @@ from ehr_data_pipeline_spark.sinks import write_entity_tables
 class PipelineResult:
     """What the DAG hands back: the cleaned plans, where the sink wrote
     each table, the observed post-clean row counts, and the quality
-    report (lazy; collect to render)."""
+    report (lazy; collect to render).
+
+    ``source`` is the persisted exploded-entry frame when the direct
+    single-parse path was taken (``stage_dir=None, single_parse=True``);
+    its cache lives until :meth:`release`, an explicit
+    ``spark.catalog.clearCache()``, or session end. Call ``release()``
+    once you are done re-running the returned plans."""
 
     tables: dict[str, DataFrame]
     paths: dict[str, str] = field(default_factory=dict)
     row_counts: dict[str, int] = field(default_factory=dict)
     quality_report: DataFrame | None = None
+    source: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the shared exploded-entry cache (no-op for the
+        staged path or ``single_parse=False``). The returned plans stay
+        runnable afterwards — they fall back to re-parsing the input."""
+        if self.source is not None:
+            self.source.unpersist()
+            self.source = None
 
 
 def run_pipeline(
@@ -50,6 +68,7 @@ def run_pipeline(
     fmt: str = "parquet",
     quality: bool = True,
     stage_dir: str | None = None,
+    single_parse: bool = True,
 ) -> PipelineResult:
     """Run the full ETL over a directory of FHIR bundle JSON files.
 
@@ -62,10 +81,24 @@ def run_pipeline(
     ``stage_dir`` lands the exploded entries as a bronze parquet layer
     first and routes from that: the multiLine JSON parse (the expensive
     per-file step) runs ONCE instead of once per entity plan + quality
-    report — measured 1.3× end-to-end on 2 000 small local bundles, and
-    the win grows with input size since 6× the JSON parse is replaced by
-    6 pruned parquet scans. At 100 TB it is the standard lake pattern
-    (raw JSON → bronze columnar once)."""
+    report, and every downstream read is a column-pruned parquet scan.
+    At 100 TB this is the recommended pattern (raw JSON → durable bronze
+    columnar once; re-runs never touch the raw files again).
+
+    ``single_parse`` (direct path only, default on) persists the shared
+    exploded-entry scan so the six entity plans materialize it ONCE
+    instead of each re-running the multiLine JSON parse — SURVEY §2.2's
+    P1 mapping ("6× filter over one cached exploded scan"). The persist
+    is lazy, so plan laziness is fully preserved (nothing executes until
+    an action); the only semantic addition is an explicit cache lifetime,
+    surfaced as ``PipelineResult.source`` / ``.release()``. Set
+    ``single_parse=False`` to get six independent re-parsing plans (the
+    pre-r9 behavior — right only when a single entity will ever be
+    forced). Sizing note: the cache is MEMORY_AND_DISK over the exploded
+    entries, i.e. cluster storage ≈ input size; at the 100 TB design
+    point prefer ``stage_dir``, which buys the same single parse with
+    durable, pruned storage instead of cache."""
+    source: DataFrame | None = None
     if stage_dir is not None:
         from ehr_data_pipeline_spark.fhir.ingest import (
             explode_entries,
@@ -77,6 +110,19 @@ def run_pipeline(
             "overwrite"
         ).parquet(stage_dir)
         routed = route_resources(spark.read.parquet(stage_dir))
+    elif single_parse:
+        from pyspark import StorageLevel
+
+        from ehr_data_pipeline_spark.fhir.ingest import (
+            explode_entries,
+            read_bundles,
+            route_resources,
+        )
+
+        source = explode_entries(read_bundles(spark, input_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        routed = route_resources(source)
     else:
         routed = read_and_route(spark, input_dir)
     extracted = extract_all(routed)
@@ -91,7 +137,9 @@ def run_pipeline(
         cleaned[rt] = observed
         observations[rt] = obs
 
-    result = PipelineResult(tables=cleaned, quality_report=report)
+    result = PipelineResult(
+        tables=cleaned, quality_report=report, source=source
+    )
     if output_dir is not None:
         result.paths = write_entity_tables(cleaned, output_dir, fmt=fmt)
         # the write was the action; Observation metrics are now populated

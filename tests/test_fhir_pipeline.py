@@ -49,6 +49,34 @@ def test_run_pipeline_without_sink_stays_lazy(spark):
     assert result.tables["Patient"].count() > 0
 
 
+def test_pipeline_single_parse_equivalent_and_releases(spark, tmp_path):
+    """The default direct path (persisted exploded scan, one JSON parse)
+    must produce identical entity tables to six independent re-parsing
+    plans (single_parse=False); release() must unpersist the shared
+    cache and leave the plans runnable."""
+    cached = run_pipeline(spark, FIXTURE_DIR, output_dir=None, quality=False)
+    assert cached.source is not None
+    reparse = run_pipeline(
+        spark, FIXTURE_DIR, output_dir=None, quality=False,
+        single_parse=False,
+    )
+    assert reparse.source is None
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    for rt in cached.tables:
+        a = sorted(map(tuple, cached.tables[rt].collect()), key=key)
+        b = sorted(map(tuple, reparse.tables[rt].collect()), key=key)
+        assert a == b, rt
+    # the action materialized the shared cache; release reclaims it
+    assert cached.source.storageLevel.useMemory
+    src = cached.source
+    cached.release()
+    assert cached.source is None
+    assert not src.storageLevel.useMemory  # unpersisted
+    # plans still runnable after release (fall back to re-parsing)
+    assert cached.tables["Patient"].count() > 0
+    cached.release()  # idempotent no-op
+
+
 def test_pipeline_staged_bronze_layer_equivalent(spark, tmp_path):
     """stage_dir (JSON → bronze parquet once) must produce identical
     entity tables to the direct path."""
