@@ -876,6 +876,25 @@ def semantic_dedup_against_index(
     mem = _persist_tracked(_vector_groups(batch, id_col, vec_col, dim))
     reps = mem.where(F.col("__id") == F.col("__rid")).select("__id", "__v")
     if not centroids:
+        # ADVICE r8: an empty quantizer disables ALL cross-vector dedup
+        # (vs the index AND within the batch) — legitimate only for an
+        # empty history. In the streaming sink the quantizer is fixed
+        # for the stream's lifetime, so a cold-start empty training
+        # sample would permanently degrade continuous dedup to
+        # identical-vector collapse; make that visible instead of
+        # silent.
+        if index.limit(1).count() > 0:
+            import warnings
+
+            warnings.warn(
+                "semantic_dedup_against_index: centroids == [] with a "
+                "non-empty index — cross-vector dedup is disabled and "
+                "only identical-vector collapse applies. Train the "
+                "quantizer (train_ivf_centroids) on the history before "
+                "streaming batches through it.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         fresh_ids = reps.select(F.col("__id").alias(id_col))
     else:
         bt = reps.select(
@@ -964,9 +983,17 @@ def semantic_contamination(
     id at the top rounded cosine is always its own vector's min-id
     representative (a lower-id copy would outrank it under the
     id-ascending tiebreak). Under OVERLAPPING id spaces the equal-id
-    guard is applied per member after expansion, which is conservative:
-    a row whose inherited top match carries its own id loses its
-    evidence row instead of falling back to the second-best match."""
+    guard runs at TWO levels, both conservative (ADVICE r8): (1) at the
+    REP level, benchmark rows sharing the rep's id are excluded BEFORE
+    the top-1 window — so a duplicate member inherits a top match that
+    was computed with its rep's id excluded, and can carry second-best
+    evidence relative to its own id; (2) at the MEMBER level after
+    expansion, a row whose inherited top match carries its own id loses
+    its evidence row instead of falling back to the second-best match.
+    Both effects only suppress/downgrade evidence rows (never fabricate
+    one) and only under id collisions between corpus and benchmark —
+    keep the id spaces disjoint (the decontamination shape, and the
+    registered usage) for exact top-1 semantics."""
     from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
 
     dim = _resolve_dim(corpus, dim, id_col, vec_col)

@@ -698,7 +698,18 @@ def near_dedup_maintenance_sink(
     sig) index — the thing a 100 TB ingest keeps anyway (land
     ``minhash_band_entries`` next to it for the compact per-batch
     candidate scan). Per-batch builder caches are released after the
-    writes so a long-lived stream does not accumulate them."""
+    writes so a long-lived stream does not accumulate them.
+
+    Epoch layout (ADVICE r8): each index epoch holds ONLY that batch's
+    new entries (a delta), and a batch reads the UNION of every epoch
+    strictly below its own id — per-epoch write volume is O(batch
+    fresh) instead of O(accumulated index), so cumulative write volume
+    over the stream's life is linear, not quadratic. The replay
+    argument is unchanged (same strictly-below read set, same overwrite
+    of the batch's own directory). Consequence: every epoch directory
+    is live state — compact by merging epochs e₁..e_k into one
+    directory named epoch=e_k (equivalent for all future reads), never
+    by deleting deltas."""
     from ehr_data_pipeline_spark.operators.text_dedup import (
         build_minhash_index,
         near_dedup_against_index,
@@ -706,10 +717,15 @@ def near_dedup_maintenance_sink(
     )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
         spark = batch_df.sparkSession
-        prev = [e for e in _state_epochs(index_path) if e < batch_id]
+        prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
         if prev:
-            index = spark.read.parquet(f"{index_path}/epoch={max(prev)}")
+            index = reduce(
+                lambda a, b: a.unionByName(b),
+                [spark.read.parquet(f"{index_path}/epoch={e}") for e in prev],
+            )
         else:
             index = build_minhash_index(
                 batch_df.limit(0), id_col, text_col, k, num_hashes
@@ -722,7 +738,7 @@ def near_dedup_maintenance_sink(
             fresh.write.mode("overwrite").parquet(
                 f"{fresh_path}/epoch={batch_id}"
             )
-            index.unionByName(new_entries).write.mode("overwrite").parquet(
+            new_entries.write.mode("overwrite").parquet(
                 f"{index_path}/epoch={batch_id}"
             )
         finally:
@@ -800,7 +816,17 @@ def semantic_dedup_maintenance_sink(
     overwrites both of its own epoch directories. At 100 TB the landed
     index is additionally partitioned by cell id so each batch joins a
     partition-pruned read. Per-batch builder caches are released after
-    the writes."""
+    the writes.
+
+    Epoch layout (ADVICE r8): each index epoch holds ONLY that batch's
+    new (id, vector) entries — a delta — and a batch reads the UNION of
+    every epoch strictly below its own id. The previous layout rewrote
+    the whole accumulated index per microbatch: O(index) I/O per batch
+    and quadratic cumulative write volume over the stream's life, which
+    vectors (64 doubles/row) make expensive fast. Delta epochs keep the
+    identical replay/idempotence argument; every epoch directory is
+    live state — compact by merging epochs e₁..e_k into one directory
+    named epoch=e_k, never by deleting deltas."""
     from ehr_data_pipeline_spark.operators.similarity import (
         semantic_dedup_against_index,
     )
@@ -809,10 +835,15 @@ def semantic_dedup_maintenance_sink(
     )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
         spark = batch_df.sparkSession
-        prev = [e for e in _state_epochs(index_path) if e < batch_id]
+        prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
         if prev:
-            index = spark.read.parquet(f"{index_path}/epoch={max(prev)}")
+            index = reduce(
+                lambda a, b: a.unionByName(b),
+                [spark.read.parquet(f"{index_path}/epoch={e}") for e in prev],
+            )
         else:
             index = batch_df.select(id_col, vec_col).limit(0)
         try:
@@ -822,7 +853,7 @@ def semantic_dedup_maintenance_sink(
             fresh.write.mode("overwrite").parquet(
                 f"{fresh_path}/epoch={batch_id}"
             )
-            index.unionByName(new_entries).write.mode("overwrite").parquet(
+            new_entries.write.mode("overwrite").parquet(
                 f"{index_path}/epoch={batch_id}"
             )
         finally:

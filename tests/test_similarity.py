@@ -638,6 +638,29 @@ def test_semantic_dedup_against_index_reingest_and_growth(spark, emb):
     assert got3 == {r["vec_id"] for r in batch1.select("vec_id").collect()}
 
 
+def test_semantic_dedup_against_index_warns_on_empty_quantizer(spark, emb):
+    """ADVICE r8: centroids == [] with a NON-empty index is a
+    misconfigured cold start (cross-vector dedup silently disabled) —
+    it must warn; the legitimate empty-history case must stay silent."""
+    import warnings
+
+    from ehr_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_against_index,
+    )
+
+    batch = emb.filter(F.col("vec_id") < 10)
+    index = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dedup_against_index(batch, index, [], dim=64)
+        assert any("centroids == []" in str(x.message) for x in w)
+    empty_index = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dedup_against_index(batch, empty_index, [], dim=64)
+        assert not any("centroids == []" in str(x.message) for x in w)
+
+
 def test_semantic_contamination_duplicates_add_zero_scoring_work(emb):
     """Duplicate-proofing the decontamination scorer: tripling BOTH the
     corpus and the benchmark with identical copies must not change the
