@@ -640,6 +640,103 @@ def bm25_scores(
     )
 
 
+def default_classifier_weights(
+    spark, n_buckets: int = 4096, seed: str = "qclf"
+) -> DataFrame:
+    """Deterministic (bucket, w_micro) weight table for
+    :func:`quality_classifier_scores` — a md5-derived stand-in for a
+    TRAINED fastText-style model's weight vector (w_micro ∈ [-1e6, 1e6],
+    i.e. w ∈ [-1, 1] at 1e-6 quantum, uniform per bucket). Production
+    use loads real trained weights into the same (bucket, w_micro)
+    shape; this default exists so the scoring plumbing is runnable and
+    oracle-replayable with no model artifact (both engines derive the
+    identical integers from md5). ≤ n_buckets rows — always broadcast."""
+    from ehr_data_pipeline_spark.operators.text_dedup import base_shingle_hash
+
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            base_shingle_hash(F.concat(F.lit(seed + ":"), F.col("id").cast("string")))
+            % F.lit(2000001)
+            - F.lit(1000000)
+        ).cast("bigint").alias("w_micro"),
+    )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bias_micro: int = 0,
+) -> DataFrame:
+    """fastText-style hashed linear quality-classifier scoring (VERDICT
+    r8 #6) — the standard quality-scoring stage of LLM data pipelines
+    (e.g. the GPT-3/LLaMA "looks like the reference corpus" logistic
+    filters): features are hashed word unigrams + bigrams, the model is
+    a weight per hash bucket, and a document's score is
+
+        logit = bias + mean(w[h(feature)])        prob = sigmoid(logit)
+
+    ``weights`` is the trained model as a (bucket, w_micro) table —
+    weights quantized to 1e-6 ("micro") units as BIGINTs; ``None`` uses
+    :func:`default_classifier_weights` (deterministic md5-derived
+    stand-in, documented there). Returns one row per doc:
+    (id, n_features, logit, prob).
+
+    Scale shape (the DSIR machinery, text_analysis.py
+    dsir_importance_weights): the model is ≤ n_buckets rows and
+    BROADCAST; the corpus pass is explode features → in-row hash →
+    broadcast join → one groupBy on the doc id — a single linear
+    doc-keyed shuffle, nothing driver-sized, no UDFs.
+
+    Cross-engine determinism: weights and the per-doc sum are pure
+    integers (order-independent Σ); the logit is one fixed
+    correctly-rounded IEEE division chain over exact integers (no libm);
+    the only transcendental is the final sigmoid, quantized to 1e-6
+    BEFORE comparison/storage (a boundary flip needs exp() to disagree
+    within ~1e-12 of a rounding edge — the unigram-LM argument).
+    Missing buckets in a user-supplied model score 0 (left join), so
+    partial models degrade gracefully instead of silently dropping
+    features from n_features."""
+    from ehr_data_pipeline_spark.operators.text_dedup import base_shingle_hash
+
+    if weights is None:
+        weights = default_classifier_weights(df.sparkSession, n_buckets)
+    feats = F.concat(
+        whitespace_tokens(F.col(text_col)), ngrams(F.col(text_col), 2)
+    )
+    bucketed = df.select(
+        F.col(id_col), F.explode(feats).alias("__f")
+    ).select(
+        id_col, (base_shingle_hash(F.col("__f")) % F.lit(n_buckets)).alias("bucket")
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0)))
+            .cast("bigint")
+            .alias("__sum_micro"),
+        )
+    )
+    logit = (
+        F.lit(float(bias_micro))
+        + F.col("__sum_micro").cast("double") / F.col("n_features").cast("double")
+    ) / F.lit(1000000.0)
+    prob_q = F.round(
+        F.lit(1000000.0) / (F.lit(1.0) + F.exp(-logit))
+    ).cast("bigint")
+    return per_doc.select(
+        id_col,
+        "n_features",
+        logit.alias("logit"),
+        (prob_q.cast("double") / F.lit(1000000.0)).alias("prob"),
+    )
+
+
 def dsir_importance_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -1615,6 +1615,20 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
     for a, b in (_mh_affine_params(j) for j in range(16))
 ) + "]"
 
+# Signature-agreement prefilter (VERDICT r8 #5), mirrored into every
+# minhash-family oracle: a band-colliding candidate must also agree on
+# >= 6 of the 16 MinHash positions before the exact intersection counts.
+# The agreeing fraction estimates Jaccard (the MinHash property), so at
+# threshold 0.6 a true pair expects 9.6 agreements and the floor of 6 is
+# ~2σ below even the boundary case; measured at sf0.1/sf0.01: 0 pairs
+# lost, verification wall ~-1s of ~6s (NOTES_r09). Deterministic — both
+# engines evaluate the identical predicate on identical signatures.
+_MINHASH_SIG_AGREE = 6
+_SIG_AGREE_SQL = (
+    f"len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i]))"
+    f" >= {_MINHASH_SIG_AGREE}"
+)
+
 
 @register(
     "doc_minhash_lsh_pairs",
@@ -1632,6 +1646,7 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
            OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+      AND {_SIG_AGREE_SQL}
       AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
     """,
@@ -1649,7 +1664,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match exactly."""
     from ehr_data_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6,
+        sig_agree=_MINHASH_SIG_AGREE,
+    )
 
 
 @register(
@@ -1667,6 +1685,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
              OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+        AND {_SIG_AGREE_SQL}
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
     ), e AS (
@@ -1699,7 +1718,10 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_components,
     )
 
-    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6,
+        sig_agree=_MINHASH_SIG_AGREE,
+    )
     comp = near_dup_components(pairs)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("id").alias("max_doc")
@@ -1721,6 +1743,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
              OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+        AND {_SIG_AGREE_SQL}
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
     ), e AS (
@@ -1749,7 +1772,10 @@ def doc_minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AND closure via a recursive CTE: hash-checked end-to-end."""
     from ehr_data_pipeline_spark.operators.text_dedup import minhash_dup_groups
 
-    return minhash_dup_groups(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return minhash_dup_groups(
+        _t(spark, sf_dir, "documents"), threshold=0.6,
+        sig_agree=_MINHASH_SIG_AGREE,
+    )
 
 
 # DuckDB replay of simhash60_portable: one CASE<<b term per bit over the
@@ -2797,6 +2823,60 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_quality_classifier_scores",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(b AS BIGINT) AS bucket,
+             ('0x' || substr(md5('qclf:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+               % 2000001 - 1000000 AS w_micro
+      FROM range(4096) t(b)
+    ), toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, u.f
+      FROM toks, UNNEST(list_concat(
+        t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      )) AS u(f)
+    ), bucketed AS (
+      SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+      FROM feats
+    ), per_doc AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(w.w_micro) AS BIGINT) AS sum_micro
+      FROM bucketed b JOIN w USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_features,
+           (0.0 + CAST(sum_micro AS DOUBLE) / CAST(n_features AS DOUBLE))
+             / 1000000.0 AS logit,
+           CAST(round(1000000.0 / (1.0 + exp(-((0.0
+             + CAST(sum_micro AS DOUBLE) / CAST(n_features AS DOUBLE))
+             / 1000000.0)))) AS BIGINT) / 1000000.0 AS prob
+    FROM per_doc
+    """,
+    tags=("text", "quality", "classifier", "fasttext"),
+)
+def doc_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality-classifier scoring over the
+    documents table (``text_analysis.quality_classifier_scores``,
+    VERDICT r8 #6): hashed unigram+bigram features × a broadcast
+    (bucket, weight) model → per-doc mean-weight logit and 1e-6-quantized
+    sigmoid probability. The registered query runs the deterministic
+    md5-derived default model (``default_classifier_weights`` — the
+    documented stand-in for a trained artifact; the plumbing, scale
+    shape, and determinism contract are what production reuses with real
+    weights). Every stage — weight derivation, feature hashing, integer
+    sums, the division chain, the quantized sigmoid — replays in DuckDB,
+    so the scores hash-match exactly."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (ANN / multimodal vector column)
 # ---------------------------------------------------------------------------
@@ -3127,14 +3207,20 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
     """,
-    tags=("dedup", "similarity", "near-dup", "lsh"),
+    tags=("dedup", "similarity", "near-dup", "lsh", "diagnostic"),
 )
 def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB twin of ``emb_cosine_neardup_pairs``: candidate pairs
-    share a hyperplane-LSH bucket in any of L tables (shuffle on
-    (table, bucket) — never all-pairs), exact cosine confirms, so
-    precision is 1.0 and only recall is probabilistic (tuned by
-    planes/tables). Fully hash-checked: the seeded hyperplanes are
+    """DIAGNOSTIC variant (VERDICT r8 #3): the low-threshold (0.4) pair
+    surface. At threshold 0.4 hyperplane LSH runs at ρ≈0.66, so over N
+    distinct vectors candidate volume grows ~N^1.66 and the pair OUTPUT
+    itself is answer-size-quadratic on duplicate-heavy corpora (rdup ×10
+    replica: out ×105.8 — a property of asking for all low-similarity
+    pairs, not of the plan). It stays registered because the recall
+    window against ``emb_cosine_neardup_pairs`` is defined at this
+    threshold, but it is NOT the surface to copy into production: use
+    ``emb_lsh_neardup_pairs_hi`` (threshold 0.9, ρ≈0.13 — near-linear)
+    for pair evidence, or ``emb_lsh_neardup_groups`` (linear output) for
+    the dedup decision. Fully hash-checked: the seeded hyperplanes are
     replayed as SQL literals (``_lsh_bucket_sql``), so the oracle
     reproduces the same approximate pair set, bucket pruning included."""
     from ehr_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
@@ -3142,6 +3228,55 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, n_planes=4,
         n_tables=8,
+    )
+
+
+@register(
+    "emb_lsh_neardup_pairs_hi",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, {_lsh_bucket_cols_sql(n_planes=12, n_tables=16)}
+      FROM embeddings
+    ), cand AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bk x JOIN bk y ON {_lsh_any_table_match("x", "y", 16)}
+      WHERE x.vec_id < y.vec_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT cand.id_a, cand.id_b, {_PAIR_COS_SQL} AS cosine
+      FROM cand
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) a
+        ON a.vec_id = cand.id_a
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) b
+        ON b.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9
+    """,
+    tags=("dedup", "similarity", "near-dup", "lsh"),
+)
+def emb_lsh_neardup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHOWCASED embedding near-dup pair surface (VERDICT r8 #3):
+    threshold 0.9 with the LSH config TUNED to that regime — 12 planes
+    per table (buckets narrow enough that background pairs rarely
+    collide: p₂ ≈ 0.5¹² ≈ 2.4e-4 per table) and 16 tables (so true
+    near-dups at θ≈26°, p₁ ≈ 0.855¹² ≈ 0.15 per table, are caught with
+    recall ≈ 1-(1-p₁)¹⁶ ≈ 0.93; exact copies collide in every table,
+    recall 1.0). Raising the threshold WITHOUT retuning buys nothing —
+    candidate volume is a property of planes/tables, not of the verify
+    threshold (measured: at 4/8 the hi variant inherited the 0.4
+    variant's full 79M-candidate join on the rdup replica). At 12/16
+    candidates collapse to the near-linear ρ≈0.13 regime and out×/wall×
+    track the (sparse) answer — SCALE_RATIOS.md r9. Same duplicate-proof
+    distinct-first build (similarity.lsh_near_dup_pairs): identical
+    vectors collapse to reps before banding + verification, members
+    expand by id-equi joins. Fully hash-checked — the seeded hyperplanes
+    replay as SQL literals, so the oracle reproduces the same
+    approximate pair set."""
+    from ehr_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, dim=64, n_planes=12,
+        n_tables=16,
     )
 
 
@@ -4794,6 +4929,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.doc_id >= 250
         AND (a.sg[1:4] = b.sg[1:4] OR a.sg[5:8] = b.sg[5:8]
              OR a.sg[9:12] = b.sg[9:12] OR a.sg[13:16] = b.sg[13:16])
+        AND {_SIG_AGREE_SQL}
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
                      AS DOUBLE) >= 0.6
@@ -4822,7 +4958,9 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     history = build_minhash_index(d.filter(F.col("doc_id") < 250))
     batch = d.filter(F.col("doc_id") >= 250)
-    fresh, _new_entries = near_dedup_against_index(batch, history)
+    fresh, _new_entries = near_dedup_against_index(
+        batch, history, sig_agree=_MINHASH_SIG_AGREE
+    )
     return fresh.select("doc_id")
 
 
@@ -6077,7 +6215,8 @@ def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
-    "emb_lsh_neardup_pairs", "emb_lsh_neardup_groups", "emb_semantic_dedup",
+    "emb_lsh_neardup_pairs", "emb_lsh_neardup_pairs_hi",
+    "emb_lsh_neardup_groups", "emb_semantic_dedup",
     "emb_semantic_decontamination", "emb_incremental_semantic_dedup",
     # consumes embeddings alongside documents — same vector contract
     "doc_hybrid_rrf_search",
@@ -6113,64 +6252,62 @@ del _n, _s
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 8's list is exactly the 31 entries whose
-# LAST driver row is r05 — the stalest quarter of the staleness census
-# (31 last-green r05, 39 r06, 50 r07), computed from the recorded
-# CORRECTNESS_r*.json artifacts (VERDICT r7 #3's census agrees) — plus
-# the four surfaces the round-8 distinct-first rewrite touched or added
-# (doc_minhash_lsh_pairs and doc_dup_clusters are in the stale list
-# already; the two new group queries have never had a driver row), so
-# the rewrite's stock-hash-stability claim gets independent driver
-# confirmation this round. Trade-off, made explicitly: the queries this
-# demotes past slot 50 lose DRIVER regression coverage for the round,
-# but every registry entry still runs against the identical DuckDB
-# oracle in tests/test_queries_oracle.py (the full-registry replica of
-# the driver's gate), so a regression in a demoted query still fails CI
-# — the driver sweep is the independent confirmation, pytest is the
+# least every other round. Round 9's list (VERDICT r8 #2) is exactly the
+# 30 entries whose LAST driver row is r06 — the stalest tier of the
+# staleness census (50 last-green r08, 46 r07, 30 r06), computed from the
+# recorded CORRECTNESS_r0*.json artifacts (the r8 verdict's census
+# agrees) — plus the two queries new this round (never had a driver row)
+# and the four minhash-family entries whose oracles/plans the
+# sig_agree=6 prefilter changed this round (doc_minhash_lsh_pairs,
+# doc_dup_clusters, doc_minhash_dup_groups, doc_incremental_near_dedup),
+# so the prefilter's stock-hash-stability claim gets independent driver
+# confirmation. Trade-off, made explicitly: the queries this demotes
+# past slot 50 lose DRIVER regression coverage for the round, but every
+# registry entry still runs against the identical DuckDB oracle in
+# tests/test_queries_oracle.py (the full-registry replica of the
+# driver's gate), so a regression in a demoted query still fails CI —
+# the driver sweep is the independent confirmation, pytest is the
 # compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
-    "doc_minhash_dup_groups",
-    "emb_lsh_neardup_groups",
-    "doc_simhash_dup_groups",
-    "emb_semantic_dedup",
-    "emb_semantic_decontamination",
-    "emb_incremental_semantic_dedup",
-    # --- relational core (last driver row r05) ---
-    "cube_lineitem_flags",
-    "duplicate_group_stats",
-    "lineitem_first_line_per_order",
-    "missing_profile_orders",
-    "nation_priority_pivot",
-    "parts_top20_by_price",
-    "repeat_customers_both_years",
-    "rollup_order_stats",
-    "union_by_name_roundtrip",
-    # --- events family (r05) ---
-    "clean_events_values",
-    "event_route_counts",
-    "event_type_reach",
-    "events_hourly",
-    "events_props_extract",
-    "events_quality_suite",
-    "events_validation_report",
-    "purchase_events",
-    # --- fhir/extraction family (r05) ---
-    "doc_array_match_extract",
-    "doc_name_concat",
-    "doc_token_extract",
-    "source_prefix_strip",
-    "validator_parity_report",
-    # --- text/dedup family (r05; minhash rows touched by the rewrite) ---
-    "doc_dup_clusters",
-    "doc_exact_dedup_stats",
-    "doc_jaccard_pairs",
-    "doc_language_id",
+    "emb_lsh_neardup_pairs_hi",
+    "doc_quality_classifier_scores",
+    # --- oracle changed this round (sig_agree prefilter) ---
     "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_text_stats",
-    "doc_top_bigrams",
-    "doc_winnow_pairs",
+    "doc_dup_clusters",
+    "doc_minhash_dup_groups",
+    "doc_incremental_near_dedup",
+    # --- stalest census tier (last driver row r06) ---
+    "customer_order_distribution",
+    "customer_running_order_totals",
+    "emb_cosine_neardup_pairs",
+    "emb_ivf_knn",
+    "emb_ivf_recall_report",
+    "emb_label_centroids",
+    "emb_lsh_knn",
+    "emb_lsh_neardup_pairs",
+    "emb_lsh_recall_report",
+    "error_recent_click_counts",
+    "event_user_hll",
+    "events_hourly_gapfill",
+    "events_hourly_rollup_merge",
+    "events_user_skew_stats",
+    "events_value_quantile_sketch",
+    "media_audio_segment_plan",
+    "media_frame_sample_plan",
+    "media_image_channel_stats",
+    "media_image_features",
+    "media_meta_profile",
+    "order_priority_grouping_sets",
+    "order_priority_with_returns",
+    "orders_bloom_prune_stats",
+    "part_cheapest_line_supplier",
+    "purchase_last_click_asof",
+    "top_balance_idle_customers",
+    "top_revenue_supplier",
+    "user_cms_accuracy",
+    "user_sessions",
+    "user_weekly_retention",
 )
 
 
@@ -6182,7 +6319,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 8
+SWEEP_ROTATION_ROUND = 9
 
 
 def _sweep_order() -> list[str]:

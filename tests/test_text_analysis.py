@@ -427,3 +427,83 @@ def test_bm25_multi_term_is_sum_of_single_terms(spark):
     for d in (1, 2):
         expect = cat.get(d, 0.0) + dog.get(d, 0.0)
         assert abs(both[d] - expect) < 2e-6  # micro-quantized additivity
+
+
+def test_quality_classifier_known_weights(spark):
+    """Rule isolation with a hand-built model: known weights -> exact
+    logit; features are unigrams + bigrams, each occurrence counted."""
+    import math
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        quality_classifier_scores,
+    )
+    from ehr_data_pipeline_spark.operators.text_dedup import base_shingle_hash
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad")], "doc_id long, text string"
+    )
+    # resolve the buckets the engine's own hash assigns
+    n_buckets = 4096
+    b = {
+        r["f"]: r["b"]
+        for r in spark.createDataFrame(
+            [("good",), ("bad",), ("good good",)], "f string"
+        ).select(
+            "f", (base_shingle_hash(F.col("f")) % n_buckets).alias("b")
+        ).collect()
+    }
+    w = spark.createDataFrame(
+        [(b["good"], 1_000_000), (b["bad"], -500_000), (b["good good"], 0)],
+        "bucket long, w_micro long",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(docs, weights=w).collect()
+    }
+    # doc 1: features good, good, "good good" -> (1e6 + 1e6 + 0)/3 / 1e6
+    assert got[1]["n_features"] == 3
+    assert abs(got[1]["logit"] - (2 / 3)) < 1e-9
+    assert abs(got[1]["prob"] - round(1e6 / (1 + math.exp(-2 / 3))) / 1e6) < 1e-12
+    # doc 2: one unigram, no bigram
+    assert got[2]["n_features"] == 1
+    assert abs(got[2]["logit"] - (-0.5)) < 1e-9
+
+
+def test_quality_classifier_partial_model_and_null_text(spark):
+    """Missing buckets score 0 without dropping features; NULL text
+    follows the ''-contract (one empty-string unigram, bias-only logit)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        quality_classifier_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    empty_model = spark.createDataFrame([], "bucket long, w_micro long")
+    got = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(
+            docs, weights=empty_model, bias_micro=250_000
+        ).collect()
+    }
+    assert got[1]["n_features"] == 3  # alpha, beta, "alpha beta"
+    assert abs(got[1]["logit"] - 0.25) < 1e-9  # bias only
+    assert got[2]["n_features"] == 1  # '' unigram, no bigrams
+    assert abs(got[2]["logit"] - 0.25) < 1e-9
+    assert 0.5 < got[2]["prob"] < 0.6  # sigmoid(0.25)
+
+
+def test_quality_classifier_default_weights_deterministic(spark):
+    """The md5-derived default model is stable across invocations and
+    bounded to [-1e6, 1e6] micro units."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        default_classifier_weights,
+    )
+
+    a = {r["bucket"]: r["w_micro"]
+         for r in default_classifier_weights(spark, 64).collect()}
+    bt = {r["bucket"]: r["w_micro"]
+          for r in default_classifier_weights(spark, 64).collect()}
+    assert a == bt and len(a) == 64
+    assert all(-1_000_000 <= v <= 1_000_000 for v in a.values())
+    assert len(set(a.values())) > 32  # not degenerate

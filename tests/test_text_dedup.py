@@ -98,6 +98,52 @@ def test_minhash_lsh_matches_ground_truth(corpus):
     assert len(lsh) >= len(exact) - 1  # allow one probabilistic miss
 
 
+def test_minhash_sig_agree_prefilter(corpus, dup_heavy_corpus):
+    """Signature-agreement prefilter (sig_agree): on realistic corpora
+    the output is unchanged (agreement estimates Jaccard, so true pairs
+    clear a floor of 6/16 comfortably), and the floor is genuinely
+    enforced — an unreachable floor (17 of 16) kills every CROSS-group
+    candidate while the identical-set self rows (which bypass the
+    candidate join by construction) survive."""
+    for c in (corpus, dup_heavy_corpus):
+        off = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in minhash_lsh_pairs(c, threshold=0.6).collect()}
+        on = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in minhash_lsh_pairs(c, threshold=0.6, sig_agree=6).collect()}
+        assert on == off and len(on) > 0
+    # floor > num_hashes: cross-set pairs cannot agree on 17 positions
+    sat = minhash_lsh_pairs(corpus, threshold=0.6, sig_agree=17).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in sat}
+    # docs 1/2/3 share an identical canonical shingle set → their member
+    # pairs come from the self-row path and survive; the (1,4) near-dup
+    # is a cross candidate and is pruned
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_near_dedup_against_index_sig_agree(spark, dup_heavy_corpus):
+    """The incremental path's prefilter: identical fresh/new-entry sets
+    with the floor at 6, and with an unreachable floor every cross-set
+    verification is pruned so only in-batch identical copies drop."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+
+    history = build_minhash_index(
+        dup_heavy_corpus.filter(F.col("doc_id") < 10)
+    )
+    batch = dup_heavy_corpus.filter(F.col("doc_id") >= 10)
+    fresh_off, _ = near_dedup_against_index(batch, history)
+    fresh_on, _ = near_dedup_against_index(batch, history, sig_agree=6)
+    ids = lambda d: {r["doc_id"] for r in d.collect()}  # noqa: E731
+    assert ids(fresh_on) == ids(fresh_off)
+    # floor 17: history matches (BASE vs morning-variant, a cross
+    # candidate) are pruned, so 10 survives; 11/12 still drop as
+    # identical in-batch copies of 10 (member rule, not a candidate)
+    fresh_sat, _ = near_dedup_against_index(batch, history, sig_agree=17)
+    assert ids(fresh_sat) == {10, 20, 30}
+
+
 @pytest.fixture(scope="module")
 def dup_heavy_corpus(spark):
     """Duplicate-heavy corpus — the web-scale shape the distinct-first
