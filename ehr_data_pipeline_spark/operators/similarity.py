@@ -1264,3 +1264,103 @@ def label_centroids(
         for d in range(dim)
     ]
     return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *comps)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+) -> DataFrame:
+    """The PERSISTED IVF index for a vector corpus: one (id, cid, vector)
+    row per valid vector, cid = nearest coarse centroid (in-row argmin
+    against the literal centroid set — narrow map, no shuffle). The ANN
+    twin of ``text_dedup.build_minhash_index``: at 100 TB this is built
+    ONCE, written ``partitionBy("cid")`` (``sinks``/plain parquet — the
+    hive layout makes every probe-side join a partition-pruned read) and
+    appended to per ingest batch; searches then run against the landed
+    table via :func:`ivf_knn_against_index` without re-assigning the
+    corpus per query batch. The quantizer is trained once
+    (``train_ivf_centroids``) and held fixed — cell assignments never
+    move, the same fixed-quantizer contract as the semantic-dedup
+    index. Duplicate ids collapse to one row (the index contract is one
+    vector per id); ``centroids == []`` (empty history) yields an empty
+    index with the contract schema."""
+    dim = _resolve_dim(df, dim, id_col, vec_col)
+    if dim is None or not centroids:
+        return df.select(
+            F.col(id_col), F.lit(0).alias("cid"), F.col(vec_col)
+        ).limit(0)
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    return (
+        ensure_min_partitions(df.where(keep))
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col),
+            _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+            F.col(vec_col),
+        )
+    )
+
+
+def ivf_knn_against_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: "int | None" = None,
+) -> DataFrame:
+    """ANN search against a PERSISTED IVF index (``build_ivf_index``
+    output, read back from its partitioned layout) — the serving-path
+    completion of the similarity family: the index is maintained
+    incrementally (append assignments per batch; streaming via the
+    native partitioned file sink, see ``streaming.run_ivf_index_stream``)
+    and query batches probe it without ever re-scanning or re-assigning
+    the corpus. Each query explodes its ``n_probe`` nearest cells
+    (in-row argmin over the same fixed quantizer), joins the index on
+    cid — with a hive ``cid=`` layout that join is a partition-pruned
+    read — and exact cosine re-ranks within the probed cells
+    (cosine DESC, id ASC — the kNN family's deterministic rank rule).
+    Result is IDENTICAL to :func:`ivf_knn` over the same corpus,
+    centroids and probe count (asserted in tests): the index just
+    amortizes the assignment across query batches. Self-matches
+    (query id == index id) are excluded, as in the whole kNN family."""
+    dim = _resolve_dim(queries, dim, id_col, vec_col)
+    if dim is None or not centroids:
+        return _empty_knn(queries, id_col)
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    probes = F.slice(_centroid_dists(F.col(vec_col), centroids), 1, n_probe)
+    q = (
+        ensure_min_partitions(queries.where(keep))
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probes).alias("__p"),
+        )
+        .select("query_id", "__qv", F.col("__p.cid").alias("cid"))
+    )
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        q.join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

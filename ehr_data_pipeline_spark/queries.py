@@ -3096,6 +3096,86 @@ def emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivf_index_search",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 0 ORDER BY vec_id ASC LIMIT 8)
+    ), hist AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), adist AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS d FROM hist e, cent c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rnk
+        FROM adist) WHERE rnk = 1
+    ), qv AS (
+      SELECT DISTINCT vec_id, embedding FROM embeddings
+      WHERE vec_id % 2 = 1 AND vec_id < 10
+    ), qdist AS (
+      SELECT e.vec_id, c.cid, {_SQDIST_SQL} AS d FROM qv e, cent c
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rnk
+        FROM qdist) WHERE rnk <= 4
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE p.query_id <> a.vec_id
+    ), p2 AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cosine
+      FROM cand
+      JOIN (SELECT DISTINCT vec_id, embedding AS qv FROM embeddings) q
+        ON q.vec_id = cand.query_id
+      JOIN (SELECT DISTINCT vec_id, embedding FROM embeddings) e
+        ON e.vec_id = cand.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM p2
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
+    """,
+    tags=("similarity", "knn", "ivf", "index", "incremental"),
+)
+def emb_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search against a PERSISTED IVF index — the serving-path
+    completion of the similarity family (batch ``emb_ivf_knn`` /
+    recall-reported Lloyd variant / now the maintained-index cadence,
+    mirroring exact/MinHash/semantic dedup's batch-incremental-continuous
+    triples): even-id vectors stand in for the landed index
+    (``build_ivf_index`` — one (id, cid, vector) row per corpus vector
+    under the fixed seeded quantizer), the five smallest odd ids arrive
+    as the query batch, and ``ivf_knn_against_index`` probes 4 of 8
+    cells per query, exact-cosine re-ranking only the probed cells'
+    index rows. At 100 TB the index is written ``partitionBy("cid")``
+    once (streaming appends via the native partitioned file sink,
+    ``streaming.run_ivf_index_stream``) so the cid join is a
+    partition-pruned read and the corpus is never re-assigned per query
+    batch. Fully hash-checked: seeding, assignment argmin, probe
+    selection, in-cell re-rank all replay in SQL."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_against_index,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = train_ivf_centroids(hist, n_list=8, n_iters=0, dim=64)
+    index = build_ivf_index(hist, cents, dim=64)
+    qs = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 10))
+    return ivf_knn_against_index(qs, index, cents, k=3, n_probe=4, dim=64)
+
+
+@register(
     "user_sessions",
     oracle="""
     WITH g AS (
@@ -6214,7 +6294,7 @@ def late_sole_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
-    "emb_ivf_knn_fullprobe", "emb_cosine_neardup_pairs",
+    "emb_ivf_knn_fullprobe", "emb_ivf_index_search", "emb_cosine_neardup_pairs",
     "emb_lsh_neardup_pairs", "emb_lsh_neardup_pairs_hi",
     "emb_lsh_neardup_groups", "emb_semantic_dedup",
     "emb_semantic_decontamination", "emb_incremental_semantic_dedup",
@@ -6272,6 +6352,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
     "emb_lsh_neardup_pairs_hi",
     "doc_quality_classifier_scores",
+    "emb_ivf_index_search",
     # --- oracle changed this round (sig_agree prefilter) ---
     "doc_minhash_lsh_pairs",
     "doc_dup_clusters",

@@ -893,3 +893,52 @@ def run_semantic_dedup_maintenance(
     )
     query.awaitTermination(timeout_sec)
     return query
+
+
+def run_ivf_index_stream(
+    vectors: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Continuous maintenance of the PERSISTED IVF index
+    (``similarity.build_ivf_index`` layout) — deliberately the NATIVE
+    Structured Streaming parquet sink rather than a foreachBatch
+    maintainer: cell assignment is a narrow in-row map (argmin against
+    the fixed literal quantizer), so it composes with ``readStream``
+    directly, the file sink's transaction log provides exactly-once for
+    appends, and ``partitionBy("cid")`` lands the hive layout that makes
+    every :func:`~ehr_data_pipeline_spark.operators.similarity.ivf_knn_against_index`
+    probe join a partition-pruned read. No custom epoch state is needed
+    because the index is APPEND-ONLY facts (id, cid, vector) with no
+    cross-batch interaction — the quantizer is trained once and held
+    fixed, the same contract as the semantic-dedup sink. ``dim`` is
+    explicit: inference would require an action, which a streaming plan
+    cannot run. Read the accumulated index back with a plain
+    ``spark.read.parquet(index_path)``."""
+    from ehr_data_pipeline_spark.functions.measurement import valid_vector
+    from ehr_data_pipeline_spark.operators.similarity import _centroid_dists
+
+    if not centroids:
+        raise ValueError("run_ivf_index_stream needs a trained quantizer "
+                         "(centroids == [] would land an unsearchable index)")
+    keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
+    assigned = vectors.where(keep).select(
+        F.col(id_col),
+        _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+        F.col(vec_col),
+    )
+    query = (
+        assigned.writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("cid")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

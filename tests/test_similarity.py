@@ -715,3 +715,39 @@ def test_semantic_contamination_duplicates_add_zero_scoring_work(emb):
     assert n_candidates(corpus, bench) == n_candidates(
         tripled(corpus, 10_000), tripled(bench, 100_000)
     )
+
+
+def test_ivf_index_search_matches_ivf_knn(spark, emb):
+    """Searching a persisted IVF index must return EXACTLY what the
+    one-shot ivf_knn returns over the same corpus, quantizer and probe
+    count — the index only amortizes the assignment. Also pins the
+    empty-quantizer/empty-index contracts."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        ivf_knn_against_index,
+        train_ivf_centroids,
+    )
+
+    corpus = emb
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(corpus, n_list=8, n_iters=0, dim=64)
+    index = build_ivf_index(corpus, cents, dim=64)
+    got = sorted(
+        map(tuple, ivf_knn_against_index(
+            queries, index, cents, k=3, n_probe=4, dim=64).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_knn(
+            corpus, queries, k=3, n_list=8, n_probe=4, n_iters=0,
+            dim=64).collect())
+    )
+    assert got == want and len(got) > 0
+    # index rows: one per valid corpus vector, cids within range
+    n = index.count()
+    assert n == corpus.select("vec_id").distinct().count()
+    assert index.agg(F.min("cid"), F.max("cid")).collect()[0][1] <= 7
+    # empty quantizer -> empty index with the contract schema
+    empty = build_ivf_index(corpus, [], dim=64)
+    assert empty.count() == 0 and empty.columns == ["vec_id", "cid", "embedding"]
+    assert ivf_knn_against_index(queries, empty, [], dim=64).count() == 0

@@ -724,3 +724,54 @@ def test_semantic_dedup_stream_maintenance_matches_sequential_batches(
         r["vec_id"] for r in read_near_dedup_fresh(spark, fresh_path).collect()
     }
     assert got_replay == expect_full
+
+
+def test_ivf_index_stream_matches_batch_build(checkpointed, tmp_path):
+    """The native partitioned-file-sink index stream must land exactly
+    the rows batch build_ivf_index produces, and searching the
+    read-back (hive cid= layout) must equal searching the batch index."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_against_index,
+        train_ivf_centroids,
+    )
+    from ehr_data_pipeline_spark.streaming import run_ivf_index_stream
+
+    spark = checkpointed
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(emb, n_list=4, n_iters=0, dim=64)
+    src = tmp_path / "ivf_src"
+    for i, sl in enumerate([
+        emb.filter(F.col("vec_id") < 200),
+        emb.filter(F.col("vec_id") >= 200),
+    ]):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+    index_path = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    run_ivf_index_stream(stream, cents, index_path, ckpt, dim=64)
+
+    landed = spark.read.parquet(index_path).select("vec_id", "cid", "embedding")
+    batch = build_ivf_index(emb, cents, dim=64)
+    key = lambda t: t[0]  # noqa: E731
+    a = sorted(((r["vec_id"], r["cid"], tuple(r["embedding"]))
+                for r in landed.collect()), key=key)
+    b = sorted(((r["vec_id"], r["cid"], tuple(r["embedding"]))
+                for r in batch.collect()), key=key)
+    assert a == b and len(a) > 0
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ivf_knn_against_index(
+        queries, landed, cents, k=3, n_probe=2, dim=64).collect()))
+    want = sorted(map(tuple, ivf_knn_against_index(
+        queries, batch, cents, k=3, n_probe=2, dim=64).collect()))
+    assert got == want and len(got) > 0
+
+    # empty quantizer is a configuration error for the stream writer
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_ivf_index_stream(stream, [], index_path, ckpt, dim=64)
