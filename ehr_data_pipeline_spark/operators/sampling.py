@@ -237,3 +237,34 @@ def pps_systematic_sample(
     return hits.where(F.col("n_hits") >= 1).drop(
         "__c", "__ord", "__w_total", "__lo", "__hi"
     )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    max_rows: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Frequency capping: at most ``max_rows`` rows per stratum — the
+    standard per-domain quota in web-corpus curation (one boilerplate
+    domain must not dominate the training mixture). The kept rows are a
+    deterministic uniform draw: ranked within the stratum by the
+    portable keyed hash (key-stable, engine-replayable — the
+    :func:`stratified_sample_exact` machinery with a COUNT quota instead
+    of a fraction) so the cap is reproducible across runs and
+    repartitionings, and survivors don't churn when unrelated rows
+    arrive. One shuffle (the stratum window); same giant-stratum caveat
+    as the fractional variant: route a billions-row stratum to plain
+    hash sampling first, then cap the remainder."""
+    from pyspark.sql.window import Window
+
+    h = portable_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.lit(max_rows))
+        .drop("__rk")
+    )

@@ -820,3 +820,93 @@ def dsir_importance_weights(
             / (F.col("n_tokens").cast("double") * F.lit(10000.0))
         ).alias("avg_logw_bits"),
     )
+
+
+def bm25_index_build(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """The PERSISTED BM25 inverted index for a corpus — retrieval's
+    member of the engine's maintained-index family (MinHash bands, IVF
+    cells, exact fingerprints): ``(postings, lengths)`` where postings
+    is one (tok, id, tf) row per distinct doc-term and lengths one
+    (id, dl) row per doc. Both are MERGEABLE by plain union over
+    disjoint doc sets — term and length statistics are additive — so an
+    ingest batch appends ``bm25_index_build(batch)`` and never re-reads
+    history; idf/avgdl are derived at SEARCH time from the accumulated
+    tables, which is exactly BM25 over the grown corpus. At 100 TB the
+    postings land bucketed by ``tok`` (``sinks.write_bucketed``), so a
+    query's term lookup is a bucket-pruned read instead of a corpus
+    scan; lengths are one narrow row per doc. Tokenization is the
+    engine-wide whitespace contract (NULL text ≡ '')."""
+    toks = whitespace_tokens(F.col(text_col))
+    lengths = df.select(
+        F.col(id_col).alias("id"), F.size(toks).cast("bigint").alias("dl")
+    )
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return postings, lengths
+
+
+def bm25_search_against_index(
+    postings: DataFrame,
+    lengths: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over a persisted index (``bm25_index_build`` output,
+    possibly the union of many appended batches): identical scoring
+    math — and bit-identical output, asserted in tests — to the
+    corpus-scanning :func:`bm25_scores`, but touching only the query
+    terms' posting rows plus the narrow lengths table. Corpus stats
+    (n_docs, total token count, per-term document frequencies) derive
+    from the index at search time, so scores always reflect the CURRENT
+    accumulated corpus; the per-term fixed-point quantization (1e-6
+    BIGINT micro-units before the per-doc sum, 1e-4-bit IDF) carries
+    over unchanged, keeping the ranking engine-portable."""
+    terms = sorted(set(query_terms))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    tf = postings.where(F.col("tok").isin(terms))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+
+    q_idf = F.round(
+        F.log2(
+            (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + 0.5)
+            / (F.col("df_t").cast("double") + 0.5)
+            + 1.0
+        )
+        * 10000
+    ).cast("bigint")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (
+        (q_idf.cast("double") / F.lit(10000.0))
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / denom
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lengths, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select("id", F.round(term_score * 1000000).cast("bigint").alias("q_term"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("q_term").cast("bigint").alias("bm25_micro"))
+        .select(
+            F.col("id").alias(id_col),
+            "bm25_micro",
+            (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias("bm25"),
+        )
+    )

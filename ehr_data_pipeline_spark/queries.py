@@ -2549,6 +2549,51 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@register(
+    "doc_bm25_index_search",
+    # the oracle is the ONE-SHOT corpus BM25 — the Spark side builds the
+    # inverted index from two disjoint halves, merges by union, and
+    # searches the merged index, so the hash match IS the merge law
+    # (index(A) ∪ index(B) scores ≡ corpus(A ∪ B) scores — the
+    # rollup/HLL/histogram oracle trick applied to retrieval state)
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25_micro, bm25 FROM bm25
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25", "index", "incremental", "mergeable"),
+)
+def doc_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval against a PERSISTED, MERGEABLE inverted index
+    (``text_analysis.bm25_index_build`` / ``bm25_search_against_index``)
+    — the retrieval member of the maintained-index family (MinHash
+    bands, IVF cells, exact fingerprints): postings (tok, id, tf) and
+    lengths (id, dl) are additive over disjoint doc sets, so an ingest
+    appends its batch's index rows and never re-reads history, while
+    idf/avgdl derive from the accumulated tables at search time —
+    exactly BM25 over the grown corpus. This query builds the index
+    from the even-id and odd-id document halves SEPARATELY, merges by
+    union, and searches the same {{hash, join, stream}} query as
+    ``doc_bm25_search`` — the oracle is the one-shot corpus SQL, so the
+    hash match proves the merge law end-to-end. At 100 TB the postings
+    land bucketed by tok (term lookups bucket-prune) and the scoring
+    touches only the query terms' rows."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_index_build,
+        bm25_search_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    p1, l1 = bm25_index_build(d.filter(F.col("doc_id") % 2 == 0))
+    p2, l2 = bm25_index_build(d.filter(F.col("doc_id") % 2 == 1))
+    scores = bm25_search_against_index(
+        p1.unionByName(p2), l1.unionByName(l2), ["hash", "join", "stream"]
+    )
+    return scores.orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
 _COS_SQL = (
     "round("
     "list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
@@ -5524,6 +5569,37 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_source_capped",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+      FROM h
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    tags=("sampling", "curation", "frequency-cap", "window"),
+)
+def doc_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (``sampling.cap_per_stratum``): at most
+    10 documents per source, kept by deterministic keyed-hash rank — the
+    standard per-domain quota of web-corpus curation (one boilerplate
+    domain must not dominate the mixture), reproducible across runs and
+    repartitionings and replayed hash-for-hash by the DuckDB twin. Count
+    quota sibling of ``events_stratified_sample``'s fractional draw."""
+    from ehr_data_pipeline_spark.operators.sampling import cap_per_stratum
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_stratum(
+        d, strata_col="source", key_col="doc_id", max_rows=10
+    ).select("doc_id", "source")
+
+
+@register(
     "events_value_drift",
     oracle="""
     WITH t AS (
@@ -6353,6 +6429,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "emb_lsh_neardup_pairs_hi",
     "doc_quality_classifier_scores",
     "emb_ivf_index_search",
+    "doc_bm25_index_search",
+    "doc_source_capped",
     # --- oracle changed this round (sig_agree prefilter) ---
     "doc_minhash_lsh_pairs",
     "doc_dup_clusters",

@@ -200,3 +200,30 @@ def test_pps_lazy_construction_runs_no_jobs(spark):
     lid = sorted((r["id"], r["n_hits"]) for r in lazy.collect())
     eid = sorted((r["id"], r["n_hits"]) for r in eager.collect())
     assert lid == eid
+
+
+def test_cap_per_stratum_quota_and_stability(spark):
+    """At most max_rows per stratum, full strata kept when under the
+    cap, and the kept set is key-stable: rows arriving in OTHER strata
+    never churn a stratum's survivors."""
+    from ehr_data_pipeline_spark.operators.sampling import cap_per_stratum
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_stratum(df, "source", "doc_id", 3).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 3          # capped
+    assert by["b"] == {100, 101}      # under the cap: kept whole
+    # stability under unrelated growth
+    grown = df.unionByName(
+        spark.createDataFrame([(200 + i, "c") for i in range(50)],
+                              "doc_id long, source string")
+    )
+    got2 = cap_per_stratum(grown, "source", "doc_id", 3).collect()
+    by2 = {}
+    for r in got2:
+        by2.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by2["a"] == by["a"] and by2["b"] == by["b"]
+    assert len(by2["c"]) == 3

@@ -507,3 +507,60 @@ def test_quality_classifier_default_weights_deterministic(spark):
     assert a == bt and len(a) == 64
     assert all(-1_000_000 <= v <= 1_000_000 for v in a.values())
     assert len(set(a.values())) > 32  # not degenerate
+
+
+def test_bm25_index_search_matches_corpus_scan(spark):
+    """Index-based BM25 must be BIT-identical to the corpus-scanning
+    bm25_scores, and the index must merge: building from disjoint halves
+    and unioning scores exactly like one build over the whole corpus."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_index_build,
+        bm25_scores,
+        bm25_search_against_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["hash", "join", "stream"]
+    want = sorted(map(tuple, bm25_scores(docs, terms).collect()))
+
+    p, l = bm25_index_build(docs)
+    got = sorted(map(tuple, bm25_search_against_index(p, l, terms).collect()))
+    assert got == want and len(got) > 0
+
+    p1, l1 = bm25_index_build(docs.filter(F.col("doc_id") % 2 == 0))
+    p2, l2 = bm25_index_build(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = sorted(map(tuple, bm25_search_against_index(
+        p1.unionByName(p2), l1.unionByName(l2), terms).collect()))
+    assert merged == want
+
+
+def test_bm25_index_append_updates_global_stats(spark):
+    """Appending a batch to the index changes idf/avgdl for EVERYONE —
+    the scores over the grown index must equal a fresh full-corpus
+    scoring, not the old scores plus new rows."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_index_build,
+        bm25_scores,
+        bm25_search_against_index,
+    )
+
+    # rows2 contains no "cat": df_t stays 1 while n_docs doubles, so the
+    # idf (and hence doc 1's score) MUST move when the index grows —
+    # an n_docs/df_t pair that kept the idf ratio constant (1 of 2 vs
+    # 2 of 4) would make the last assertion vacuous
+    rows1 = [(1, "cat dog"), (2, "dog fish")]
+    rows2 = [(3, "bird fish ant cow"), (4, "bird")]
+    d1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    d12 = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    p1, l1 = bm25_index_build(d1)
+    p2, l2 = bm25_index_build(d2)
+    grown = sorted(map(tuple, bm25_search_against_index(
+        p1.unionByName(p2), l1.unionByName(l2), ["cat"]).collect()))
+    fresh = sorted(map(tuple, bm25_scores(d12, ["cat"]).collect()))
+    assert grown == fresh
+    # and the old 2-doc index alone gives DIFFERENT scores for doc 1
+    old = {r["doc_id"]: r["bm25_micro"]
+           for r in bm25_search_against_index(p1, l1, ["cat"]).collect()}
+    new = {t[0]: t[1] for t in grown}
+    assert old[1] != new[1]
