@@ -942,3 +942,82 @@ def run_ivf_index_stream(
     )
     query.awaitTermination(timeout_sec)
     return query
+
+
+def bm25_index_maintenance_sink(
+    postings_path: str,
+    lengths_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch maintainer for the CONTINUOUS BM25 inverted index —
+    the streaming composition of ``text_analysis.bm25_index_build``,
+    giving retrieval the same three cadences as the dedup families.
+    Each microbatch's postings/lengths land as delta epochs
+    (``{path}/epoch={batch_id}``); no predecessor read is needed at all
+    (unlike the dedup sinks) because index rows are additive facts with
+    no cross-batch interaction — a replayed batch just overwrites its
+    own two epoch directories, the idempotent-epoch argument in its
+    simplest form. Search reads the union of complete epochs
+    (:func:`read_bm25_index`) and derives idf/avgdl from the
+    accumulated state — exactly BM25 over everything ingested so far."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bm25_index_build
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        postings, lengths = bm25_index_build(batch_df, id_col, text_col)
+        postings.write.mode("overwrite").parquet(
+            f"{postings_path}/epoch={batch_id}"
+        )
+        lengths.write.mode("overwrite").parquet(
+            f"{lengths_path}/epoch={batch_id}"
+        )
+
+    return write
+
+
+def read_bm25_index(
+    spark: SparkSession, postings_path: str, lengths_path: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The accumulated BM25 index: union of every COMPLETE epoch of
+    both tables (epochs are per-batch deltas over disjoint doc sets, so
+    the union IS the full-corpus index — the merge law hash-checked by
+    ``doc_bm25_index_search``)."""
+    from functools import reduce
+
+    out = []
+    for path in (postings_path, lengths_path):
+        epochs = _state_epochs(path, complete_only=True)
+        if not epochs:
+            raise FileNotFoundError(f"no complete epochs under {path}")
+        parts = [
+            spark.read.parquet(f"{path}/epoch={e}") for e in sorted(epochs)
+        ]
+        out.append(reduce(lambda a, b: a.unionByName(b), parts))
+    return out[0], out[1]
+
+
+def run_bm25_index_maintenance(
+    docs: DataFrame,
+    postings_path: str,
+    lengths_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input into the maintained BM25
+    index with an ``availableNow`` trigger and a real checkpoint —
+    restartable: a later run over the same checkpoint indexes only
+    newly arrived files."""
+    query = (
+        docs.writeStream.foreachBatch(
+            bm25_index_maintenance_sink(
+                postings_path, lengths_path, id_col, text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

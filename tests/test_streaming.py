@@ -775,3 +775,64 @@ def test_ivf_index_stream_matches_batch_build(checkpointed, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         run_ivf_index_stream(stream, [], index_path, ckpt, dim=64)
+
+
+def test_bm25_index_stream_matches_batch(checkpointed, tmp_path):
+    """Streaming BM25 index maintenance == the batch build over the same
+    docs: identical accumulated postings/lengths, identical search
+    scores — including after a late drop on a restarted checkpoint and a
+    replay of the highest batch id."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_index_build,
+        bm25_search_against_index,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        bm25_index_maintenance_sink,
+        read_bm25_index,
+        run_bm25_index_maintenance,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = tmp_path / "bm_src"
+    slices = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+    ]
+    late = docs.filter(F.col("doc_id") >= 300)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+    pp, lp = str(tmp_path / "bm_post"), str(tmp_path / "bm_len")
+    ckpt = str(tmp_path / "bm_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+
+    run_bm25_index_maintenance(stream(), pp, lp, ckpt)
+    terms = ["hash", "join", "stream"]
+
+    def scores_of(p, l):
+        return sorted(map(tuple, bm25_search_against_index(p, l, terms).collect()))
+
+    p, l = read_bm25_index(spark, pp, lp)
+    bp, bl = bm25_index_build(docs.filter(F.col("doc_id") < 300))
+    assert scores_of(p, l) == scores_of(bp, bl)
+
+    # late drop + restart over the same checkpoint
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    run_bm25_index_maintenance(stream(), pp, lp, ckpt)
+    p, l = read_bm25_index(spark, pp, lp)
+    fp, fl = bm25_index_build(docs)
+    want_full = scores_of(fp, fl)
+    assert scores_of(p, l) == want_full
+
+    # replay of the highest batch id is idempotent
+    last = max(_state_epochs(pp))
+    bm25_index_maintenance_sink(pp, lp)(late, last)
+    p, l = read_bm25_index(spark, pp, lp)
+    assert scores_of(p, l) == want_full
