@@ -251,3 +251,68 @@ def test_semantic_dedup_matches_python_reference(spark, vecs, n_clusters, thr):
         )
         want[i] = (assign[i], not dropped)
     assert got == want
+
+
+@given(
+    docs=st.lists(st.lists(WORD, min_size=1, max_size=12), min_size=1, max_size=10),
+    split=st.integers(0, 10),
+    terms=st.lists(WORD, min_size=1, max_size=3),
+)
+@SETTINGS
+def test_bm25_index_merge_law_and_scan_identity(spark, docs, split, terms):
+    """Random corpora: index-based BM25 == corpus-scanning bm25_scores
+    BIT-for-bit, and building from any 2-way split then unioning equals
+    one build over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_index_build,
+        bm25_scores,
+        bm25_search_against_index,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split = min(split, len(rows))
+    want = sorted(map(tuple, bm25_scores(df, terms).collect()))
+    p1, l1 = bm25_index_build(df.filter(F.col("doc_id") < split))
+    p2, l2 = bm25_index_build(df.filter(F.col("doc_id") >= split))
+    got = sorted(map(tuple, bm25_search_against_index(
+        p1.unionByName(p2), l1.unionByName(l2), terms).collect()))
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=40, unique=True),
+    n_strata=st.integers(1, 4),
+    cap=st.integers(1, 5),
+)
+@SETTINGS
+def test_cap_per_stratum_invariants(spark, keys, n_strata, cap):
+    """Random strata assignments: per-stratum output counts are
+    min(cap, stratum size); output is a subset of the input; and the
+    draw is key-stable — dropping a NON-surviving row never changes the
+    surviving set."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.sampling import cap_per_stratum
+
+    rows = [(k, f"s{k % n_strata}") for k in keys]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_stratum(df, "source", "doc_id", cap).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    from collections import Counter
+    sizes = Counter(s for _, s in rows)
+    for s, n in sizes.items():
+        assert len(by.get(s, set())) == min(cap, n), (s, n, cap)
+    survivors = {r["doc_id"] for r in got}
+    assert survivors <= set(keys)
+    losers = set(keys) - survivors
+    if losers:
+        drop = sorted(losers)[0]
+        again = cap_per_stratum(
+            df.filter(F.col("doc_id") != drop), "source", "doc_id", cap
+        ).collect()
+        assert {r["doc_id"] for r in again} == survivors
