@@ -216,26 +216,84 @@ def lsh_bucket(
     )
 
 
+def _all_table_buckets(
+    vec: Column, dim: int, n_planes: int, n_tables: int
+) -> Column:
+    """array<struct<t, key>> of every table's bucket key, computed by
+    iterating ONE constant-folded (tables × planes × dim) literal matrix
+    with array higher-order functions. Value-identical to
+    :func:`_bucket_of_double` per table — the per-plane dot is the same
+    left-associated IEEE fold (0.0 + x₁ + x₂ + …) and the bit order is
+    unchanged, so every registered oracle replays the identical
+    arithmetic (equality to the per-table form asserted in tests).
+
+    Formulation findings (r9, measured at 12 planes × 16 tables over 20k
+    sf0.1 vectors — the knobs the hi-threshold near-dup regime needs):
+
+    - Spark's array higher-order functions (transform / aggregate /
+      zip_with) are ``CodegenFallback`` — they evaluate INTERPRETED.
+      The per-table unrolled-aggregates form and this matrix form both
+      pay that: ~2.0 s for the bucketing pass (~0.1 ms/vector·192
+      planes), every engine HOF user shares the cost.
+    - FULLY unrolling to scalar element_at × literal chains reaches
+      expression codegen and runs the same pass in 0.35 s (5.7×) — but
+      the 12k-node trees, duplicated across the candidate self-join's
+      two sides, blow up ANALYZER/OPTIMIZER time to minutes (Catalyst
+      rules walk the tree per iteration), so end-to-end it LOSES badly.
+      Rejected; recorded here so the next reader doesn't re-derive it.
+    - This matrix form keeps planning trivial: the nested literal
+      arrays constant-fold into ONE array literal, the tree is three
+      HOF nodes, and per-pass cost equals the unrolled-aggregates HOF
+      form. The real 100 TB lever is architectural, not expression-
+      level: land the band entries ONCE (the persisted-index pattern —
+      ``minhash_band_entries`` / ``build_ivf_index``) so the projection
+      runs once per corpus rather than once per query."""
+    matrix = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(h) for h in _hyperplane(t, p, dim)])
+            for p in range(n_planes)
+        ])
+        for t in range(n_tables)
+    ])
+
+    def key_of(planes: Column) -> Column:
+        return F.aggregate(
+            planes,
+            F.lit(""),
+            lambda acc, plane: F.concat(
+                acc,
+                F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+        )
+
+    return F.transform(
+        matrix,
+        lambda planes, t: F.struct(t.alias("t"), key_of(planes).alias("key")),
+    )
+
+
 def _with_table_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int
 ) -> DataFrame:
     """Explode each row into its n_tables (table_idx, bucket_key) entries —
     the OR-construction index: candidates match in ANY table. The
     double-cast vector is let-bound ONCE for all n_tables × n_planes
-    projections (it would otherwise re-evaluate per plane)."""
+    projections (it would otherwise re-evaluate per plane); bucket keys
+    come from the constant-folded matrix form
+    (:func:`_all_table_buckets`)."""
     from ehr_data_pipeline_spark.operators.text_analysis import let_bound
 
     entries = let_bound(
         to_double(F.col(vec_col)),
-        lambda v: F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    _bucket_of_double(v, dim, n_planes, t).alias("key"),
-                )
-                for t in range(n_tables)
-            ]
-        ),
+        lambda v: _all_table_buckets(v, dim, n_planes, n_tables),
     )
     return df.select(*df.columns, F.explode(entries).alias("__b")).select(
         *df.columns, F.col("__b.t").alias("__table"), F.col("__b.key").alias("__bucket")

@@ -751,3 +751,31 @@ def test_ivf_index_search_matches_ivf_knn(spark, emb):
     empty = build_ivf_index(corpus, [], dim=64)
     assert empty.count() == 0 and empty.columns == ["vec_id", "cid", "embedding"]
     assert ivf_knn_against_index(queries, empty, [], dim=64).count() == 0
+
+
+def test_all_table_buckets_matches_per_table_form(emb):
+    """The constant-folded matrix bucket form must produce EXACTLY the
+    per-table _bucket_of_double keys for every (vector, table) — the
+    arithmetic identity every LSH oracle depends on."""
+    from ehr_data_pipeline_spark.operators.similarity import (
+        _bucket_of_double,
+        _with_table_buckets,
+        to_double,
+    )
+    from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    base = emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+    got = sorted(map(tuple, _with_table_buckets(
+        base, "__v", 64, 3, 5).select("__id", "__table", "__bucket").collect()))
+    old_entries = let_bound(
+        to_double(F.col("__v")),
+        lambda v: F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     _bucket_of_double(v, 64, 3, t).alias("key"))
+            for t in range(5)
+        ]),
+    )
+    want = sorted(map(tuple, base.select(
+        "__id", F.explode(old_entries).alias("__b")
+    ).select("__id", F.col("__b.t"), F.col("__b.key")).collect()))
+    assert got == want and len(got) == base.count() * 5
