@@ -910,3 +910,115 @@ def bm25_search_against_index(
             (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias("bm25"),
         )
     )
+
+
+# round(log2(0.4) * 1e4): the Stupid Backoff alpha in the engine-wide
+# 1e-4-bit fixed-point log quantum (a literal, so both engines share it)
+_Q_BACKOFF_ALPHA = -13219
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    model_docs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed bigram language-model scoring with Stupid Backoff
+    (Brants et al. 2007, "Large Language Models in Machine Translation"
+    — the score function DESIGNED for MapReduce-scale LMs: no
+    normalization pass, counts only): each token transition w₁→w₂
+    scores
+
+        S(w₂|w₁) = count(w₁w₂) / count(w₁)            if the bigram is
+                                                       in the model
+                 = α · count(w₂) / N                   otherwise
+                                                       (α = 0.4)
+
+    and a document's score is the average negative log₂ S over its
+    transitions — bits/transition, the bigram upgrade of
+    :func:`unigram_lm_scores` (low = model-like text). ``model_docs``
+    is the training corpus (default: ``df`` itself — then backoff never
+    fires for self-scoring, which is the correct degenerate case);
+    unseen w₂ floors at count 1. Returns one row per input doc:
+    (id, n_transitions, avg_neg_logp_bits — NULL for docs with < 2
+    tokens).
+
+    Scale shape — the paper's own: two count tables (bigram, unigram —
+    one groupBy each, map-side combined), transitions join the bigram
+    model on the bigram key and the unigram model twice on word keys —
+    four key-partitioned linear shuffles, nothing driver-sized, no
+    all-pairs anywhere. Cross-engine determinism is the engine's
+    fixed-point log contract: every count's log₂ is quantized to 1e-4
+    bits as a BIGINT, α enters as the quantized literal
+    ``_Q_BACKOFF_ALPHA``, integer sums commute, and the only double op
+    is the final division."""
+    if model_docs is None:
+        model_docs = df
+
+    def q_log(c: Column) -> Column:
+        return F.round(F.log2(c.cast("double")) * 10000).cast("bigint")
+
+    def transitions(frame: DataFrame) -> DataFrame:
+        toks = whitespace_tokens(F.col(text_col))
+        size = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(size - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(size - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return frame.select(
+            F.col(id_col), F.explode(pairs).alias("__t")
+        ).select(id_col, F.col("__t.w1").alias("w1"), F.col("__t.w2").alias("w2"))
+
+    uc = (
+        model_docs.select(F.explode(whitespace_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = uc.agg(q_log(F.sum("c")).alias("q_n"))
+    bc = (
+        transitions(model_docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bc"))
+    )
+    tr = (
+        transitions(df)
+        .join(bc, ["w1", "w2"], "left")
+        .join(
+            uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1", "left"
+        )
+        .join(
+            uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2", "left"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("bc").isNotNull(), q_log(F.col("bc")) - q_log(F.col("c1"))
+            )
+            .otherwise(
+                F.lit(_Q_BACKOFF_ALPHA)
+                + q_log(F.coalesce(F.col("c2"), F.lit(1)))
+                - F.col("q_n")
+            )
+            .alias("__q"),
+        )
+    )
+    per_doc = tr.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.sum("__q").cast("bigint").alias("__s"),
+    )
+    return (
+        df.select(id_col).dropDuplicates([id_col])
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0).cast("bigint")).alias(
+                "n_transitions"
+            ),
+            (
+                -F.col("__s").cast("double")
+                / (F.col("n_transitions").cast("double") * F.lit(10000.0))
+            ).alias("avg_neg_logp_bits"),
+        )
+    )

@@ -5569,6 +5569,71 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_lm_scores",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), m AS (
+      SELECT * FROM norm WHERE doc_id % 2 = 0
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(t) AS w FROM m) GROUP BY w
+    ), tot AS (
+      SELECT CAST(round(log2(CAST(SUM(c) AS DOUBLE)) * 10000) AS BIGINT) AS q_n
+      FROM uc
+    ), mtr AS (
+      SELECT t[u.i] AS w1, t[u.i+1] AS w2
+      FROM m, UNNEST(range(1, len(t))) AS u(i)
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc FROM mtr GROUP BY 1, 2
+    ), tr AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+      FROM norm, UNNEST(range(1, len(t))) AS u(i)
+    ), q AS (
+      SELECT tr.doc_id,
+             CASE WHEN bc.bc IS NOT NULL
+               THEN CAST(round(log2(CAST(bc.bc AS DOUBLE)) * 10000) AS BIGINT)
+                    - CAST(round(log2(CAST(u1.c AS DOUBLE)) * 10000) AS BIGINT)
+               ELSE -13219
+                    + CAST(round(log2(CAST(COALESCE(u2.c, 1) AS DOUBLE)) * 10000) AS BIGINT)
+                    - tot.q_n END AS qv
+      FROM tr
+      LEFT JOIN bc ON bc.w1 = tr.w1 AND bc.w2 = tr.w2
+      LEFT JOIN uc u1 ON u1.w = tr.w1
+      LEFT JOIN uc u2 ON u2.w = tr.w2, tot
+    ), pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tr,
+             CAST(SUM(qv) AS BIGINT) AS s
+      FROM q GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_tr, CAST(0 AS BIGINT)) AS n_transitions,
+           -CAST(pd.s AS DOUBLE) / (CAST(pd.n_tr AS DOUBLE) * 10000.0)
+             AS avg_neg_logp_bits
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("text", "language-model", "stupid-backoff", "fixed-point"),
+)
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity scoring with Stupid Backoff
+    (``text_analysis.bigram_lm_scores`` — Brants et al. 2007, the score
+    function designed for MapReduce-scale LMs): the model trains on the
+    EVEN-id documents (a held-out shape, so odd docs genuinely exercise
+    the backoff and unseen-word paths) and every document is scored in
+    bits/transition. Four key-partitioned linear shuffles (two count
+    groupBys, the bigram-model join, two unigram joins); every log₂ is
+    quantized to 1e-4 bits as BIGINT before the order-independent
+    integer sum, α enters as the shared quantized literal — the scores
+    hash-check bit-for-bit."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, model_docs=d.filter(F.col("doc_id") % 2 == 0))
+
+
+@register(
     "doc_source_capped",
     oracle="""
     WITH h AS (
@@ -6431,6 +6496,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "emb_ivf_index_search",
     "doc_bm25_index_search",
     "doc_source_capped",
+    "doc_bigram_lm_scores",
     # --- oracle changed this round (sig_agree prefilter) ---
     "doc_minhash_lsh_pairs",
     "doc_dup_clusters",

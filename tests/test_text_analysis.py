@@ -564,3 +564,35 @@ def test_bm25_index_append_updates_global_stats(spark):
            for r in bm25_search_against_index(p1, l1, ["cat"]).collect()}
     new = {t[0]: t[1] for t in grown}
     assert old[1] != new[1]
+
+
+def test_bigram_lm_stupid_backoff_hand_computed(spark):
+    """Rule isolation on a hand-computed corpus: in-model bigram path,
+    backoff path, unseen-word floor, and the <2-token NULL contract."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bigram_lm_scores
+
+    rows = [
+        (0, "a b a b"),   # model doc
+        (2, "b c"),       # model doc
+        (1, "c a x"),     # scored: backoff (c,a) + unseen-x floor (a,x)
+        (3, "z"),         # single token: no transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["avg_neg_logp_bits"])
+        for r in bigram_lm_scores(
+            df, model_docs=df.filter(F.col("doc_id") % 2 == 0)
+        ).collect()
+    }
+    # model: uc a:2 b:3 c:1 (N=6, qlogN=25850); bc (a,b):2 (b,a):1 (b,c):1
+    # doc 0: q = [qlog2-qlog2, qlog1-qlog3, qlog2-qlog2] = [0, -15850, 0]
+    assert got[0][0] == 3
+    assert abs(got[0][1] - 15850 / 30000) < 1e-12
+    # doc 2: (b,c): qlog1 - qlog3 = -15850
+    assert got[2] == (1, 15850 / 10000)
+    # doc 1: (c,a) backoff = -13219 + qlog(2) - qlog(6) = -29069;
+    #        (a,x) unseen w2 floors at count 1 = -13219 + 0 - 25850
+    assert got[1][0] == 2
+    assert abs(got[1][1] - (29069 + 39069) / 20000) < 1e-12
+    # doc 3: no transitions -> NULL score
+    assert got[3] == (0, None)
