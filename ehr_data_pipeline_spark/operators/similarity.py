@@ -657,6 +657,91 @@ def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     return let_bound(to_double(vec), dists)
 
 
+# Above this many literal-fold multiplications per row (k centroids ×
+# dim), the interpreted HOF argmin dominates wall (NOTES_r09 §HOF:
+# array lambdas are CodegenFallback, ~0.1 ms per ~12k mults) and the
+# Arrow assignment twin takes over. Below it, the native expression
+# keeps the plan UDF-free (the driver-gate configs all sit below).
+_ARROW_ASSIGN_THRESHOLD = 4096
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment, BIT-IDENTICAL to the
+    native ``_centroid_dists(...)[0]['cid']`` expression: per-centroid
+    squared distance is accumulated dim-sequentially in float64 — the
+    exact IEEE operation sequence of the native aggregate/zip_with left
+    fold ((0+t₀)+t₁)+… with t = (v−c)² on the double-cast component —
+    and ties resolve to the lowest cid (centroids are cid-ascending;
+    np.argmin returns the first minimum, matching array_sort's (dist,
+    cid) tiebreak). Equivalence is pinned by
+    test_arrow_assignment_matches_native. This is the VERDICT r9 #5
+    lever applied where the profile showed it dominating: with
+    auto-scaled quantizers (k ∝ N) the interpreted argmin is N·k·dim
+    interpreter steps — the measured ×3.8 wall at distinct ×9 — while
+    one numpy pass is the same flops vectorized. All input columns pass
+    through untouched (vectors byte-identical)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids = [int(c) for c, _ in centroids]
+    cvecs = [[float(x) for x in v] for _, v in centroids]
+    schema = StructType(list(df.schema.fields) + [
+        StructField(out_col, IntegerType(), False)
+    ])
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(batches):
+        import numpy as np
+
+        cid_arr = np.asarray(cids)
+        cm = [np.asarray(c, dtype=np.float64) for c in cvecs]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, dim = V.shape
+            dists = np.empty((len(cm), n))
+            for ci, c in enumerate(cm):
+                acc = np.zeros(n)
+                for j in range(dim):
+                    d = V[:, j] - c[j]
+                    acc = acc + d * d
+                dists[ci] = acc
+            out = pdf[cols].copy()
+            out[out_col] = cid_arr[np.argmin(dists, axis=0)].astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    vec_col: str,
+    out_col: str,
+    arrow: "bool | None" = None,
+) -> DataFrame:
+    """Append the nearest-centroid cell id to every row: the native
+    literal-fold argmin below the interpreter-tax threshold (UDF-free
+    plan — every driver-gate config), the bit-identical Arrow twin
+    above it (auto-scaled quantizers at replica/production scale).
+    ``arrow`` forces a path (tests pin cross-path equality)."""
+    dim = len(centroids[0][1]) if centroids else 0
+    if arrow is None:
+        arrow = len(centroids) * dim >= _ARROW_ASSIGN_THRESHOLD
+    if arrow:
+        return _assign_cells_arrow(df, centroids, vec_col, out_col)
+    return df.withColumn(
+        out_col, _centroid_dists(F.col(vec_col), centroids)[0]["cid"]
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_list: int = 8,
@@ -780,15 +865,40 @@ def ivf_knn(
     )
 
 
+def auto_n_clusters(
+    n_reps: int,
+    target_cluster_size: int = 1024,
+    max_clusters: int = 65536,
+) -> int:
+    """Corpus-derived quantizer size for SemDeDup: k = ⌈n_reps / T⌉,
+    clamped to [1, max_clusters]. With k ∝ N the within-cluster pairwise
+    term Σ|cluster|² ≈ N·T — LINEAR in corpus size with a constant-per-
+    item bound — where a FIXED k makes expected cluster size grow ∝ N
+    and the term quadratic (measured: wall ×3.4 at distinct ×9 under
+    k=8, SCALE_RATIOS.md r8). Assignment cost is N·k·dim against the
+    literal centroid set, so the max_clusters clamp bounds the literal
+    and the per-row argmin; past the clamp (corpora ≫ max_clusters·T) a
+    hierarchical/two-level quantizer is the standard escalation — the
+    clamp is where that decision surfaces rather than silently degrading.
+    Deterministic and SQL-derivable (a COUNT(DISTINCT vector)), so hash
+    oracles replay the same k."""
+    import math
+
+    if target_cluster_size <= 0:
+        raise ValueError("target_cluster_size must be positive")
+    return max(1, min(max_clusters, math.ceil(n_reps / target_cluster_size)))
+
+
 def semantic_dedup(
     df: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: "int | None" = None,
     threshold: float = 0.4,
     n_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: "int | None" = None,
     persist_groups: bool = True,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
@@ -805,7 +915,16 @@ def semantic_dedup(
     n_clusters scaled ∝ N (the paper uses ~N/|cluster| with clusters of
     a few thousand) the quadratic term is bounded by a constant per item
     and the join is an equi-join on the cell id (shuffle on cid, AQE
-    splits skewed cells; never all-pairs). Unlike the LSH near-dup
+    splits skewed cells; never all-pairs). ``n_clusters=None`` (the
+    default) DERIVES k that way — :func:`auto_n_clusters` over the
+    distinct-vector representative count, k = ⌈n_reps /
+    target_cluster_size⌉ clamped to [1, 65536] — so the linearity holds
+    by construction as the corpus grows; an explicit ``n_clusters``
+    remains the override for fixed-quantizer contracts (the streaming
+    sinks train once and hold centroids fixed). The rep count is one
+    count() over the already-persisted group frame and is SQL-derivable
+    (COUNT(DISTINCT vector)), so the hash oracle replays the same k.
+    Unlike the LSH near-dup
     family this catches SEMANTIC redundancy at lower thresholds where
     hyperplane banding loses its selectivity (see the threshold
     economics note on :func:`lsh_near_dup_pairs`); the trade is recall
@@ -839,17 +958,26 @@ def semantic_dedup(
 
     if dim is None:
         return empty()
-    centroids = train_ivf_centroids(df, n_clusters, n_iters, id_col, vec_col, dim)
-    if not centroids:
-        return empty()
     mem = _vector_groups(df, id_col, vec_col, dim)
     if persist_groups:
         mem = _persist_tracked(mem)
-    assigned = mem.where(F.col("__id") == F.col("__rid")).select(
-        F.col("__id").alias("__rid"),
-        F.col("__v").alias("__rv"),
-        _centroid_dists(F.col("__v"), centroids)[0]["cid"].alias("__cid"),
+    if n_clusters is None:
+        n_reps = mem.where(F.col("__id") == F.col("__rid")).count()
+        n_clusters = auto_n_clusters(n_reps, target_cluster_size)
+    centroids = train_ivf_centroids(df, n_clusters, n_iters, id_col, vec_col, dim)
+    if not centroids:
+        return empty()
+    # assignment is consumed three times (both pairwise sides + the
+    # member join); persist so the argmin — the dominant term once k
+    # scales with the corpus — runs once per rep, not three times
+    assigned = _assign_cells(
+        mem.where(F.col("__id") == F.col("__rid")).select(
+            F.col("__id").alias("__rid"), F.col("__v").alias("__rv")
+        ),
+        centroids, "__rv", "__cid",
     )
+    if persist_groups:
+        assigned = _persist_tracked(assigned)
     a = assigned.select(
         F.col("__rid").alias("__xa"), F.col("__rv").alias("__va"), "__cid"
     )
@@ -955,18 +1083,17 @@ def semantic_dedup_against_index(
             )
         fresh_ids = reps.select(F.col("__id").alias(id_col))
     else:
-        bt = reps.select(
-            "__id", "__v",
-            _centroid_dists(F.col("__v"), centroids)[0]["cid"].alias("__cid"),
+        # bt feeds the history probe AND both within-batch pairwise
+        # sides; persist so assignment (N·k·dim once k is corpus-scaled)
+        # runs once per rep
+        bt = _persist_tracked(
+            _assign_cells(reps.select("__id", "__v"), centroids, "__v", "__cid")
         )
-        hist = (
+        hist = _assign_cells(
             ensure_min_partitions(index.where(keep))
             .select(F.col(vec_col).alias("__hv"))
-            .dropDuplicates()
-            .select(
-                "__hv",
-                _centroid_dists(F.col("__hv"), centroids)[0]["cid"].alias("__cid"),
-            )
+            .dropDuplicates(),
+            centroids, "__hv", "__cid",
         )
         hist_hits = (
             bt.join(hist, "__cid")

@@ -3459,11 +3459,17 @@ def emb_lsh_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_semantic_dedup",
     oracle=f"""
-    WITH cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
-             embedding AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id ASC LIMIT 8)
+    WITH k AS (
+      SELECT GREATEST(1, LEAST(65536,
+               CAST(CEIL(COUNT(DISTINCT embedding) / 64.0) AS BIGINT)))
+             AS n_clusters
+      FROM embeddings
+    ), cent AS (
+      SELECT rn - 1 AS cid, embedding AS cv
+      FROM (SELECT embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn
+            FROM embeddings)
+      WHERE rn <= (SELECT n_clusters FROM k)
     ), m AS (
       SELECT DISTINCT vec_id, embedding FROM embeddings
     ), dist AS (
@@ -3492,35 +3498,49 @@ def emb_lsh_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster with the seeded IVF coarse
-    quantizer (8 smallest-id vectors, ``n_iters=0`` — the
-    ``emb_ivf_knn`` precedent that keeps the quantizer SQL-derivable),
-    then within each cluster drop every vector that has a LOWER-id
-    cluster-mate at ROUND(cosine, 6) >= 0.4. One (vec_id, cluster_id,
-    kept) row per valid vector — linear output, and the pairwise check
-    is confined to cluster cells (equi-join on cid), which is what makes
-    semantic dedup tractable at 100 TB when n_clusters scales with the
-    corpus. The oracle replays seeding, the assignment argmin, the
-    member-level drop rule and the keep-first survivor policy, so the
-    whole dedup decision — not just pair discovery — is hash-checked.
-    Complements the LSH family: catches low-threshold SEMANTIC
-    redundancy where hyperplane banding loses selectivity, at the cost
-    of recall across cluster boundaries (the paper's own trade)."""
+    quantizer (smallest-id vectors, ``n_iters=0`` — the ``emb_ivf_knn``
+    precedent that keeps the quantizer SQL-derivable), then within each
+    cluster drop every vector that has a LOWER-id cluster-mate at
+    ROUND(cosine, 6) >= 0.4. One (vec_id, cluster_id, kept) row per
+    valid vector — linear output, and the pairwise check is confined to
+    cluster cells (equi-join on cid). The quantizer size is DERIVED from
+    the corpus (VERDICT r9 #1): k = ⌈distinct-vector count / 64⌉ clamped
+    to [1, 65536] (``auto_n_clusters``), so Σ|cluster|² ≈ N·64 stays
+    linear as the corpus grows — the registered fixed k=8 was measured
+    quadratic (wall ×3.4 at distinct ×9, SCALE_RATIOS r8). At the gate
+    scales the derivation lands on the SAME k=8 (500 distinct vectors),
+    so this is a pure scale fix, not a semantics change there; at sf0.1
+    it yields k=32 and the sf0.1 spot-check re-verifies the hash. The
+    oracle replays the k derivation (COUNT(DISTINCT embedding) over the
+    guarded valid subset — exactly the operator's representative count),
+    seeding, the assignment argmin, the member-level drop rule and the
+    keep-first survivor policy, so the whole dedup decision — including
+    the auto-k — is hash-checked. Complements the LSH family: catches
+    low-threshold SEMANTIC redundancy where hyperplane banding loses
+    selectivity, at the cost of recall across cluster boundaries (the
+    paper's own trade)."""
     from ehr_data_pipeline_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4,
-        n_iters=0, dim=64,
+        _t(spark, sf_dir, "embeddings"), n_clusters=None,
+        target_cluster_size=64, threshold=0.4, n_iters=0, dim=64,
     )
 
 
 @register(
     "emb_incremental_semantic_dedup",
     oracle=f"""
-    WITH cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
-             embedding AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id < 25 ORDER BY vec_id ASC LIMIT 8)
+    WITH k AS (
+      SELECT GREATEST(1, LEAST(65536,
+               CAST(CEIL(COUNT(DISTINCT embedding) / 64.0) AS BIGINT)))
+             AS n_clusters
+      FROM embeddings
+    ), cent AS (
+      SELECT rn - 1 AS cid, embedding AS cv
+      FROM (SELECT embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn
+            FROM embeddings)
+      WHERE rn <= (SELECT n_clusters FROM k)
     ), m AS (
       SELECT DISTINCT vec_id, embedding FROM embeddings
     ), dist AS (
@@ -3551,22 +3571,39 @@ def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     semantic completion of `doc_incremental_dedup` (exact) and
     `doc_incremental_near_dedup` (MinHash): vectors with id < 25 stand
     in for the indexed history, the rest arrive as the batch; the coarse
-    quantizer is trained ONCE on the history (8 seeded cells, n_iters=0)
-    and held fixed, and a batch vector drops iff any indexed vector or
-    any lower-id batch vector shares its cell at cosine >= 0.4. Because
-    history ids all precede batch ids, the oracle states the whole
-    two-phase rule as one 'exists a lower-id same-cell near-dup' join —
-    the same collapse the MinHash incremental oracle uses. Output: the
-    batch's fresh vec_ids."""
+    quantizer is trained ONCE and held fixed, and a batch vector drops
+    iff any indexed vector or any lower-id batch vector shares its cell
+    at cosine >= 0.4. Because history ids all precede batch ids, the
+    oracle states the whole two-phase rule as one 'exists a lower-id
+    same-cell near-dup' join — the same collapse the MinHash incremental
+    oracle uses. The train-once quantizer is SIZED AND TRAINED at the
+    scale of the corpus it will serve (VERDICT r9 #1): k =
+    auto_n_clusters(distinct-vector count, 64) with seeds drawn from the
+    FULL table (training ≠ indexing — production trains a fixed
+    quantizer on any representative corpus-scale sample up front; only
+    the INDEX is the history). Sizing it to the 25-row history instead
+    caps the cell count at 25 and the within-batch pairwise term goes
+    quadratic — measured wall ×1.84 at input ×10 under that clamp vs
+    ×0.5–0.8 with corpus-scale seeds (SCALE_RATIOS r10). At the gate scales
+    the derivation lands on k=8 with seeds = ids 0..7, all inside the
+    history — today's exact decision. Output: the batch's fresh
+    vec_ids."""
     from ehr_data_pipeline_spark.operators.similarity import (
+        auto_n_clusters,
         semantic_dedup_against_index,
         train_ivf_centroids,
+        valid_vector,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     history = emb.filter(F.col("vec_id") < 25)
     batch = emb.filter(F.col("vec_id") >= 25)
-    cents = train_ivf_centroids(history, n_list=8, n_iters=0, dim=64)
+    n_reps = (
+        emb.where(F.col("vec_id").isNotNull() & valid_vector(F.col("embedding"), 64))
+        .select("embedding").distinct().count()
+    )
+    k = auto_n_clusters(n_reps, target_cluster_size=64)
+    cents = train_ivf_centroids(emb, n_list=k, n_iters=0, dim=64)
     fresh, _new_entries = semantic_dedup_against_index(
         batch, history, cents, threshold=0.4, dim=64
     )
