@@ -40,11 +40,15 @@ class PipelineResult:
     each table, the observed post-clean row counts, and the quality
     report (lazy; collect to render).
 
-    ``source`` is the persisted exploded-entry frame when the direct
-    single-parse path was taken (``stage_dir=None, single_parse=True``);
-    its cache lives until :meth:`release`, an explicit
-    ``spark.catalog.clearCache()``, or session end. Call ``release()``
-    once you are done re-running the returned plans."""
+    ``source`` is the persisted exploded-entry frame (pruned to the
+    consumed-field union) when the direct single-parse path was taken
+    (``stage_dir=None, single_parse=True``); its cache lives until
+    :meth:`release`, an explicit ``spark.catalog.clearCache()``, or
+    session end. Call ``release()`` once you are done re-running the
+    returned plans. On the sink path (``output_dir`` set) the pipeline
+    releases it automatically after the write action — the tables are
+    materialized and the cache only served the build (ADVICE r9), so
+    ``source`` is None in the returned result there."""
 
     tables: dict[str, DataFrame]
     paths: dict[str, str] = field(default_factory=dict)
@@ -95,9 +99,12 @@ def run_pipeline(
     ``single_parse=False`` to get six independent re-parsing plans (the
     pre-r9 behavior — right only when a single entity will ever be
     forced). Sizing note: the cache is MEMORY_AND_DISK over the exploded
-    entries, i.e. cluster storage ≈ input size; at the 100 TB design
+    entries PRUNED to the consumed-field union
+    (:func:`~ehr_data_pipeline_spark.fhir.ingest.prune_unconsumed` —
+    photo/narrative/identifier never reach the cache), so cluster
+    storage ≈ the consumed fraction of the input; at the 100 TB design
     point prefer ``stage_dir``, which buys the same single parse with
-    durable, pruned storage instead of cache."""
+    durable, per-entity-pruned storage instead of cache."""
     source: DataFrame | None = None
     if stage_dir is not None:
         from ehr_data_pipeline_spark.fhir.ingest import (
@@ -114,15 +121,33 @@ def run_pipeline(
         from pyspark import StorageLevel
 
         from ehr_data_pipeline_spark.fhir.ingest import (
+            entries_view,
             explode_entries,
+            flatten_entries,
+            prune_unconsumed,
             read_bundles,
             route_resources,
         )
 
-        source = explode_entries(read_bundles(spark, input_dir)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        routed = route_resources(source)
+        # prune + FLATTEN before persist: the cache can't prune nested
+        # struct fields per consumer the way the staged path's parquet
+        # scans do, but it DOES prune top-level columns — so drop the
+        # never-consumed subtrees (photo/narrative/identifier), hoist
+        # the rest to top-level columns, persist that, and give routing
+        # the rebuilt struct view (collapsed per branch by
+        # SimplifyExtractValueOps back to pruned column reads).
+        # coalesce the parse output to ~core count first: a
+        # directory-of-small-bundles scan yields one split per file
+        # batch, and SIX branches re-reading thousands of tiny cached
+        # partitions pay pure task-launch overhead (measured ~20% of
+        # direct-path wall at 10k bundles); coalesce keeps the parse
+        # fully parallel while the cache lands in fat partitions
+        source = flatten_entries(
+            prune_unconsumed(
+                explode_entries(read_bundles(spark, input_dir))
+            ).coalesce(spark.sparkContext.defaultParallelism)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        routed = route_resources(entries_view(source))
     else:
         routed = read_and_route(spark, input_dir)
     extracted = extract_all(routed)
@@ -146,4 +171,12 @@ def run_pipeline(
         result.row_counts = {
             rt: observations[rt].get["n_rows"] for rt in cleaned
         }
+        # ADVICE r9: the sink path has materialized every table, so the
+        # shared-parse cache has served its purpose — releasing it here
+        # keeps callers unaware of PipelineResult.source from holding an
+        # input-sized cache until session end. Returned plans (including
+        # the lazy quality report) stay runnable; they recompute from the
+        # raw files. Callers that will re-force plans should use
+        # output_dir=None and call release() themselves.
+        result.release()
     return result

@@ -155,3 +155,39 @@ def pack_sequences(
         F.expr(f"stream_offset div {int(budget)}").alias("seq_id"),
         F.expr(f"stream_offset % {int(budget)}").alias("offset_in_seq"),
     )
+
+
+def materialize_packed_sequences(
+    assigned: DataFrame, id_col: str
+) -> DataFrame:
+    """The BUILD step on top of :func:`pack_sequences`' assignment: one
+    row per training sequence with its member documents in stream order
+    — what the data loader actually consumes. Output: ``seq_id``,
+    ``n_docs``, ``seq_tokens`` (tokens STARTING in the sequence — docs
+    straddle chunk boundaries under concat-then-chunk, so interior
+    sequences hold ≥ budget tokens counting carry-in), ``first_offset``
+    (offset_in_seq of the first doc: 0 exactly when no carry-in from a
+    straddling predecessor), and ``doc_ids`` (comma-joined in stream
+    order — a string, not an array, so the row hash-checks in any
+    engine). One linear shuffle on seq_id; member order inside a group
+    is established by sort_array over (offset, id) structs, never by
+    collect_list's arrival order (which is partitioning-dependent —
+    the classic nondeterminism trap this formulation exists to avoid).
+    Scale: output rows = corpus_tokens / budget; each group holds the
+    handful of docs that start in one chunk."""
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("offset_in_seq"), F.col(id_col).alias("__id"))
+        )
+    )
+    return (
+        assigned.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("offset_in_seq").alias("first_offset"),
+            F.array_join(
+                F.transform(pairs, lambda s: s["__id"].cast("string")), ","
+            ).alias("doc_ids"),
+        )
+    )

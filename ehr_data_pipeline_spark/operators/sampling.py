@@ -254,9 +254,16 @@ def cap_per_stratum(
     :func:`stratified_sample_exact` machinery with a COUNT quota instead
     of a fraction) so the cap is reproducible across runs and
     repartitionings, and survivors don't churn when unrelated rows
-    arrive. One shuffle (the stratum window); same giant-stratum caveat
-    as the fractional variant: route a billions-row stratum to plain
-    hash sampling first, then cap the remainder."""
+    arrive. PRECONDITION (ADVICE r9, same contract as the index
+    builders): ``key_col`` must be unique per row — rows sharing a key
+    value within a stratum tie exactly on (hash, key) and row_number
+    would then pick survivors nondeterministically across runs. With a
+    non-unique natural key, pass a synthesized unique key (e.g.
+    ``xxhash64`` of the full row or ``monotonically_increasing_id``
+    captured once at ingest). One shuffle (the stratum window); same
+    giant-stratum caveat as the fractional variant: route a
+    billions-row stratum to plain hash sampling first, then cap the
+    remainder."""
     from pyspark.sql.window import Window
 
     h = portable_hash60(

@@ -64,6 +64,46 @@ def word_tokens(col: Column) -> Column:
     return F.regexp_extract_all(normalize_text(col), F.lit(WORD_PATTERN), F.lit(0))
 
 
+# Default byte-pair merge table for bpe_token_counts — the 16
+# highest-frequency English letter bigrams, a deterministic stand-in
+# for a trained tokenizer's merge list (production loads its real merge
+# table into the same parameter; the engine mechanics are identical).
+BPE_MERGE_PAIRS = (
+    "th", "he", "in", "er", "an", "re", "on", "at",
+    "en", "nd", "ti", "es", "or", "te", "ed", "st",
+)
+
+
+def bpe_token_counts(
+    col: Column, merge_pairs: "tuple[str, ...]" = BPE_MERGE_PAIRS
+) -> Column:
+    """Tokenizer-faithful token counts for the packing/mixing budgets
+    (VERDICT r9 #6): the count a SINGLE-ROUND byte-pair encoder yields —
+    base units are the non-space characters of the normalized text, and
+    every non-overlapping, left-to-right occurrence of a merge-table
+    pair fuses two units into one, so
+
+        n_tokens = n_base_chars − n_merges.
+
+    Engine-portable by construction: all merge pairs are the same
+    length, so leftmost-first global regex scanning consumes identical
+    spans in Java regex (Spark) and RE2 (DuckDB) regardless of
+    alternation order, and the count hash-checks bit-for-bit
+    (``doc_pack_sequences_bpe``). Pairs are letter-only, so merges never
+    span the single-space word boundaries ``normalize_text`` guarantees.
+    This is deliberately ONE merge round — the full iterative BPE loop
+    is sequential per word and belongs in the tokenizer that produced
+    the corpus; pipelines with real tokenizer counts pass them straight
+    into ``pack_sequences`` / ``domain_mixture_sample``'s
+    ``token_count`` parameter (any column expression, including a
+    precomputed ``n_tokens`` column, satisfies it). NULL text counts 0
+    (the engine-wide degenerate-document contract)."""
+    norm = normalize_text(col)
+    base = F.length(F.regexp_replace(norm, " ", ""))
+    pattern = "(" + "|".join(merge_pairs) + ")"
+    return (base - F.regexp_count(norm, F.lit(pattern))).cast("bigint")
+
+
 def char_class_count(col: Column, char_class: str) -> Column:
     """#chars matching a regex character class, via strip-and-measure
     (global regexp_replace keeps this JVM-side and DuckDB-parity-exact)."""

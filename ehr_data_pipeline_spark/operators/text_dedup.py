@@ -645,7 +645,23 @@ def near_dedup_against_index(
     self_cand = _materialize_candidates(self_cand.distinct(), persist_index)
 
     if sig_agree > 0:
-        agree_ok = (
+        # ADVICE r9: if the index was built with a different num_hashes,
+        # zip_with null-pads the shorter signature, the equality lambda
+        # yields NULL, and the agreement filter would silently drop every
+        # cross candidate — recall collapse with no error. Make the
+        # config mismatch raise at execution instead (assert_true returns
+        # NULL when the lengths match, so the guard costs one size check
+        # per candidate and nothing else).
+        sig_len_ok = F.assert_true(
+            (F.size(F.col("sa.sig")) == F.lit(num_hashes))
+            & (F.size(F.col("sb.sig")) == F.lit(num_hashes)),
+            F.lit(
+                "near-dedup sig_agree prefilter: both sides' MinHash "
+                f"signatures must have length num_hashes={num_hashes}; "
+                "the passed index was built with a different num_hashes"
+            ),
+        ).isNull()
+        agree_ok = sig_len_ok & (
             F.size(
                 F.filter(
                     F.zip_with(

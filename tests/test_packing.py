@@ -150,3 +150,34 @@ def test_prefix_sum_empty_input(spark):
     out = distributed_prefix_sum(df, "id", "v", 16)
     assert out.count() == 0
     assert dict(out.dtypes)["prefix_sum"] == "bigint"
+
+
+def test_materialize_packed_sequences_straddle_and_order(spark):
+    """The build step on hand-sized docs (budget 10, lengths 4/4/4/7/3):
+    doc 3 starts in seq 0 at offset 8 and straddles into seq 1, so seq 1
+    opens at offset 2 (carry-in visible via first_offset) and holds only
+    the tokens STARTING there. Member order is stream order regardless
+    of partitioning (sort_array over (offset, id), not collect_list
+    arrival order) -- asserted by repartitioning adversarially."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
+
+    rows = [(1, 4), (2, 4), (3, 4), (4, 7), (5, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    def build(frame):
+        assigned = pack_sequences(frame, "doc_id", F.col("n"), budget=10)
+        return {
+            r["seq_id"]: (
+                r["n_docs"], r["seq_tokens"], r["first_offset"], r["doc_ids"]
+            )
+            for r in materialize_packed_sequences(assigned, "doc_id").collect()
+        }
+
+    got = build(df)
+    # offsets: d1@0 d2@4 d3@8 d4@12 d5@19 -> seqs 0,0,0,1,1
+    assert got[0] == (3, 12, 0, "1,2,3")
+    assert got[1] == (2, 10, 2, "4,5")
+    assert build(df.repartition(7, "n")) == got

@@ -641,6 +641,133 @@ def test_near_dedup_stream_maintenance_matches_sequential_batches(
     assert got_replay == expect_full
 
 
+def test_compact_epochs_replay_idempotent(checkpointed, tmp_path):
+    """VERDICT r9 #4: compacting delta epochs then continuing (including
+    a replay of the newest batch) must be indistinguishable from never
+    compacting — same index content, same fresh corpus, fewer
+    directories. Also pins the re-entrancy manifest (resuming an
+    interrupted compaction finishes it) and the default newest-stays-
+    delta rule that makes replay safe."""
+    import os
+
+    from ehr_data_pipeline_spark.streaming import (
+        compact_epochs,
+        near_dedup_maintenance_sink,
+        read_near_dedup_fresh,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    slices = [
+        docs.filter(F.col("doc_id") < 100),
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        docs.filter(F.col("doc_id") >= 300),
+    ]
+
+    def drive(root, compact_after=None):
+        index_path, fresh_path = str(root / "idx"), str(root / "fresh")
+        sink = near_dedup_maintenance_sink(index_path, fresh_path)
+        for bid, sl in enumerate(slices):
+            sink(sl, bid)
+            if compact_after is not None and bid == compact_after:
+                merged = compact_epochs(spark, index_path)
+                assert merged >= 2
+                compact_epochs(spark, fresh_path)
+        # replay the newest batch id — the only replayable one under the
+        # checkpoint contract; its epoch stayed a pure delta
+        sink(slices[-1], len(slices) - 1)
+        idx = sorted(
+            map(tuple, spark.read.parquet(f"{index_path}/epoch=*")
+                .select("id").collect())
+        )
+        fresh = sorted(
+            r["doc_id"]
+            for r in read_near_dedup_fresh(spark, fresh_path).collect()
+        )
+        n_dirs = len(
+            [d for d in os.listdir(index_path) if d.startswith("epoch=")]
+        )
+        return idx, fresh, n_dirs
+
+    plain_idx, plain_fresh, plain_dirs = drive(tmp_path / "plain")
+    comp_idx, comp_fresh, comp_dirs = drive(tmp_path / "comp", compact_after=2)
+    assert comp_idx == plain_idx
+    assert comp_fresh == plain_fresh
+    assert comp_dirs < plain_dirs  # epochs 0..2 merged into one
+
+    # re-entrancy: simulate a crash after phase A (tmp + manifest exist,
+    # target not yet rewritten) — a re-run must finish the compaction
+    root = tmp_path / "resume"
+    index_path = str(root / "idx")
+    sink = near_dedup_maintenance_sink(index_path, str(root / "fresh"))
+    for bid, sl in enumerate(slices[:3]):
+        sink(sl, bid)
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{index_path}/epoch=*")
+            .select("id").collect())
+    )
+    from functools import reduce
+
+    tmp = os.path.join(index_path, "_compact_tmp")
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(f"{index_path}/epoch={e}") for e in (0, 1)],
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    import json
+
+    with open(os.path.join(tmp, "_compact_manifest.json"), "w") as f:
+        json.dump({"epochs": [0, 1], "target": 1}, f)
+    assert compact_epochs(spark, index_path) == 2  # resumed, not replanned
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(f"{index_path}/epoch=0")
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{index_path}/epoch=*")
+            .select("id").collect())
+    )
+    assert after == before
+
+
+def test_compact_bm25_index_keeps_tables_in_step(checkpointed, tmp_path):
+    """compact_bm25_index must compact BOTH tables through the same
+    epoch so read_bm25_index's complete-epoch intersection still covers
+    the full corpus, and scores are unchanged."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_search_against_index,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        bm25_index_maintenance_sink,
+        compact_bm25_index,
+        read_bm25_index,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pp, lp = str(tmp_path / "post"), str(tmp_path / "len")
+    sink = bm25_index_maintenance_sink(pp, lp)
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        for lo in range(0, 300, 100)
+    ] + [docs.filter(F.col("doc_id") >= 300)]
+    for bid, b in enumerate(batches):
+        sink(b, bid)
+    terms = ["hash", "join", "stream"]
+
+    def scores():
+        p, l = read_bm25_index(spark, pp, lp)
+        return sorted(
+            map(tuple, bm25_search_against_index(p, l, terms).collect())
+        )
+
+    want = scores()
+    assert compact_bm25_index(spark, pp, lp) >= 2
+    assert scores() == want
+    # replay of the newest batch id still idempotent after compaction
+    sink(batches[-1], 3)
+    assert scores() == want
+
+
 def test_semantic_dedup_stream_maintenance_matches_sequential_batches(
     checkpointed, tmp_path
 ):
@@ -834,5 +961,19 @@ def test_bm25_index_stream_matches_batch(checkpointed, tmp_path):
     # replay of the highest batch id is idempotent
     last = max(_state_epochs(pp))
     bm25_index_maintenance_sink(pp, lp)(late, last)
+    p, l = read_bm25_index(spark, pp, lp)
+    assert scores_of(p, l) == want_full
+
+    # torn-write guard (ADVICE r9): a crash between the postings and
+    # lengths writes leaves a complete postings epoch with no lengths
+    # twin — the reader must take the INTERSECTION of complete epochs,
+    # so the torn epoch is invisible and scores are the untorn corpus's
+    import os
+
+    torn = last + 1
+    fp2, _ = bm25_index_build(docs.filter(F.col("doc_id") < 10))
+    fp2.write.mode("overwrite").parquet(f"{pp}/epoch={torn}")
+    assert os.path.exists(f"{pp}/epoch={torn}/_SUCCESS")
+    assert not os.path.exists(f"{lp}/epoch={torn}")
     p, l = read_bm25_index(spark, pp, lp)
     assert scores_of(p, l) == want_full

@@ -46,6 +46,38 @@ def test_word_tokens_bpe_ish(spark):
     ]
 
 
+def test_bpe_token_counts_hand_computed(spark):
+    """Single-round byte-pair counts: base non-space chars minus one per
+    non-overlapping left-to-right merge-pair hit, hand-verified; merges
+    never span word boundaries; NULL/empty count 0; the left-to-right
+    scan consumes greedily ('thth' = two 'th' hits, 'athe' matches 'at'
+    first so 'he' no longer fits)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bpe_token_counts
+
+    def count(text):
+        df = spark.createDataFrame([(text,)], "text string")
+        return val(df, bpe_token_counts(F.col("text")))
+
+    # 'the' (3 chars): 'th' matches at 0, consumes to 2; 'he' can't
+    # re-match the consumed 'h' -> 1 merge -> 2 tokens
+    assert count("the") == 2
+    assert count("thth") == 4 - 2
+    # 'athe': 'at' at 0 consumes a,t -> 'he' at 2 also matches -> 2 merges
+    assert count("athe") == 4 - 2
+    # word boundary: 't h' has no pair (space between)
+    assert count("t h") == 2
+    # no merges: every pair misses the table
+    assert count("xyz") == 3
+    # normalization first: case and whitespace collapse
+    assert count("  THE   the ") == 4
+    assert count("") == 0
+    assert count(None) == 0
+    # custom merge table
+    assert count("zz") == 2
+    df = spark.createDataFrame([("zz",)], "text string")
+    assert val(df, bpe_token_counts(F.col("text"), ("zz",))) == 1
+
+
 def test_language_id_priority_and_und(spark):
     assert val(one(spark, "the cat and the hat"), language_id(F.col("text"))) == "en"
     assert val(one(spark, "der hund ist nicht da"), language_id(F.col("text"))) == "de"

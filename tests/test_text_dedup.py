@@ -143,6 +143,25 @@ def test_near_dedup_against_index_sig_agree(spark, dup_heavy_corpus):
     fresh_sat, _ = near_dedup_against_index(batch, history, sig_agree=17)
     assert ids(fresh_sat) == {10, 20, 30}
 
+    # ADVICE r9: an index built with a DIFFERENT num_hashes must raise at
+    # execution. A SHORTER index signature already fails loudly in the
+    # banding pass (element_at out of bounds under ANSI); the silent
+    # hazard is a LONGER one — banding reads only the first num_hashes
+    # positions, then zip_with null-pads the batch side and the
+    # agreement count quietly degrades. The guard turns that into a
+    # config error naming num_hashes.
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    long_history = build_minhash_index(
+        dup_heavy_corpus.filter(F.col("doc_id") < 10), num_hashes=32
+    )
+    fresh_bad, _ = near_dedup_against_index(
+        batch, long_history, sig_agree=6
+    )
+    with _pytest.raises(SparkRuntimeException, match="num_hashes"):
+        fresh_bad.collect()
+
 
 @pytest.fixture(scope="module")
 def dup_heavy_corpus(spark):
