@@ -2389,6 +2389,223 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_lined_text(doc_id: Column, text: Column) -> Column:
+    """Deterministic lined-corpus fixture shared by the cleaning queries'
+    Spark and DuckDB sides: the synthetic documents have no newlines or
+    punctuation, so rebuild each one as 7-token lines where line i gets a
+    terminal '.' when (doc_id+i)%3==0, '!' when ==1, and none otherwise
+    (so the C4 punctuation rule has real work), and splice the C4
+    page-level drop markers into a deterministic doc subset (%97: lorem
+    ipsum; %89: a curly-brace code line). Same rebuilt-fixture idiom as
+    the substring-dedup oracle (md5-fingerprinted rebuilt text)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import normalize_text
+
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(7)).cast("int"))
+    lines = F.transform(
+        idxs,
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+            F.when((doc_id + i) % 3 == 0, F.lit("."))
+            .when((doc_id + i) % 3 == 1, F.lit("!"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    lined = F.array_join(lines, "\n")
+    lined = F.when(
+        doc_id % 97 == 0,
+        F.concat(lined, F.lit("\nthis page contains lorem ipsum filler.")),
+    ).otherwise(lined)
+    return F.when(
+        doc_id % 89 == 0,
+        F.concat(lined, F.lit("\nfunction f() { return 1; }")),
+    ).otherwise(lined)
+
+
+@register(
+    "doc_c4_line_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + 6) // 7), i ->
+               array_to_string(toks[7 * i + 1 : 7 * i + 7], ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                    WHEN (doc_id + i) % 3 = 1 THEN '!'
+                    ELSE '' END) AS lines
+      FROM t
+    ), lt AS (
+      SELECT doc_id,
+             array_to_string(lines, chr(10))
+             || CASE WHEN doc_id % 97 = 0
+                     THEN chr(10) || 'this page contains lorem ipsum filler.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 89 = 0
+                     THEN chr(10) || 'function f() { return 1; }'
+                     ELSE '' END AS text2
+      FROM l
+    ), f AS (
+      SELECT doc_id, text2,
+             string_split(text2, chr(10)) AS all_lines,
+             list_filter(string_split(text2, chr(10)), l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lt
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(all_lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences
+    FROM f
+    WHERE NOT contains(lower(text2), 'lorem ipsum')
+      AND NOT contains(text2, '{')
+      AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+    """,
+    tags=("text", "cleaning", "c4", "quality"),
+)
+def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/cleaning.py
+    c4_line_filter; Raffel et al. 2020 §2.2) over the deterministic
+    lined-corpus fixture: keep lines ending in terminal punctuation with
+    >= 5 words and no javascript banner, then drop pages with 'lorem
+    ipsum', a curly brace, or < 3 sentences. The whole cleaned output —
+    rebuilt text plus audit counts — hash-checks against the SQL twin.
+    One narrow codegen pass per document, zero shuffles."""
+    from ehr_data_pipeline_spark.operators.cleaning import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id", _c4_lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return c4_line_filter(lined)
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), pr AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + 2) // 3),
+                            i -> array_to_string(toks[3 * i + 1 : 3 * i + 3], ' ')) AS paras
+      FROM t
+    ), e AS (
+      SELECT doc_id, UNNEST(range(0, len(paras))) AS idx, paras FROM pr
+    ), p AS (
+      SELECT doc_id, idx, paras[idx + 1] AS para FROM e
+    ), r AS (
+      SELECT doc_id, idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), '') AS clean_text
+    FROM r GROUP BY doc_id
+    """,
+    tags=("text", "cleaning", "dedup", "paragraph"),
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (operators/cleaning.py
+    paragraph_dedup): every repeat of a 3-token paragraph after its first
+    occurrence (ordered by (doc_id, position)) is removed and documents
+    are reassembled in original paragraph order (~19% of fixture
+    paragraphs are cross-doc repeats). Winner selection is a total order
+    and reassembly sorts by position, so the rebuilt texts hash-check
+    cross-engine under any partitioning. One content-keyed window shuffle
+    + one doc-keyed reassembly shuffle — linear, nothing pairwise."""
+    from ehr_data_pipeline_spark.operators.cleaning import paragraph_dedup
+
+    return paragraph_dedup(_para_lined_docs(_t(spark, sf_dir, "documents")))
+
+
+def _para_lined_docs(d: DataFrame) -> DataFrame:
+    """Paragraph-fixture twin of ``_c4_lined_text``: rebuild each
+    synthetic document as 3-token paragraphs joined with blank lines
+    (the corpus has no paragraph structure of its own; 3-token grains
+    make ~19% of paragraphs genuine cross-doc repeats)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
+    n = F.size(toks)
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(3)).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+    )
+    return d.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+
+
+@register(
+    "doc_incremental_paragraph_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), pr AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + 2) // 3),
+                            i -> array_to_string(toks[3 * i + 1 : 3 * i + 3], ' ')) AS paras
+      FROM t
+    ), e AS (
+      SELECT doc_id, UNNEST(range(0, len(paras))) AS idx, paras FROM pr
+    ), p AS (
+      SELECT doc_id, idx, paras[idx + 1] AS para FROM e
+    ), hist AS (
+      SELECT DISTINCT para FROM p WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT doc_id, idx AS pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM p WHERE doc_id % 2 = 1
+    ), m AS (
+      SELECT b.doc_id, b.pos, b.para,
+             CASE WHEN b.rn = 1 AND h.para IS NULL THEN 1 ELSE 0 END AS keep
+      FROM b LEFT JOIN hist h USING (para)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+    FROM m GROUP BY doc_id
+    """,
+    tags=("text", "cleaning", "dedup", "paragraph", "incremental", "index"),
+)
+def doc_incremental_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup against a fingerprint index
+    (operators/cleaning.py paragraph_dedup_against_index) — the
+    continuous-ingest cadence of ``doc_paragraph_dedup``, mirroring the
+    exact/minhash/semantic families' batch/incremental symmetry: even-id
+    docs stand in for the historical paragraph index (md5 fingerprints
+    only), odd-id docs are the arriving batch; a batch paragraph
+    survives iff it is the batch's first occurrence AND unseen in the
+    index. Every batch doc yields a row (fully-seen docs survive empty),
+    and the rebuilt texts hash-check cross-engine."""
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        build_paragraph_index,
+        paragraph_dedup_against_index,
+    )
+
+    lined = _para_lined_docs(_t(spark, sf_dir, "documents"))
+    history = lined.filter(F.col("doc_id") % 2 == 0)
+    batch = lined.filter(F.col("doc_id") % 2 == 1)
+    index = build_paragraph_index(history)
+    cleaned, _new_entries = paragraph_dedup_against_index(batch, index)
+    return cleaned
+
+
 @register(
     "doc_unigram_lm_scores",
     oracle="""
@@ -6646,6 +6863,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
     "doc_pack_sequences_bpe",
     "doc_packed_sequences",
+    "doc_c4_line_filter",
+    "doc_paragraph_dedup",
+    "doc_incremental_paragraph_dedup",
     # --- oracle/plan changed this round (r10: auto-k quantizer +
     #     corpus-scale incremental seeds; minhash sig-length guard;
     #     top-k output cap on the 0.4 LSH diagnostic) ---

@@ -909,6 +909,86 @@ def run_near_dedup_maintenance(
     return query
 
 
+def paragraph_dedup_maintenance_sink(
+    index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+):
+    """foreachBatch maintainer for CONTINUOUS paragraph dedup — the
+    streaming composition of ``cleaning.paragraph_dedup_against_index``
+    (the cleaning family's third cadence, mirroring the exact/minhash/
+    semantic sinks): each microbatch's paragraphs dedup against the
+    maintained fingerprint index (and within the batch by first
+    occurrence), the reassembled documents land in
+    ``{clean_path}/epoch={batch_id}``, and the index grows by exactly
+    the surviving paragraphs' fingerprints into
+    ``{index_path}/epoch={batch_id}``. Delta-epoch layout with the same
+    idempotent-epoch replay argument as the near-dedup sink (a replayed
+    batch reads the union of index epochs strictly below its own id and
+    overwrites its own two directories); compact long-lived indexes
+    with :func:`compact_epochs`."""
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        build_paragraph_index,
+        paragraph_dedup_against_index,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
+        spark = batch_df.sparkSession
+        prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
+        if prev:
+            index = reduce(
+                lambda a, b: a.unionByName(b),
+                [spark.read.parquet(f"{index_path}/epoch={e}") for e in prev],
+            )
+        else:
+            index = build_paragraph_index(
+                batch_df.limit(0), text_col, id_col, sep
+            )
+        cleaned, new_entries = paragraph_dedup_against_index(
+            batch_df, index, text_col, id_col, sep
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{clean_path}/epoch={batch_id}"
+        )
+        new_entries.write.mode("overwrite").parquet(
+            f"{index_path}/epoch={batch_id}"
+        )
+
+    return write
+
+
+def run_paragraph_dedup_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    clean_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain the stream's available input through continuous paragraph
+    dedup with an ``availableNow`` trigger and a real checkpoint —
+    restartable: a later run over the same checkpoint cleans only newly
+    arrived files against the accumulated paragraph index."""
+    query = (
+        docs.writeStream.foreachBatch(
+            paragraph_dedup_maintenance_sink(
+                index_path, clean_path, id_col, text_col, sep
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
 def semantic_dedup_maintenance_sink(
     index_path: str,
     fresh_path: str,
@@ -1090,11 +1170,17 @@ def bm25_index_maintenance_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         postings, lengths = bm25_index_build(batch_df, id_col, text_col)
-        postings.write.mode("overwrite").parquet(
-            f"{postings_path}/epoch={batch_id}"
-        )
+        # lengths FIRST: the intersection reader is already torn-proof;
+        # this order additionally softens a torn epoch for a naive
+        # per-table reader — lengths-without-postings only shifts the
+        # scalar N/avgdl, whereas postings-without-lengths inflated
+        # per-term df against an N that excluded those docs, skewing idf
+        # term-by-term (ADVICE r9, medium).
         lengths.write.mode("overwrite").parquet(
             f"{lengths_path}/epoch={batch_id}"
+        )
+        postings.write.mode("overwrite").parquet(
+            f"{postings_path}/epoch={batch_id}"
         )
 
     return write
@@ -1108,12 +1194,12 @@ def read_bm25_index(
     the union IS the full-corpus index — the merge law hash-checked by
     ``doc_bm25_index_search``).
 
-    Torn-write guard (ADVICE r9, medium): the sink writes postings then
-    lengths, so a crash between the two leaves a postings epoch with
-    _SUCCESS and no lengths epoch. Selecting complete epochs per table
-    INDEPENDENTLY in that window skews every score globally — batch-b
-    docs inflate df_t (from postings) while n_docs/avgdl (from lengths)
-    exclude them, so idf is wrong for every doc. The INTERSECTION of
+    Torn-write guard (ADVICE r9, medium): the sink writes the two tables
+    sequentially (lengths first), so a crash between the two leaves one
+    epoch complete in only one table. Selecting complete epochs per table
+    INDEPENDENTLY in that window skews scores — in the worst order,
+    batch-b docs inflate df_t (from postings) while n_docs/avgdl (from
+    lengths) exclude them, so idf is wrong for every doc. The INTERSECTION of
     the two complete-epoch sets guarantees postings and lengths always
     describe the same doc set; the torn epoch becomes visible only once
     the replayed batch overwrites both directories."""

@@ -977,3 +977,82 @@ def test_bm25_index_stream_matches_batch(checkpointed, tmp_path):
     assert not os.path.exists(f"{lp}/epoch={torn}")
     p, l = read_bm25_index(spark, pp, lp)
     assert scores_of(p, l) == want_full
+
+
+def test_paragraph_dedup_stream_matches_sequential_batches(
+    checkpointed, tmp_path
+):
+    """Streaming paragraph dedup (foreachBatch over the maintained
+    fingerprint index) must equal the SEQUENTIAL batch application of
+    paragraph_dedup_against_index over the same file drops in the same
+    order. Restart over the same checkpoint cleans only the late drop;
+    replaying the highest batch id is idempotent."""
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        build_paragraph_index,
+        paragraph_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.queries import _para_lined_docs
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        paragraph_dedup_maintenance_sink,
+        run_paragraph_dedup_maintenance,
+    )
+    from functools import reduce
+
+    spark = checkpointed
+    docs = _para_lined_docs(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    )
+    src = tmp_path / "pd_src"
+    slices = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+    ]
+    late = docs.filter(F.col("doc_id") >= 300)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    index_path = str(tmp_path / "pd_index")
+    clean_path = str(tmp_path / "pd_clean")
+    ckpt = str(tmp_path / "pd_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+
+    def read_clean():
+        epochs = _state_epochs(clean_path, complete_only=True)
+        parts = [
+            spark.read.parquet(f"{clean_path}/epoch={e}")
+            for e in sorted(epochs)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def batch_sequential(batches):
+        index = build_paragraph_index(docs.limit(0))
+        rows = {}
+        for b in batches:
+            cleaned, new_entries = paragraph_dedup_against_index(b, index)
+            rows.update({r["doc_id"]: r.asDict() for r in cleaned.collect()})
+            index = index.unionByName(new_entries)
+        return rows
+
+    run_paragraph_dedup_maintenance(stream(), index_path, clean_path, ckpt)
+    got = {r["doc_id"]: r.asDict() for r in read_clean().collect()}
+    assert got == batch_sequential(slices)
+
+    # late drop + restart over the same checkpoint
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    run_paragraph_dedup_maintenance(stream(), index_path, clean_path, ckpt)
+    want_full = batch_sequential(slices + [late])
+    got_full = {r["doc_id"]: r.asDict() for r in read_clean().collect()}
+    assert got_full == want_full
+
+    # replay of the highest batch id recomputes from the same predecessors
+    last = max(_state_epochs(index_path))
+    paragraph_dedup_maintenance_sink(index_path, clean_path)(late, last)
+    got_replay = {r["doc_id"]: r.asDict() for r in read_clean().collect()}
+    assert got_replay == want_full
