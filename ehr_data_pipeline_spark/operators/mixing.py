@@ -102,6 +102,87 @@ def domain_mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    token_count: Column,
+    total_token_budget: int,
+    alpha: float = 0.5,
+    salt: str = "mixture",
+    quantize: float = 1e6,
+) -> DataFrame:
+    """Temperature-based domain mixture (the mT5/XLM-R reweighting):
+    instead of hand-written shares, each domain's budget is proportional
+    to ``T_d^alpha`` where ``T_d`` is the domain's total token count —
+    alpha < 1 UPSAMPLES small domains relative to their natural share
+    (alpha=1 is proportional sampling, alpha=0 is uniform-across-domains).
+    The weights are derived from the data, so the whole mixture is one
+    self-contained plan: domain token totals (one groupBy), weights
+    ``round(T_d^alpha · quantize)`` as exact integers, budgets
+    ``round(w_d / Σw · total_token_budget)``, then the same
+    keyed-hash-order exclusive-prefix-sum cut as
+    :func:`domain_mixture_sample`.
+
+    Cross-engine exactness: at the default ``alpha=0.5`` the weight uses
+    ``sqrt`` (IEEE-correctly-rounded in every libm, so the quantized
+    integer weights are bit-identical in SQL); other alphas go through
+    ``pow``, which is NOT correctly rounded everywhere — the 1e-6
+    quantization usually absorbs the difference but exact oracle parity
+    is only guaranteed at 0.5.
+
+    Scale: the domain-weight frame is ≤ #domains rows (broadcast both
+    ways); the data path is one groupBy(domain) + one window on the
+    domain — identical cost shape to ``domain_mixture_sample``."""
+    h = _order_hash(id_col, salt)
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        token_count.cast("bigint").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    t_pow = (
+        F.sqrt(F.col("__T").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__T").cast("double"), F.lit(float(alpha)))
+    )
+    dom = (
+        base.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("__T"))
+        .select(
+            "domain",
+            F.round(t_pow * F.lit(quantize)).cast("bigint").alias("__q"),
+        )
+    )
+    # Σw over the ≤#domains weight frame: an unpartitioned window over a
+    # driver-sized aggregate frame (the Q22-threshold pattern)
+    wall = Window.partitionBy()
+    budgets = dom.select(
+        "domain",
+        F.round(
+            F.col("__q").cast("double")
+            / F.sum("__q").over(wall).cast("double")
+            * F.lit(float(total_token_budget))
+        )
+        .cast("bigint")
+        .alias("__budget"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(budgets), "domain")
+        .withColumn(
+            "__tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .filter(F.col("__tokens_before") < F.col("__budget"))
+        .select(id_col, "domain", "n_tokens")
+    )
+
+
 def length_bucketed_batches(
     df: DataFrame,
     id_col: str,

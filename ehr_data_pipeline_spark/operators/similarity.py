@@ -1451,6 +1451,57 @@ def label_centroids(
     return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *comps)
 
 
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed Gram matrix XᵀX over an embedding column — the
+    second-moment statistics PCA/whitening and SemDeDup-style
+    preprocessing start from (dim² scalars summarize the whole corpus's
+    covariance structure up to the mean). Output: one row per (d1, d2)
+    pair with ``gram = Σ_rows v[d1]·v[d2]``.
+
+    Plan: one posexplode (narrow, ×dim) then a groupBy(d1) carrying dim
+    product sums — partial (map-side) aggregation collapses every
+    partition to ≤ dim rows before the shuffle, so shuffle volume is
+    dim × partitions REGARDLESS of corpus size; the per-row work is the
+    unavoidable dim² products. Products are quantized to 1e-7
+    fixed-point BIGINTs before summing (the ``label_centroids``
+    recipe), so the aggregate is exact integer math — order-independent
+    across partitions and oracle-checkable. Invalid vectors are
+    excluded at entry (embeddings contract): a NaN component would
+    abort the BIGINT quantization under ANSI on both engines."""
+    df = df.where(valid_vector(F.col(vec_col), dim))
+    e = df.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("d1", "x1"),
+        F.col(vec_col).alias("__v"),
+    )
+    sums = [
+        F.sum(
+            F.round(
+                F.col("x1")
+                * F.element_at(F.col("__v"), d2 + 1).cast("double")
+                * F.lit(1e7)
+            ).cast("bigint")
+        ).alias(f"s{d2}")
+        for d2 in range(dim)
+    ]
+    g = e.groupBy("d1").agg(*sums)
+    return g.select(
+        F.col("d1").cast("int").alias("d1"),
+        F.posexplode(F.array(*[F.col(f"s{d2}") for d2 in range(dim)])).alias(
+            "d2", "__q"
+        ),
+    ).select(
+        "d1",
+        F.col("d2").cast("int").alias("d2"),
+        (F.col("__q").cast("double") / F.lit(1e7)).alias("gram"),
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     centroids: "list[tuple[int, list[float]]]",

@@ -3208,6 +3208,38 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                            dim=_CENTROID_COLS_SPARK)
 
 
+@register(
+    "emb_gram_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT UNNEST(range(0, 64)) AS d1, embedding FROM embeddings
+    ), p AS (
+      SELECT d1, UNNEST(range(0, 64)) AS d2, embedding FROM x
+    )
+    SELECT CAST(d1 AS INT) AS d1, CAST(d2 AS INT) AS d2,
+           CAST(SUM(CAST(round(CAST(embedding[d1 + 1] AS DOUBLE)
+                                * CAST(embedding[d2 + 1] AS DOUBLE)
+                                * 10000000.0) AS BIGINT)) AS DOUBLE)
+             / 10000000.0 AS gram
+    FROM p GROUP BY 1, 2
+    """,
+    tags=("similarity", "statistics", "covariance"),
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX over the embedding corpus
+    (operators/similarity.py gram_matrix) — the second-moment statistics
+    PCA/whitening starts from. Products are 1e-7 fixed-point BIGINTs
+    before summing (the label-centroids recipe), so all 64×64 sums are
+    exact integer math and hash-check cross-engine. Map-side partial
+    aggregation collapses each partition to ≤ dim rows before the
+    shuffle — shuffle volume is dim × partitions regardless of corpus
+    size."""
+    from ehr_data_pipeline_spark.operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id").isNotNull())
+    return gram_matrix(emb, vec_col="embedding", dim=64)
+
+
 def _lsh_bucket_sql(table: int, n_planes: int, vec: str = "embedding") -> str:
     """DuckDB twin of ``similarity.lsh_bucket``: the hyperplanes are
     deterministic (md5-seeded Gaussians, ``similarity._hyperplane``), so the
@@ -5773,6 +5805,59 @@ def doc_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ), dom AS (
+      SELECT lang,
+             CAST(round(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+      FROM t GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(q) AS BIGINT) AS qt FROM dom
+    ), bud AS (
+      SELECT lang,
+             CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE) * 8000.0) AS BIGINT) AS budget
+      FROM dom, tot
+    ), p AS (
+      SELECT t.doc_id, t.lang AS domain, t.n_tokens, b.budget,
+             CAST(COALESCE(SUM(t.n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY t.h, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t JOIN bud b ON b.lang = t.lang
+    )
+    SELECT doc_id, domain, n_tokens FROM p WHERE tokens_before < budget
+    """,
+    tags=("mixing", "sampling", "training-data", "temperature"),
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture (operators/mixing.py
+    temperature_mixture_sample, the mT5/XLM-R p^α reweighting at
+    α=0.5): domain budgets derive from the DATA (∝ √domain-tokens,
+    quantized to exact 1e-6 integers — sqrt is correctly rounded in
+    both libms, so the derived budgets replay bit-for-bit in SQL),
+    then the keyed-hash exclusive-prefix-sum cut. Self-contained plan:
+    one groupBy(domain), a broadcast ≤#domains budget frame, one
+    domain-partitioned window."""
+    from ehr_data_pipeline_spark.operators.mixing import temperature_mixture_sample
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        d,
+        domain_col="lang",
+        id_col="doc_id",
+        token_count=F.size(whitespace_tokens(F.col("text"))),
+        total_token_budget=_MIXTURE_BUDGET,
+        alpha=0.5,
+    )
+
+
+@register(
     "doc_length_batches",
     oracle=f"""
     WITH t AS (
@@ -6808,7 +6893,7 @@ _EMB_FAMILY = (
     "emb_knn_topk", "emb_label_centroids", "emb_lsh_knn", "emb_ivf_knn",
     "emb_ivf_knn_fullprobe", "emb_ivf_index_search", "emb_cosine_neardup_pairs",
     "emb_lsh_neardup_pairs", "emb_lsh_neardup_pairs_hi",
-    "emb_lsh_neardup_groups", "emb_semantic_dedup",
+    "emb_lsh_neardup_groups", "emb_semantic_dedup", "emb_gram_matrix",
     "emb_semantic_decontamination", "emb_incremental_semantic_dedup",
     # consumes embeddings alongside documents — same vector contract
     "doc_hybrid_rrf_search",
@@ -6866,6 +6951,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_c4_line_filter",
     "doc_paragraph_dedup",
     "doc_incremental_paragraph_dedup",
+    "emb_gram_matrix",
+    "doc_temperature_mixture",
     # --- oracle/plan changed this round (r10: auto-k quantizer +
     #     corpus-scale incremental seeds; minhash sig-length guard;
     #     top-k output cap on the 0.4 LSH diagnostic) ---

@@ -136,3 +136,37 @@ def test_pipeline_staged_bronze_layer_equivalent(spark, tmp_path):
         a = sorted(map(tuple, direct.tables[rt].collect()), key=key)
         b = sorted(map(tuple, staged.tables[rt].collect()), key=key)
         assert a == b, rt
+
+
+def test_single_parse_coalesce_sits_below_the_alias_fan(spark):
+    """Pins the optimizer-cliff placement rule (NOTES_r10): the coalesce
+    must be applied to the exploded entries BELOW flatten_entries' ~30-
+    alias projection. Coalesce ABOVE the alias fan makes any recompute
+    of these plans after release() spiral in Catalyst constraint
+    propagation (getAllValidConstraints multiplies the constraint set
+    across every alias — measured driver OOM at 8g once the
+    InMemoryRelation leaf is gone). The symptom chain is mass
+    ConnectionRefused in shared-JVM runs, so pin the structure, not the
+    wall clock: in the analyzed plan, the Repartition node must appear
+    BELOW (after) the flattening Project."""
+    cached = run_pipeline(spark, FIXTURE_DIR, output_dir=None, quality=False)
+    try:
+        plan = cached.source._jdf.queryExecution().analyzed().toString()
+        lines = plan.splitlines()
+        # the flatten fan is the Project aliasing resource.* to top-level
+        # columns ("... AS resourceType#N"); the plan string may be
+        # field-truncated, so match on the first alias, not a late one
+        i_project = next(
+            i for i, l in enumerate(lines)
+            if "Project" in l and " AS resourceType#" in l
+        )
+        i_repart = next(
+            i for i, l in enumerate(lines) if "Repartition" in l
+        )
+        assert i_repart > i_project, (
+            "coalesce placed above the flatten alias fan — this "
+            "re-triggers the constraint-propagation OOM spiral on "
+            "recompute-after-release (see NOTES_r10)"
+        )
+    finally:
+        cached.release()

@@ -110,3 +110,59 @@ def test_length_batches_trailing_partial_batch(spark):
     for r in out:
         sizes[r["batch_no"]] = sizes.get(r["batch_no"], 0) + 1
     assert sorted(sizes.items()) == [(0, 3), (1, 3), (2, 1)]
+
+
+def test_temperature_mixture_upsamples_small_domains(spark):
+    """alpha=0.5 budgets ∝ √tokens: a domain with 4× the tokens gets
+    only 2× the budget — the small domain is upsampled relative to its
+    natural share. Exact budget math: T_big=4000, T_small=1000 →
+    q=√T·1e6 → budgets 8000·(2/3)≈5333 and 8000·(1/3)≈2667."""
+    from ehr_data_pipeline_spark.operators.mixing import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big", 40) for i in range(300)] + [
+        (1000 + i, "small", 10) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, nt int")
+    out = temperature_mixture_sample(
+        df, "lang", "doc_id", F.col("nt"), total_token_budget=8000
+    ).collect()
+    got = {}
+    for r in out:
+        got[r["domain"]] = got.get(r["domain"], 0) + r["n_tokens"]
+    # T_big=12000, T_small=3000 → √ weights 2:1 → budgets 5333/2667;
+    # each domain lands within one doc of its √-weighted budget
+    assert 5333 <= got["big"] <= 5333 + 40
+    assert 2667 <= got["small"] <= 2667 + 10
+    # the natural (proportional) split of 8000 would be 6400/1600 — the
+    # small domain was upsampled
+    assert got["small"] > 1600
+
+    # deterministic under repartition
+    again = temperature_mixture_sample(
+        df.repartition(7), "lang", "doc_id", F.col("nt"),
+        total_token_budget=8000,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    """alpha=1 (the pow path) reduces to proportional budgets."""
+    from ehr_data_pipeline_spark.operators.mixing import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a", 30) for i in range(50)] + [
+        (100 + i, "b", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, nt int")
+    out = temperature_mixture_sample(
+        df, "lang", "doc_id", F.col("nt"), total_token_budget=1000,
+        alpha=1.0,
+    ).collect()
+    got = {}
+    for r in out:
+        got[r["domain"]] = got.get(r["domain"], 0) + r["n_tokens"]
+    # T_a=1500, T_b=500 → budgets 750/250, within one doc
+    assert 750 <= got["a"] <= 780 and 250 <= got["b"] <= 260

@@ -876,3 +876,36 @@ def test_all_table_buckets_matches_per_table_form(emb):
         "__id", F.explode(old_entries).alias("__b")
     ).select("__id", F.col("__b.t"), F.col("__b.key")).collect()))
     assert got == want and len(got) == base.count() * 5
+
+
+def test_gram_matrix_hand_computed_and_invalid_excluded(spark):
+    """gram[d1][d2] = Σ v[d1]·v[d2] on a hand-computed 3-dim corpus;
+    symmetric; NaN-component vectors are excluded by the embeddings
+    contract rather than aborting the fixed-point cast."""
+    from ehr_data_pipeline_spark.operators.similarity import gram_matrix
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [float("nan"), 1.0, 1.0]),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        (r["d1"], r["d2"]): r["gram"]
+        for r in gram_matrix(df, dim=3).collect()
+    }
+    assert len(got) == 9
+    want = {
+        (0, 0): 1.0, (0, 1): 2.0, (0, 2): 3.0,
+        (1, 0): 2.0, (1, 1): 5.0, (1, 2): 6.0,
+        (2, 0): 3.0, (2, 1): 6.0, (2, 2): 9.0,
+    }
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # symmetry holds on real data too
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = {
+        (r["d1"], r["d2"]): r["gram"]
+        for r in gram_matrix(emb, dim=64).collect()
+    }
+    assert all(g[(a, b)] == g[(b, a)] for (a, b) in g)
