@@ -8,5 +8,6 @@ continuous-aggregate rollups (``temporal``), SCD2 versioned dimensions
 multimodal binary columns (``multimodal``), quality profiling + drift
 monitoring (``quality``), mergeable sketches — count-min, HyperLogLog,
 Bloom (``sketches``), event funnels (``funnel``), training-mixture
-construction (``mixing``), skew mitigation (``skew``), and iterative
-graph algorithms — fixed-point PageRank (``graph``)."""
+construction (``mixing``), corpus cleaning — C4 line filtering +
+paragraph dedup (``cleaning``), skew mitigation (``skew``), and
+iterative graph algorithms — fixed-point PageRank (``graph``)."""
