@@ -100,8 +100,60 @@ def bpe_token_counts(
     (the engine-wide degenerate-document contract)."""
     norm = normalize_text(col)
     base = F.length(F.regexp_replace(norm, " ", ""))
+    if not merge_pairs:
+        # an empty merge table means no merges — guard it explicitly:
+        # "(" + "|".join(()) + ")" would be the regex "()", which matches
+        # the empty string at EVERY position and drives the count negative
+        return base.cast("bigint")
     pattern = "(" + "|".join(merge_pairs) + ")"
     return (base - F.regexp_count(norm, F.lit(pattern))).cast("bigint")
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: "int | None" = None,
+) -> DataFrame:
+    """The distributed statistics pass of BPE vocabulary TRAINING: count
+    every adjacent character pair inside every word of the corpus — the
+    argmax of this table is the pair a BPE trainer merges next, and the
+    merge table ``bpe_token_counts`` consumes is just the first k argmax
+    results of successive rounds. Overlapping occurrences each count
+    ("aaa" contributes two "aa" pairs), matching the standard trainer's
+    adjacency statistics; overlap resolution happens at merge-APPLY
+    time (the leftmost-first rule ``bpe_token_counts`` implements). The
+    sequential merge loop itself is driver-side in every real trainer —
+    the merge table is tiny; THIS counting pass over the corpus is the
+    distributed part, re-invoked per round on the retokenized state.
+
+    Output: ``(pair, n_pairs)``, strongest first under the total order
+    (count desc, pair asc); ``top_k`` bounds it via TakeOrdered.
+
+    Scale: words are BPE-ish pretokens (``word_tokens``), pairs are
+    2-char substrings — two narrow explodes, then one groupBy whose key
+    cardinality is ≤ alphabet² (map-side combine collapses each
+    partition to that many rows before the shuffle)."""
+    pairs = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__w"))
+        # single-char words have no pairs; the filter also guards Spark's
+        # sequence(1, 0), which would COUNT DOWN rather than come back
+        # empty the way DuckDB's range(1, 1) does
+        .filter(F.length("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__w") - 1),
+                    lambda i: F.substring(F.col("__w"), i, 2),
+                )
+            ).alias("pair")
+        )
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+    )
+    return counts.limit(top_k) if top_k is not None else counts
 
 
 def char_class_count(col: Column, char_class: str) -> Column:

@@ -5805,6 +5805,39 @@ def doc_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+      FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM w WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY pair
+    ORDER BY n_pairs DESC, pair ASC
+    LIMIT 32
+    """,
+    tags=("text", "tokenizer", "bpe", "training"),
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed statistics pass of BPE vocabulary training
+    (operators/text_analysis.py bpe_pair_counts): adjacent-character
+    pair counts over every word of the corpus, top-32 under the total
+    order (count desc, pair asc) — the argmax is the pair a trainer
+    merges next, and `bpe_token_counts`' merge table is k rounds of it.
+    Two narrow explodes + one groupBy with ≤ alphabet² keys (map-side
+    combine), bounded output via TakeOrdered."""
+    from ehr_data_pipeline_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=32)
+
+
+@register(
     "doc_temperature_mixture",
     oracle=f"""
     WITH t AS (
@@ -6953,6 +6986,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_incremental_paragraph_dedup",
     "emb_gram_matrix",
     "doc_temperature_mixture",
+    "doc_bpe_pair_counts",
     # --- oracle/plan changed this round (r10: auto-k quantizer +
     #     corpus-scale incremental seeds; minhash sig-length guard;
     #     top-k output cap on the 0.4 LSH diagnostic) ---

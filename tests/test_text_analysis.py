@@ -628,3 +628,45 @@ def test_bigram_lm_stupid_backoff_hand_computed(spark):
     assert abs(got[1][1] - (29069 + 39069) / 20000) < 1e-12
     # doc 3: no transitions -> NULL score
     assert got[3] == (0, None)
+
+
+def test_bpe_pair_counts_hand_computed_and_two_round_composition(spark):
+    """Pair counts on a corpus small enough to count by hand — incl.
+    overlapping runs ('aaa' yields two 'aa' pairs), single-char words
+    (no pairs), digits/symbols as separate pretokens — and the two-round
+    trainer composition: the round-1 argmax extends the merge table that
+    bpe_token_counts consumes, reducing the corpus token count by
+    exactly that pair's NON-overlapping occurrence count."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_pair_counts,
+        bpe_token_counts,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the theft aaa"), (2, "a b the!")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["pair"]: r["n_pairs"] for r in bpe_pair_counts(docs).collect()
+    }
+    # words: the, theft, aaa, a, b, the, '!' ('!' is a 1-char symbol token)
+    assert got["th"] == 3 and got["he"] == 3
+    assert got["aa"] == 2  # overlapping adjacency both counted
+    assert got["ef"] == 1 and got["ft"] == 1
+    assert "a " not in got and "b" not in got  # no cross-word or 1-char pairs
+
+    # round-1 argmax under (count desc, pair asc) is 'he'... tie th/he at
+    # 3 → 'he' wins lexicographically
+    top = bpe_pair_counts(docs, top_k=1).collect()[0]
+    assert (top["pair"], top["n_pairs"]) == ("he", 3)
+
+    # two-round composition: merging 'he' saves one unit per
+    # non-overlapping occurrence (3 here — the, theft, the)
+    before = docs.select(
+        F.sum(bpe_token_counts(F.col("text"), merge_pairs=())).alias("n")
+    ).collect()[0]["n"]
+    after = docs.select(
+        F.sum(bpe_token_counts(F.col("text"), merge_pairs=("he",))).alias("n")
+    ).collect()[0]["n"]
+    assert before - after == 3
