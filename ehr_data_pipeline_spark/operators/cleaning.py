@@ -181,7 +181,6 @@ def _reassemble(
 def build_paragraph_index(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     sep: str = "\n\n",
     fp_col: str = "pfp",
 ) -> DataFrame:

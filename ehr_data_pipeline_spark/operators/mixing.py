@@ -110,7 +110,7 @@ def temperature_mixture_sample(
     total_token_budget: int,
     alpha: float = 0.5,
     salt: str = "mixture",
-    quantize: float = 1e6,
+    quantize: float = 1e9,
 ) -> DataFrame:
     """Temperature-based domain mixture (the mT5/XLM-R reweighting):
     instead of hand-written shares, each domain's budget is proportional
@@ -127,9 +127,18 @@ def temperature_mixture_sample(
     Cross-engine exactness: at the default ``alpha=0.5`` the weight uses
     ``sqrt`` (IEEE-correctly-rounded in every libm, so the quantized
     integer weights are bit-identical in SQL); other alphas go through
-    ``pow``, which is NOT correctly rounded everywhere — the 1e-6
+    ``pow``, which is NOT correctly rounded everywhere — the
     quantization usually absorbs the difference but exact oracle parity
     is only guaranteed at 0.5.
+
+    The quantized weight is RELATIVE: ``round(T_d^α / max_d T_d^α ·
+    quantize)`` — only weight ratios matter, and normalizing by the max
+    before quantizing bounds every integer by ``quantize`` regardless of
+    corpus size (an ABSOLUTE ``round(T^α·1e6)`` overflows int64 around
+    T^α ≈ 9e12, i.e. a 1e13-token domain at α=1 — Spark's non-ANSI cast
+    would silently saturate while the SQL twin errors; the relative form
+    cannot overflow at any scale). The max over the ≤#domains weight
+    frame is the same driver-sized unpartitioned window as Σw below.
 
     Scale: the domain-weight frame is ≤ #domains rows (broadcast both
     ways); the data path is one groupBy(domain) + one window on the
@@ -146,12 +155,18 @@ def temperature_mixture_sample(
         if alpha == 0.5
         else F.pow(F.col("__T").cast("double"), F.lit(float(alpha)))
     )
+    wall0 = Window.partitionBy()
     dom = (
         base.groupBy("domain")
         .agg(F.sum("n_tokens").alias("__T"))
+        .select("domain", t_pow.alias("__p"))
         .select(
             "domain",
-            F.round(t_pow * F.lit(quantize)).cast("bigint").alias("__q"),
+            F.round(
+                F.col("__p") / F.max("__p").over(wall0) * F.lit(quantize)
+            )
+            .cast("bigint")
+            .alias("__q"),
         )
     )
     # Σw over the ≤#domains weight frame: an unpartitioned window over a

@@ -2535,10 +2535,9 @@ def _para_lined_docs(d: DataFrame) -> DataFrame:
     synthetic document as 3-token paragraphs joined with blank lines
     (the corpus has no paragraph structure of its own; 3-token grains
     make ~19% of paragraphs genuine cross-doc repeats)."""
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
-        " ",
-    )
+    from ehr_data_pipeline_spark.operators.text_analysis import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
     n = F.size(toks)
     paras = F.transform(
         F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(3)).cast("int")),
@@ -5845,10 +5844,13 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents
+    ), pw AS (
+      SELECT lang, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS p
+      FROM t GROUP BY lang
     ), dom AS (
       SELECT lang,
-             CAST(round(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
-      FROM t GROUP BY lang
+             CAST(round(p / MAX(p) OVER () * 1000000000.0) AS BIGINT) AS q
+      FROM pw
     ), tot AS (
       SELECT CAST(SUM(q) AS BIGINT) AS qt FROM dom
     ), bud AS (
@@ -5871,8 +5873,9 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture (operators/mixing.py
     temperature_mixture_sample, the mT5/XLM-R p^α reweighting at
     α=0.5): domain budgets derive from the DATA (∝ √domain-tokens,
-    quantized to exact 1e-6 integers — sqrt is correctly rounded in
-    both libms, so the derived budgets replay bit-for-bit in SQL),
+    normalized by the max weight then quantized to exact 1e-9-relative
+    integers — bounded at any corpus size, and sqrt is correctly
+    rounded in both libms, so the derived budgets replay bit-for-bit),
     then the keyed-hash exclusive-prefix-sum cut. Self-contained plan:
     one groupBy(domain), a broadcast ≤#domains budget frame, one
     domain-partitioned window."""

@@ -945,18 +945,29 @@ def paragraph_dedup_maintenance_sink(
                 [spark.read.parquet(f"{index_path}/epoch={e}") for e in prev],
             )
         else:
-            index = build_paragraph_index(
-                batch_df.limit(0), text_col, id_col, sep
-            )
-        cleaned, new_entries = paragraph_dedup_against_index(
+            index = build_paragraph_index(batch_df.limit(0), text_col, sep)
+        cleaned, _new_entries = paragraph_dedup_against_index(
             batch_df, index, text_col, id_col, sep
         )
         cleaned.write.mode("overwrite").parquet(
             f"{clean_path}/epoch={batch_id}"
         )
-        new_entries.write.mode("overwrite").parquet(
-            f"{index_path}/epoch={batch_id}"
-        )
+        # derive the index delta from the MATERIALIZED cleaned epoch
+        # instead of writing the operator's new_entries frame: the two
+        # outputs share the window+index-join lineage, and two separate
+        # write actions would recompute it all twice per microbatch.
+        # The kept paragraphs ARE the paragraphs of the cleaned text
+        # (paragraphs never contain the separator, so the rejoin is
+        # lossless); n_kept > 0 filters the docs whose clean_text = ''
+        # would otherwise contribute a spurious empty paragraph.
+        landed = spark.read.parquet(f"{clean_path}/epoch={batch_id}")
+        build_paragraph_index(
+            landed.filter(F.col("n_kept") > 0).select(
+                F.col("clean_text").alias(text_col)
+            ),
+            text_col,
+            sep,
+        ).write.mode("overwrite").parquet(f"{index_path}/epoch={batch_id}")
 
     return write
 
