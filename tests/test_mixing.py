@@ -166,3 +166,48 @@ def test_temperature_mixture_alpha_one_is_proportional(spark):
         got[r["domain"]] = got.get(r["domain"], 0) + r["n_tokens"]
     # T_a=1500, T_b=500 → budgets 750/250, within one doc
     assert 750 <= got["a"] <= 780 and 250 <= got["b"] <= 260
+
+
+def test_temperature_mixture_weights_bounded_at_huge_token_counts(spark):
+    """Regression for the review finding: the OLD absolute quantization
+    round(T^α·1e6) overflowed int64 near T^α ≈ 9e12 (silent Spark
+    saturation → equal budgets for every large domain). The relative
+    form must keep exact proportional budgets at 1e16-token domains."""
+    from ehr_data_pipeline_spark.operators.mixing import (
+        temperature_mixture_sample,
+    )
+
+    rows = [
+        (1, "a", 4 * 10**15), (2, "a", 4 * 10**15),  # T_a = 8e15
+        (3, "b", 4 * 10**15),                         # T_b = 4e15
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, nt long")
+    out = temperature_mixture_sample(
+        df, "lang", "doc_id", F.col("nt"), total_token_budget=9000,
+        alpha=1.0,
+    ).collect()
+    budgets_hit = {}
+    for r in out:
+        budgets_hit[r["domain"]] = budgets_hit.get(r["domain"], 0) + 1
+    # proportional budgets 6000/3000: domain a's budget (6000) is crossed
+    # by its first 4e15-token doc, so exactly one doc each survives —
+    # under saturation both domains would get 4500 and the result is the
+    # same shape, so assert the WEIGHTS via a finer split instead:
+    assert budgets_hit == {"a": 1, "b": 1}
+    rows2 = [(i, "a", 10**13) for i in range(900)] + [
+        (10000 + i, "b", 10**13) for i in range(300)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id int, lang string, nt long")
+    out2 = temperature_mixture_sample(
+        df2, "lang", "doc_id", F.col("nt"),
+        total_token_budget=120 * 10**13, alpha=1.0,
+    ).collect()
+    got = {}
+    for r in out2:
+        got[r["domain"]] = got.get(r["domain"], 0) + 1
+    # T_a = 9e15, T_b = 3e15 → proportional budgets 90/30 docs' worth
+    # (±1 doc: the budget-crossing doc is included, and the 1e-9 weight
+    # quantization can nudge the budget a hair past an exact doc
+    # boundary); the old absolute form saturated both weights to
+    # Long.MAX → 60/60, far outside these bands
+    assert got["a"] in (90, 91) and got["b"] in (30, 31)
