@@ -915,6 +915,7 @@ def paragraph_dedup_maintenance_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    auto_compact_every: "int | None" = None,
 ):
     """foreachBatch maintainer for CONTINUOUS paragraph dedup — the
     streaming composition of ``cleaning.paragraph_dedup_against_index``
@@ -928,7 +929,16 @@ def paragraph_dedup_maintenance_sink(
     idempotent-epoch replay argument as the near-dedup sink (a replayed
     batch reads the union of index epochs strictly below its own id and
     overwrites its own two directories); compact long-lived indexes
-    with :func:`compact_epochs`."""
+    with :func:`compact_epochs` — or set ``auto_compact_every=K`` to
+    run it from inside the sink whenever the index accumulates ≥ K
+    epochs. Auto-compaction preserves the replay contract by
+    construction: :func:`compact_epochs`' default leaves the NEWEST
+    epoch a pure delta, so the one batch that can replay under the
+    checkpoint still overwrites only its own directory, and every
+    earlier read set (a union) is content-identical after the merge.
+    The same policy drops into the near-dedup/semantic sinks if wanted;
+    it lives here first because the cleaning stream is the highest-
+    epoch-rate sink (every microbatch writes, none are skipped)."""
     from ehr_data_pipeline_spark.operators.cleaning import (
         build_paragraph_index,
         paragraph_dedup_against_index,
@@ -968,6 +978,11 @@ def paragraph_dedup_maintenance_sink(
             text_col,
             sep,
         ).write.mode("overwrite").parquet(f"{index_path}/epoch={batch_id}")
+        if (
+            auto_compact_every is not None
+            and len(_state_epochs(index_path)) >= auto_compact_every
+        ):
+            compact_epochs(spark, index_path)
 
     return write
 
@@ -981,6 +996,7 @@ def run_paragraph_dedup_maintenance(
     text_col: str = "text",
     sep: str = "\n\n",
     timeout_sec: int = 300,
+    auto_compact_every: "int | None" = None,
 ) -> StreamingQuery:
     """Drain the stream's available input through continuous paragraph
     dedup with an ``availableNow`` trigger and a real checkpoint —
@@ -989,7 +1005,8 @@ def run_paragraph_dedup_maintenance(
     query = (
         docs.writeStream.foreachBatch(
             paragraph_dedup_maintenance_sink(
-                index_path, clean_path, id_col, text_col, sep
+                index_path, clean_path, id_col, text_col, sep,
+                auto_compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)

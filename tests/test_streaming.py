@@ -1056,3 +1056,54 @@ def test_paragraph_dedup_stream_matches_sequential_batches(
     paragraph_dedup_maintenance_sink(index_path, clean_path)(late, last)
     got_replay = {r["doc_id"]: r.asDict() for r in read_clean().collect()}
     assert got_replay == want_full
+
+
+def test_paragraph_dedup_auto_compaction_equivalent(checkpointed, tmp_path):
+    """auto_compact_every=2 must be observationally identical to never
+    compacting — same cleaned corpus, same behavior for a later batch
+    against the (now-merged) index — with fewer index epoch dirs."""
+    from ehr_data_pipeline_spark.queries import _para_lined_docs
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        run_paragraph_dedup_maintenance,
+    )
+    from functools import reduce
+
+    spark = checkpointed
+    docs = _para_lined_docs(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    )
+    slices = [
+        docs.filter(F.col("doc_id") < 120),
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240)),
+        docs.filter(F.col("doc_id") >= 240),
+    ]
+
+    def run(tag, auto):
+        src = tmp_path / f"src_{tag}"
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+        ip, cp = str(tmp_path / f"idx_{tag}"), str(tmp_path / f"cln_{tag}")
+        run_paragraph_dedup_maintenance(
+            stream, ip, cp, str(tmp_path / f"ck_{tag}"),
+            auto_compact_every=auto,
+        )
+        parts = [
+            spark.read.parquet(f"{cp}/epoch={e}")
+            for e in sorted(_state_epochs(cp, complete_only=True))
+        ]
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in reduce(lambda a, b: a.unionByName(b), parts).collect()
+        }
+        return rows, len(_state_epochs(ip))
+
+    plain, n_plain = run("plain", None)
+    compacted, n_comp = run("comp", 2)
+    assert compacted == plain
+    assert n_comp < n_plain
