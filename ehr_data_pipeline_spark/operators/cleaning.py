@@ -105,6 +105,96 @@ def c4_line_filter(
     )
 
 
+def _page_words(text_col: str) -> Column:
+    """Distinct lowercase words of a page — the unit the blocklist rule
+    matches on. Word = maximal [a-z0-9]+ run of the lowered text, so
+    matching is whole-word ('class' never triggers a blocklisted 'ass')
+    and case-insensitive; NULL text behaves as '' (no words)."""
+    return F.array_distinct(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+")
+    )
+
+
+def blocklist_hits(text_col: str, blocklist: "tuple[str, ...]") -> Column:
+    """Sorted array of the blocklisted words a page contains (possibly
+    empty) — exposed separately so audits and the filter share one
+    expression. The blocklist travels as a literal array INSIDE the
+    plan (the broadcast-a-small-dim pattern in its cheapest form: C4's
+    published list is ~400 words, a few KB shipped with every task),
+    so the rule stays a narrow zero-shuffle codegen pass like the line
+    rules. Sorted so downstream hashes are partition-independent."""
+    block = F.array(*[F.lit(w.lower()) for w in blocklist])
+    return F.array_sort(F.array_intersect(_page_words(text_col), block))
+
+
+def c4_blocklist_filter(
+    df: DataFrame,
+    blocklist: "tuple[str, ...]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's page-level blocklist rule (Raffel et al. 2020 §2.2: pages
+    containing any word on a blocklist are removed entirely — the
+    'bad words' filter that runs alongside the structural line rules in
+    :func:`c4_line_filter`): drop every document whose text contains
+    any blocklisted WORD (whole-word, case-insensitive — see
+    :func:`_page_words`); all other rows pass through with their
+    columns untouched, plus ``n_words`` (the page's distinct word
+    count) for downstream audits. Multi-word PHRASES are substring
+    semantics, not word semantics — pass those through
+    ``c4_line_filter``'s ``doc_drop_markers`` instead.
+
+    One narrow pass, no shuffle, no UDF; per-word audit counts come
+    from :func:`c4_blocklist_audit` over the same shared expression."""
+    return df.filter(
+        F.size(blocklist_hits(text_col, tuple(blocklist))) == 0
+    ).withColumn(
+        "n_words",
+        F.size(F.array_remove(_page_words(text_col), "")).cast("bigint"),
+    )
+
+
+def c4_blocklist_audit(
+    df: DataFrame,
+    blocklist: "tuple[str, ...]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-rule audit of the blocklist filter: for EVERY blocklisted
+    word, the number of pages it would flag (0 for words the corpus
+    never mentions — each configured rule reports, hit or not) and the
+    total pages dropped by the whole list. Plan: the shared
+    :func:`blocklist_hits` array explodes to (word, page) pairs — at
+    most |blocklist| per page — then one groupBy whose key cardinality
+    is |blocklist|; the zero-hit rows come from a broadcast left join
+    of the blocklist frame, the n_pages_dropped denominator from a
+    scalar cross-joined count. Linear in corpus pages, output bounded
+    by the blocklist size."""
+    spark = df.sparkSession
+    hits = df.select(
+        blocklist_hits(text_col, tuple(blocklist)).alias("__hits")
+    )
+    dropped = hits.filter(F.size("__hits") > 0).agg(
+        F.count(F.lit(1)).alias("n_pages_dropped")
+    )
+    per_word = (
+        hits.select(F.explode("__hits").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    words = spark.createDataFrame(
+        [(w.lower(),) for w in blocklist], "word string"
+    )
+    return (
+        words.join(per_word, "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("n_pages"), F.lit(0)).cast("bigint")
+            .alias("n_pages"),
+        )
+        .crossJoin(F.broadcast(dropped))
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

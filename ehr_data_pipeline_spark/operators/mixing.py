@@ -140,6 +140,20 @@ def temperature_mixture_sample(
     cannot overflow at any scale). The max over the ≤#domains weight
     frame is the same driver-sized unpartitioned window as Σw below.
 
+    Exclusions (ADVICE r10): rows with a NULL domain are DROPPED — the
+    budget frame is built by grouping on the domain, and the data path
+    inner-joins it, so NULL never acquires a budget (the same contract
+    as :func:`domain_mixture_sample`'s whitelist, where an unlisted —
+    including NULL — domain gets no budget; assign a sentinel domain
+    first if unattributed docs should participate). A domain whose
+    relative weight rounds below ``0.5/quantize`` quantizes to weight 0
+    and contributes nothing: at the default ``quantize=1e9`` and
+    α=0.5 that needs a token-count ratio below ~2.5e-19 vs the largest
+    domain — unreachable in practice (a 1-token domain next to a 4e18-
+    token one), and deliberately NOT floored to 1: a floor would give
+    such a vanishing domain a budget of ``total/Σw`` tokens, a far
+    larger distortion than excluding it.
+
     Scale: the domain-weight frame is ≤ #domains rows (broadcast both
     ways); the data path is one groupBy(domain) + one window on the
     domain — identical cost shape to ``domain_mixture_sample``."""

@@ -685,6 +685,7 @@ def near_dedup_maintenance_sink(
     k: int = 4,
     num_hashes: int = 16,
     bands: int = 4,
+    auto_compact_every: "int | None" = None,
 ):
     """foreachBatch maintainer for CONTINUOUS near-dup dedup — the
     streaming composition of ``text_dedup.near_dedup_against_index``:
@@ -715,7 +716,14 @@ def near_dedup_maintenance_sink(
     union the snapshots and duplicate every historical entry.
     Consequence of deltas: every epoch directory is live state —
     compact with :func:`compact_epochs` (merges e₁..e_k into epoch=e_k,
-    equivalent for all future reads), never by deleting deltas."""
+    equivalent for all future reads), never by deleting deltas — or set
+    ``auto_compact_every=K`` to run it from inside the sink whenever the
+    index accumulates ≥ K epochs (replay-safe by construction: the
+    newest epoch stays a pure delta, every earlier read set is
+    content-identical after the merge; proven on the paragraph sink
+    first, same policy). Every batch entry first RESUMES any pending
+    compaction (auto or manual) so a crash mid-compaction can never
+    leave a replayed batch reading a torn merged epoch (ADVICE r10)."""
     from ehr_data_pipeline_spark.operators.text_dedup import (
         build_minhash_index,
         near_dedup_against_index,
@@ -726,6 +734,7 @@ def near_dedup_maintenance_sink(
         from functools import reduce
 
         spark = batch_df.sparkSession
+        _resume_pending_compaction(spark, index_path)
         prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
         if prev:
             index = reduce(
@@ -747,10 +756,72 @@ def near_dedup_maintenance_sink(
             new_entries.write.mode("overwrite").parquet(
                 f"{index_path}/epoch={batch_id}"
             )
+            if (
+                auto_compact_every is not None
+                and len(_state_epochs(index_path)) >= auto_compact_every
+            ):
+                compact_epochs(spark, index_path)
         finally:
             release_builder_caches()
 
     return write
+
+
+def _resume_pending_compaction(spark: SparkSession, state_path: str) -> int:
+    """Finish an INTERRUPTED :func:`compact_epochs` run, or clear its
+    half-written tmp — without planning any new compaction. The crash
+    windows and what each leaves behind:
+
+    - during phase A (tmp union being written; no manifest+_SUCCESS yet):
+      no epoch directory was touched — delete the stale tmp and return 0.
+    - during phase B (target epoch torn, no _SUCCESS) or phase C (some
+      merged deltas deleted, tmp still present): the manifest + complete
+      tmp exist — redo B from the tmp and re-run C. Phase B's redo heals
+      the torn target; C's deletes are idempotent.
+
+    Returns the number of epochs whose merge was completed (0 = nothing
+    pending). Every maintenance sink that reads prior epochs calls this
+    at batch entry (ADVICE r10, medium): a replayed batch lists prev
+    epochs WITHOUT ``complete_only`` (its own read contract), so a torn
+    compaction target below the replaying batch id would otherwise fail
+    the read — or, worse, silently dedup against incomplete history and
+    permanently re-admit previously seen content."""
+    import json
+    import os
+    import shutil
+
+    tmp = os.path.join(state_path, "_compact_tmp")
+    manifest_path = os.path.join(tmp, "_compact_manifest.json")
+    if os.path.exists(manifest_path) and os.path.exists(
+        os.path.join(tmp, "_SUCCESS")
+    ):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        return _finish_compaction(spark, state_path, m["epochs"], m["target"])
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+def _finish_compaction(
+    spark: SparkSession, state_path: str, epochs: "list[int]", target: int
+) -> int:
+    """Phases B+C of :func:`compact_epochs`, re-runnable from the
+    manifest: overwrite the target epoch from the complete tmp union
+    (Spark writes _SUCCESS last, so complete_only readers never see a
+    torn target), then delete the merged smaller epochs, tmp LAST so a
+    crash at any point resumes here."""
+    import os
+    import shutil
+
+    tmp = os.path.join(state_path, "_compact_tmp")
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(
+        f"{state_path}/epoch={target}"
+    )
+    for e in epochs:
+        if e != target:
+            shutil.rmtree(f"{state_path}/epoch={e}", ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(epochs)
 
 
 def compact_epochs(
@@ -792,35 +863,15 @@ def compact_epochs(
     through the same epoch (:func:`compact_bm25_index`)."""
     import json
     import os
-    import shutil
     from functools import reduce
 
     tmp = os.path.join(state_path, "_compact_tmp")
     manifest_path = os.path.join(tmp, "_compact_manifest.json")
 
-    def _finish(epochs: "list[int]", target: int) -> int:
-        # phase B: target epoch <- merged set (Spark overwrite writes
-        # _SUCCESS last, so complete_only readers never see a torn
-        # target; its pre-merge delta is preserved inside tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            f"{state_path}/epoch={target}"
-        )
-        # phase C: merged smaller epochs are now redundant; tmp LAST so
-        # a crash here resumes (B is idempotent from the manifest)
-        for e in epochs:
-            if e != target:
-                shutil.rmtree(f"{state_path}/epoch={e}", ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        return len(epochs)
-
     # resume an interrupted run before planning a new one
-    if os.path.exists(manifest_path) and os.path.exists(
-        os.path.join(tmp, "_SUCCESS")
-    ):
-        with open(manifest_path) as f:
-            m = json.load(f)
-        return _finish(m["epochs"], m["target"])
-    shutil.rmtree(tmp, ignore_errors=True)
+    resumed = _resume_pending_compaction(spark, state_path)
+    if resumed:
+        return resumed
 
     complete = sorted(_state_epochs(state_path, complete_only=True))
     if through_epoch is None:
@@ -838,7 +889,7 @@ def compact_epochs(
     merged.write.mode("overwrite").parquet(tmp)
     with open(manifest_path, "w") as f:
         json.dump({"epochs": complete, "target": target}, f)
-    return _finish(complete, target)
+    return _finish_compaction(spark, state_path, complete, target)
 
 
 def compact_bm25_index(
@@ -890,6 +941,7 @@ def run_near_dedup_maintenance(
     text_col: str = "text",
     threshold: float = 0.6,
     timeout_sec: int = 300,
+    auto_compact_every: "int | None" = None,
 ) -> StreamingQuery:
     """Drain the stream's available input through continuous near-dup
     dedup with an ``availableNow`` trigger and a real checkpoint —
@@ -898,7 +950,8 @@ def run_near_dedup_maintenance(
     query = (
         docs.writeStream.foreachBatch(
             near_dedup_maintenance_sink(
-                index_path, fresh_path, id_col, text_col, threshold
+                index_path, fresh_path, id_col, text_col, threshold,
+                auto_compact_every=auto_compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -936,9 +989,14 @@ def paragraph_dedup_maintenance_sink(
     epoch a pure delta, so the one batch that can replay under the
     checkpoint still overwrites only its own directory, and every
     earlier read set (a union) is content-identical after the merge.
-    The same policy drops into the near-dedup/semantic sinks if wanted;
-    it lives here first because the cleaning stream is the highest-
-    epoch-rate sink (every microbatch writes, none are skipped)."""
+    The same policy now covers the near-dedup/semantic/BM25 sinks too.
+    Every batch entry first RESUMES any pending compaction (auto or
+    manual): a crash during :func:`compact_epochs`' phase B leaves a
+    torn merged epoch BELOW the replaying batch id, and the replayed
+    batch's prev listing (no ``complete_only`` — its own read contract)
+    would otherwise fail on it or silently dedup against incomplete
+    history, permanently re-admitting previously seen paragraphs
+    (ADVICE r10, medium)."""
     from ehr_data_pipeline_spark.operators.cleaning import (
         build_paragraph_index,
         paragraph_dedup_against_index,
@@ -948,6 +1006,7 @@ def paragraph_dedup_maintenance_sink(
         from functools import reduce
 
         spark = batch_df.sparkSession
+        _resume_pending_compaction(spark, index_path)
         prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
         if prev:
             index = reduce(
@@ -1025,6 +1084,7 @@ def semantic_dedup_maintenance_sink(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: "int | None" = None,
+    auto_compact_every: "int | None" = None,
 ):
     """foreachBatch maintainer for CONTINUOUS semantic dedup — the
     streaming composition of ``similarity.semantic_dedup_against_index``,
@@ -1056,7 +1116,9 @@ def semantic_dedup_maintenance_sink(
     path means deleting all but its highest epoch first (see
     :func:`near_dedup_maintenance_sink`). Every epoch directory is live
     state — compact with :func:`compact_epochs`, never by deleting
-    deltas."""
+    deltas — or set ``auto_compact_every=K`` (replay-safe: the newest
+    epoch stays a pure delta, see the near-dedup sink). Batch entry
+    resumes any pending compaction first (ADVICE r10)."""
     from ehr_data_pipeline_spark.operators.similarity import (
         semantic_dedup_against_index,
     )
@@ -1068,6 +1130,7 @@ def semantic_dedup_maintenance_sink(
         from functools import reduce
 
         spark = batch_df.sparkSession
+        _resume_pending_compaction(spark, index_path)
         prev = sorted(e for e in _state_epochs(index_path) if e < batch_id)
         if prev:
             index = reduce(
@@ -1086,6 +1149,11 @@ def semantic_dedup_maintenance_sink(
             new_entries.write.mode("overwrite").parquet(
                 f"{index_path}/epoch={batch_id}"
             )
+            if (
+                auto_compact_every is not None
+                and len(_state_epochs(index_path)) >= auto_compact_every
+            ):
+                compact_epochs(spark, index_path)
         finally:
             release_builder_caches()
 
@@ -1103,6 +1171,7 @@ def run_semantic_dedup_maintenance(
     threshold: float = 0.4,
     dim: "int | None" = None,
     timeout_sec: int = 300,
+    auto_compact_every: "int | None" = None,
 ) -> StreamingQuery:
     """Drain the stream's available input through continuous semantic
     dedup with an ``availableNow`` trigger and a real checkpoint —
@@ -1114,7 +1183,7 @@ def run_semantic_dedup_maintenance(
         vectors.writeStream.foreachBatch(
             semantic_dedup_maintenance_sink(
                 index_path, fresh_path, centroids, id_col, vec_col,
-                threshold, dim,
+                threshold, dim, auto_compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1179,6 +1248,7 @@ def bm25_index_maintenance_sink(
     lengths_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_every: "int | None" = None,
 ):
     """foreachBatch maintainer for the CONTINUOUS BM25 inverted index —
     the streaming composition of ``text_analysis.bm25_index_build``,
@@ -1193,10 +1263,18 @@ def bm25_index_maintenance_sink(
     accumulated state — exactly BM25 over everything ingested so far.
     Compact long-lived indexes with :func:`compact_bm25_index` (both
     tables through the same epoch — the reader intersects their
-    complete-epoch sets)."""
+    complete-epoch sets) — or set ``auto_compact_every=K`` to run it
+    from inside the sink once ≥ K epochs are complete in both tables
+    (replay-safe: the newest shared epoch stays a pure delta). Batch
+    entry resumes any pending compaction on BOTH tables first, so a
+    crash mid-compaction cannot leave the reader's intersection
+    silently missing a merged epoch's history (ADVICE r10)."""
     from ehr_data_pipeline_spark.operators.text_analysis import bm25_index_build
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _resume_pending_compaction(spark, postings_path)
+        _resume_pending_compaction(spark, lengths_path)
         postings, lengths = bm25_index_build(batch_df, id_col, text_col)
         # lengths FIRST: the intersection reader is already torn-proof;
         # this order additionally softens a torn epoch for a naive
@@ -1210,6 +1288,12 @@ def bm25_index_maintenance_sink(
         postings.write.mode("overwrite").parquet(
             f"{postings_path}/epoch={batch_id}"
         )
+        if auto_compact_every is not None:
+            shared = set(
+                _state_epochs(postings_path, complete_only=True)
+            ) & set(_state_epochs(lengths_path, complete_only=True))
+            if len(shared) >= auto_compact_every:
+                compact_bm25_index(spark, postings_path, lengths_path)
 
     return write
 
@@ -1260,6 +1344,7 @@ def run_bm25_index_maintenance(
     id_col: str = "doc_id",
     text_col: str = "text",
     timeout_sec: int = 300,
+    auto_compact_every: "int | None" = None,
 ) -> StreamingQuery:
     """Drain the stream's available input into the maintained BM25
     index with an ``availableNow`` trigger and a real checkpoint —
@@ -1268,7 +1353,8 @@ def run_bm25_index_maintenance(
     query = (
         docs.writeStream.foreachBatch(
             bm25_index_maintenance_sink(
-                postings_path, lengths_path, id_col, text_col
+                postings_path, lengths_path, id_col, text_col,
+                auto_compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)

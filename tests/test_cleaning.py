@@ -199,3 +199,67 @@ class TestParagraphDedupAgainstIndex:
         # degenerates to within-batch dedup
         assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == "a b"
         assert new_entries.count() == 1
+
+
+class TestC4BlocklistFilter:
+    """Rule-isolation tests for the page-level blocklist (VERDICT r10
+    #6): whole-word matching, case-insensitivity, NULL text, the
+    passthrough contract, and per-word audit counts."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a clean page about spark joins and windows."),
+                # whole-word: 'class' must NOT trigger blocklisted 'ass'
+                (2, "the class hierarchy is documented here."),
+                # case-insensitive hit
+                (3, "BADWORD appears loudly in this page."),
+                # hit embedded in punctuation still a word hit
+                (4, "ends with badword."),
+                # substring of a longer word is NOT a hit
+                (5, "notbadwordhere is one token and survives."),
+                # multiple distinct hits on one page -> dropped once,
+                # audited once per word
+                (6, "badword and ass together."),
+                (7, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_whole_word_case_insensitive_drop(self, spark):
+        from ehr_data_pipeline_spark.operators.cleaning import (
+            c4_blocklist_filter,
+        )
+
+        out = _rows(c4_blocklist_filter(self._docs(spark), ("badword", "ass")))
+        assert set(out) == {1, 2, 5, 7}
+        # passthrough: original columns intact, n_words appended
+        assert out[2]["text"] == "the class hierarchy is documented here."
+        assert out[7]["text"] is None and out[7]["n_words"] == 0
+        assert out[1]["n_words"] == 8  # distinct words, '' excluded
+
+    def test_audit_counts_per_rule(self, spark):
+        from ehr_data_pipeline_spark.operators.cleaning import (
+            c4_blocklist_audit,
+        )
+
+        rows = {
+            r["word"]: r.asDict()
+            for r in c4_blocklist_audit(
+                self._docs(spark), ("badword", "ass", "unseen")
+            ).collect()
+        }
+        assert set(rows) == {"badword", "ass", "unseen"}
+        assert rows["badword"]["n_pages"] == 3  # docs 3, 4, 6
+        assert rows["ass"]["n_pages"] == 1      # doc 6 only (not 'class')
+        assert rows["unseen"]["n_pages"] == 0   # configured rule, no hits
+        # docs 3, 4, 6 dropped — doc 6 counted once despite two hits
+        assert all(r["n_pages_dropped"] == 3 for r in rows.values())
+
+    def test_blocklist_uppercase_config_normalized(self, spark):
+        from ehr_data_pipeline_spark.operators.cleaning import (
+            c4_blocklist_filter,
+        )
+
+        out = _rows(c4_blocklist_filter(self._docs(spark), ("BadWord",)))
+        assert set(out) == {1, 2, 5, 7}  # config word lowercased first

@@ -211,3 +211,28 @@ def test_temperature_mixture_weights_bounded_at_huge_token_counts(spark):
     # boundary); the old absolute form saturated both weights to
     # Long.MAX → 60/60, far outside these bands
     assert got["a"] in (90, 91) and got["b"] in (30, 31)
+
+
+def test_temperature_mixture_drops_null_domain_rows(spark):
+    """Pins the documented exclusion (ADVICE r10): rows with a NULL
+    domain never acquire a budget (the budget frame groups on domain and
+    the data path inner-joins it), so they are absent from the output —
+    and their tokens do not distort any named domain's budget."""
+    from ehr_data_pipeline_spark.operators.mixing import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "a", "t " * 9 + "t") for i in range(4)]
+        + [(10 + i, "b", "t " * 9 + "t") for i in range(4)]
+        + [(20 + i, None, "t " * 9 + "t") for i in range(3)]
+    )
+    out = temperature_mixture_sample(
+        _corpus(spark, rows),
+        domain_col="dom",
+        id_col="doc_id",
+        token_count=_tokens(),
+        total_token_budget=1_000,  # over-budget: every joined row kept
+    ).collect()
+    assert {r["domain"] for r in out} == {"a", "b"}
+    assert {r["doc_id"] for r in out} == set(range(4)) | set(range(10, 14))

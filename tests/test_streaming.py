@@ -1107,3 +1107,210 @@ def test_paragraph_dedup_auto_compaction_equivalent(checkpointed, tmp_path):
     compacted, n_comp = run("comp", 2)
     assert compacted == plain
     assert n_comp < n_plain
+
+
+def test_auto_compaction_equivalent_on_neardup_and_semantic_sinks(
+    checkpointed, tmp_path
+):
+    """VERDICT r10 #3: ``auto_compact_every`` rolled out from the
+    paragraph sink to the near-dedup and semantic maintenance sinks must
+    be observationally identical to never compacting — same admitted
+    corpus and index content (including after a replay of the newest
+    batch id, the only replayable one), with fewer index epoch dirs."""
+    import os
+
+    from ehr_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        near_dedup_maintenance_sink,
+        read_near_dedup_fresh,
+        semantic_dedup_maintenance_sink,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(
+        emb.filter(F.col("vec_id") < 150), n_list=4, n_iters=0, dim=64
+    )
+
+    def doc_slices():
+        return [
+            docs.filter(F.col("doc_id") < 100),
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+            docs.filter(F.col("doc_id") >= 300),
+        ]
+
+    def emb_slices():
+        return [
+            emb.filter(F.col("vec_id") < 100),
+            emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)),
+            emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)),
+            emb.filter(F.col("vec_id") >= 300),
+        ]
+
+    def drive(make_sink, slices, root, idx_id_col):
+        index_path, fresh_path = str(root / "idx"), str(root / "fresh")
+        sink = make_sink(index_path, fresh_path)
+        for bid, sl in enumerate(slices):
+            sink(sl, bid)
+        sink(slices[-1], len(slices) - 1)  # replay newest
+        idx = sorted(
+            map(tuple, spark.read.parquet(f"{index_path}/epoch=*")
+                .select(idx_id_col).collect())
+        )
+        fresh = sorted(
+            map(tuple,
+                read_near_dedup_fresh(spark, fresh_path)
+                .select(slices[0].columns[0]).collect())
+        )
+        n_dirs = len(
+            [d for d in os.listdir(index_path) if d.startswith("epoch=")]
+        )
+        return idx, fresh, n_dirs
+
+    # near-dedup sink
+    plain = drive(
+        lambda ip, fp: near_dedup_maintenance_sink(ip, fp),
+        doc_slices(), tmp_path / "nd_plain", "id",
+    )
+    comp = drive(
+        lambda ip, fp: near_dedup_maintenance_sink(
+            ip, fp, auto_compact_every=2
+        ),
+        doc_slices(), tmp_path / "nd_comp", "id",
+    )
+    assert comp[0] == plain[0] and comp[1] == plain[1]
+    assert comp[2] < plain[2]
+
+    # semantic sink
+    plain = drive(
+        lambda ip, fp: semantic_dedup_maintenance_sink(ip, fp, cents, dim=64),
+        emb_slices(), tmp_path / "sd_plain", "vec_id",
+    )
+    comp = drive(
+        lambda ip, fp: semantic_dedup_maintenance_sink(
+            ip, fp, cents, dim=64, auto_compact_every=2
+        ),
+        emb_slices(), tmp_path / "sd_comp", "vec_id",
+    )
+    assert comp[0] == plain[0] and comp[1] == plain[1]
+    assert comp[2] < plain[2]
+
+
+def test_auto_compaction_equivalent_on_bm25_sink(checkpointed, tmp_path):
+    """``auto_compact_every`` on the BM25 sink compacts BOTH tables
+    through the same epoch from inside the sink; scores must be
+    unchanged vs never compacting, incl. after a newest-batch replay."""
+    import os
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_search_against_index,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        bm25_index_maintenance_sink,
+        read_bm25_index,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        for lo in range(0, 300, 100)
+    ] + [docs.filter(F.col("doc_id") >= 300)]
+    terms = ["hash", "join", "stream"]
+
+    def drive(root, auto):
+        pp, lp = str(root / "post"), str(root / "len")
+        sink = bm25_index_maintenance_sink(pp, lp, auto_compact_every=auto)
+        for bid, b in enumerate(batches):
+            sink(b, bid)
+        sink(batches[-1], len(batches) - 1)  # replay newest
+        p, l = read_bm25_index(spark, pp, lp)
+        scores = sorted(
+            map(tuple, bm25_search_against_index(p, l, terms).collect())
+        )
+        n_dirs = len([d for d in os.listdir(pp) if d.startswith("epoch=")])
+        n_dirs_l = len([d for d in os.listdir(lp) if d.startswith("epoch=")])
+        return scores, n_dirs, n_dirs_l
+
+    plain = drive(tmp_path / "plain", None)
+    comp = drive(tmp_path / "comp", 3)
+    assert comp[0] == plain[0]
+    assert comp[1] < plain[1] and comp[2] < plain[2]
+
+
+def test_sink_entry_heals_torn_phase_b_compaction(checkpointed, tmp_path):
+    """ADVICE r10 (medium): a crash during compact_epochs' phase B
+    leaves a torn merged epoch BELOW the replaying batch id; the
+    replayed batch lists prev epochs WITHOUT complete_only, so before
+    the fix it either failed the read or silently deduped against
+    incomplete history (re-admitting previously seen paragraphs). The
+    sink must resume the pending compaction at entry and produce
+    exactly the no-crash result."""
+    import json
+    import os
+    import shutil
+    from functools import reduce
+
+    from ehr_data_pipeline_spark.queries import _para_lined_docs
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        paragraph_dedup_maintenance_sink,
+    )
+
+    spark = checkpointed
+    docs = _para_lined_docs(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    )
+    slices = [
+        docs.filter(F.col("doc_id") < 120),
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240)),
+        docs.filter(F.col("doc_id") >= 240),
+    ]
+
+    def read_clean(cp):
+        parts = [
+            spark.read.parquet(f"{cp}/epoch={e}")
+            for e in sorted(_state_epochs(cp, complete_only=True))
+        ]
+        return {
+            r["doc_id"]: r.asDict()
+            for r in reduce(lambda a, b: a.unionByName(b), parts).collect()
+        }
+
+    # no-crash reference run (replay of the newest batch included)
+    ip0, cp0 = str(tmp_path / "ref_idx"), str(tmp_path / "ref_cln")
+    sink0 = paragraph_dedup_maintenance_sink(ip0, cp0)
+    for bid, sl in enumerate(slices):
+        sink0(sl, bid)
+    sink0(slices[-1], 2)
+    want = read_clean(cp0)
+
+    # crashing run: batches 0..2, then a compaction of epochs [0, 1]
+    # that dies mid-phase-B, tearing target epoch=1
+    ip, cp = str(tmp_path / "idx"), str(tmp_path / "cln")
+    sink = paragraph_dedup_maintenance_sink(ip, cp)
+    for bid, sl in enumerate(slices):
+        sink(sl, bid)
+    tmp = os.path.join(ip, "_compact_tmp")
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(f"{ip}/epoch={e}") for e in (0, 1)],
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_compact_manifest.json"), "w") as f:
+        json.dump({"epochs": [0, 1], "target": 1}, f)
+    # tear the target: phase B's overwrite cleared it but never finished
+    shutil.rmtree(f"{ip}/epoch=1")
+    os.makedirs(f"{ip}/epoch=1")
+
+    # replay of the newest batch (the only replayable one) must heal
+    # the torn epoch from the tmp before reading prev
+    sink(slices[-1], 2)
+    assert not os.path.exists(tmp)
+    assert os.path.exists(os.path.join(f"{ip}/epoch=1", "_SUCCESS"))
+    assert not os.path.exists(f"{ip}/epoch=0")  # merged into epoch=1
+    assert read_clean(cp) == want

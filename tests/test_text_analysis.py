@@ -670,3 +670,66 @@ def test_bpe_pair_counts_hand_computed_and_two_round_composition(spark):
         F.sum(bpe_token_counts(F.col("text"), merge_pairs=("he",))).alias("n")
     ).collect()[0]["n"]
     assert before - after == 3
+
+
+def test_bpe_trainer_rounds_hand_computed(spark):
+    """Generalizes the two-round composition test to the full k-round
+    trainer (VERDICT r10 #5): on a hand-computed corpus the learned
+    merge table, selection-time counts, and post-merge token totals are
+    all known by eye — including a tie broken by the (l asc, r asc)
+    total order, a round whose argmax pair has a MERGED symbol as its
+    left element (the retokenizer working on round-k state, not
+    characters), and an overlapping-run merge ('aaa' has two 'aa'
+    adjacencies but only ONE leftmost non-overlapping application)."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_initial_state,
+        bpe_pair_counts,
+        bpe_symbol_pair_counts,
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the theft aaa"), (2, "a b the!")],
+        "doc_id int, text string",
+    )
+
+    # round-1 symbol pairs ARE the character pairs — the two counting
+    # passes agree on the initial state
+    sym = {
+        (r["l"] + r["r"]): r["n_pairs"]
+        for r in bpe_symbol_pair_counts(bpe_initial_state(docs)).collect()
+    }
+    chr_pairs = {
+        r["pair"]: r["n_pairs"] for r in bpe_pair_counts(docs).collect()
+    }
+    assert sym == chr_pairs
+
+    got = [
+        tuple(r)
+        for r in bpe_trainer_rounds(docs, n_rounds=3)
+        .orderBy("round")
+        .collect()
+    ]
+    # words: the, theft, aaa, a, b, the, '!' -> 17 initial symbols
+    # r1: th=3, he=3 tie -> 'h'<'t' picks (h,e); 3 applications -> 14
+    # r2: (t,he)=3 from both 'the's and 'theft' -> merged left operand
+    #     in round 3's state; 3 applications -> 11
+    # r3: (a,a)=2 overlapping adjacencies, ONE leftmost application -> 10
+    assert got == [
+        (1, "h", "e", "he", 3, 14),
+        (2, "t", "he", "the", 3, 11),
+        (3, "a", "a", "aa", 2, 10),
+    ]
+
+
+def test_bpe_trainer_stops_when_no_pairs_remain(spark):
+    """A corpus of single-character words has no adjacencies — the
+    trainer returns an empty merge table rather than looping."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id int, text string"
+    )
+    assert bpe_trainer_rounds(docs, n_rounds=2).count() == 0
