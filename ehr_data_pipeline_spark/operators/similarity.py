@@ -661,8 +661,14 @@ def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
 # dim), the interpreted HOF argmin dominates wall (NOTES_r09 §HOF:
 # array lambdas are CodegenFallback, ~0.1 ms per ~12k mults) and the
 # Arrow assignment twin takes over. Below it, the native expression
-# keeps the plan UDF-free (the driver-gate configs all sit below).
-_ARROW_ASSIGN_THRESHOLD = 4096
+# keeps the plan UDF-free (the driver-gate configs all sit below:
+# sf0.01 lands k=8·dim=64 = 512). Lowered 4096 → 2048 in r11 after
+# measuring the crossover directly at the sf0.1 bench config (k=32,
+# dim=64, 2000 reps): native 2.74 s vs Arrow 0.56 s on local[32] —
+# the interpreter tax already dominates well below the old threshold,
+# and the Arrow twin is bit-identical by construction
+# (test_arrow_assignment_matches_native).
+_ARROW_ASSIGN_THRESHOLD = 2048
 
 
 def _assign_cells_arrow(
@@ -962,7 +968,22 @@ def semantic_dedup(
     if persist_groups:
         mem = _persist_tracked(mem)
     if n_clusters is None:
-        n_reps = mem.where(F.col("__id") == F.col("__rid")).count()
+        # exact distinct-vector count as ONE map-side-partial aggregate
+        # over the source scan — NOT a count over the group frame, which
+        # forced mem's window shuffle to materialize serially before any
+        # other work (VERDICT r10 #4; measured 0.79 s vs 0.53 s at
+        # sf0.1, and mem now first materializes inside the assignment
+        # job, overlapped with the rest of the plan). This is also
+        # EXACTLY the oracle's expression — COUNT(DISTINCT vec) over the
+        # validity-guarded rows — where the group-frame count diverged
+        # on the (schema-degenerate) case of duplicate ids carrying
+        # distinct vectors. The exact count stays the k source: approx
+        # would break the oracle's replay of the derivation.
+        n_reps = (
+            df.where(F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim))
+            .agg(F.countDistinct(vec_col).alias("__n"))
+            .collect()[0]["__n"]
+        )
         n_clusters = auto_n_clusters(n_reps, target_cluster_size)
     centroids = train_ivf_centroids(df, n_clusters, n_iters, id_col, vec_col, dim)
     if not centroids:

@@ -286,6 +286,43 @@ def bpe_trainer_rounds(
     )
 
 
+def bpe_trained_token_count(
+    col: Column,
+    merges: "tuple[tuple[str, str], ...]",
+    sep: str = BPE_SEP,
+) -> Column:
+    """Per-document token count under a TRAINED merge table — the
+    apply side of :func:`bpe_trainer_rounds`, generalizing the
+    single-round :func:`bpe_token_counts` to k ORDERED merges over
+    symbol states: each word rebuilds as its ``sep``-joined character
+    state, the merges apply IN TRAINING ORDER as chained leftmost
+    non-overlapping replaces (the same one-scan ``replace`` semantics
+    the trainer's retokenizer uses, so counting is bit-faithful to the
+    state the trainer would reach), and the count is the total
+    surviving symbols. Later merges see earlier merges' fused symbols —
+    e.g. the table [(h,e), (t,he)] turns 'the' into ONE token, which no
+    single-round pair table can express. NULL text counts 0 (the
+    engine-wide degenerate-document contract).
+
+    All native expressions (split/transform/replace/aggregate) in one
+    narrow pass — no shuffle, no UDF; the merge table is a few literals
+    inside the plan. Cost is O(k · chars) per document, the same as any
+    real tokenizer's merge loop."""
+    words = word_tokens(col)
+
+    def count_word(w: Column) -> Column:
+        state = F.array_join(F.split(w, ""), sep)
+        for l, r in merges:
+            state = F.replace(state, F.lit(l + sep + r), F.lit(l + r))
+        return F.size(F.split(state, sep))
+
+    return F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + count_word(w).cast("bigint"),
+    )
+
+
 def char_class_count(col: Column, char_class: str) -> Column:
     """#chars matching a regex character class, via strip-and-measure
     (global regexp_replace keeps this JVM-side and DuckDB-parity-exact)."""

@@ -3930,9 +3930,12 @@ def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _t(spark, sf_dir, "embeddings")
     history = emb.filter(F.col("vec_id") < 25)
     batch = emb.filter(F.col("vec_id") >= 25)
+    # one map-side-partial COUNT(DISTINCT) over the scan — the same
+    # folded derivation as semantic_dedup's auto-k (VERDICT r10 #4),
+    # and exactly the oracle's expression
     n_reps = (
         emb.where(F.col("vec_id").isNotNull() & valid_vector(F.col("embedding"), 64))
-        .select("embedding").distinct().count()
+        .agg(F.countDistinct("embedding").alias("__n")).collect()[0]["__n"]
     )
     k = auto_n_clusters(n_reps, target_cluster_size=64)
     cents = train_ivf_centroids(emb, n_list=k, n_iters=0, dim=64)
@@ -5956,6 +5959,71 @@ def _bpe_trainer_oracle(n_rounds: int) -> str:
     """
 
 
+def _bpe_trained_counts_oracle(n_rounds: int = 3) -> str:
+    """Per-document token counts under the table the 3-round trainer
+    learns: the same chained round CTEs derive m1..mk, then every
+    document's words rebuild as symbol states and the merges apply in
+    training order as chained replaces (lambdas reference the
+    cross-joined one-row merge CTEs)."""
+    rounds = "".join(_bpe_round_sql(i) for i in range(1, n_rounds + 1))
+    inner = "array_to_string(string_split(w, ''), chr(31))"
+    for i in range(1, n_rounds + 1):
+        inner = (f"replace({inner}, m{i}.l || chr(31) || m{i}.r, "
+                 f"m{i}.l || m{i}.r)")
+    joins = " ".join(f"CROSS JOIN m{i}" for i in range(1, n_rounds + 1))
+    return f"""
+    WITH w0 AS (
+      SELECT unnest(regexp_extract_all(
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+      FROM documents
+    ), s0 AS (
+      SELECT array_to_string(string_split(w, ''), chr(31)) AS syms FROM w0
+    ){rounds}
+    SELECT d.doc_id,
+           CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(trim(regexp_replace(lower(coalesce(d.text, '')), '\\s+', ' ', 'g')),
+                                '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+             w -> len(string_split({inner}, chr(31))))), 0) AS BIGINT)
+             AS n_tokens
+    FROM documents d {joins}
+    """
+
+
+@register(
+    "doc_bpe_trained_token_counts",
+    oracle=_bpe_trained_counts_oracle(3),
+    tags=("text", "tokenizer", "bpe", "training"),
+)
+def doc_bpe_trained_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of distributed BPE training
+    (operators/text_analysis.py bpe_trained_token_count): train the
+    3-round merge table on the corpus, then count every document's
+    tokens under it — merges applied IN TRAINING ORDER over symbol
+    states, so later merges consume earlier merges' fused symbols
+    (e.g. (h,e) then (t,he) makes 'the' ONE token — inexpressible in
+    the single-round pair table `bpe_token_counts` consumes). The sum
+    of the per-doc counts equals the trainer's final
+    corpus_tokens_after by construction — the train→apply loop closed
+    and cross-checked. Counting is one narrow pass with the learned
+    table as plan literals; training contributes its three bounded-key
+    groupBys."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trained_token_count,
+        bpe_trainer_rounds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = tuple(
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_trainer_rounds(d, n_rounds=3).orderBy("round").collect()
+    )
+    return d.select(
+        "doc_id",
+        bpe_trained_token_count(F.col("text"), merges).alias("n_tokens"),
+    )
+
+
 @register(
     "doc_bpe_trainer_rounds",
     oracle=_bpe_trainer_oracle(3),
@@ -7115,7 +7183,10 @@ del _n, _s
 # row) and the two semantic-dedup entries whose auto-k derivation
 # changed (the n_reps count is now folded into the group-frame persist
 # instead of a separate job), so each change gets independent driver
-# confirmation: exactly one 50-slot window. Trade-off, made explicitly:
+# confirmation: 51 entries for the 50-slot window, ordered new →
+# changed → stale so the one overflow is the LAST stale entry
+# (validator_parity_report — r8-green, unchanged since), which heads
+# r12's list instead. Trade-off, made explicitly:
 # the queries this demotes past slot 50 lose DRIVER regression coverage
 # for the round, but every registry entry still runs against the
 # identical DuckDB oracle in tests/test_queries_oracle.py (the
@@ -7127,6 +7198,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_c4_blocklist_filter",
     "doc_c4_blocklist_audit",
     "doc_bpe_trainer_rounds",
+    "doc_bpe_trained_token_counts",
     # --- plan changed this round (auto-k n_reps derivation folded) ---
     "emb_semantic_dedup",
     "emb_incremental_semantic_dedup",

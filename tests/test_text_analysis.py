@@ -733,3 +733,41 @@ def test_bpe_trainer_stops_when_no_pairs_remain(spark):
         [(1, "a b c"), (2, None)], "doc_id int, text string"
     )
     assert bpe_trainer_rounds(docs, n_rounds=2).count() == 0
+
+
+def test_bpe_trained_token_count_order_sensitive_and_cross_checked(spark):
+    """The apply side of BPE training: merges apply IN ORDER over symbol
+    states ([(h,e), (t,he)] makes 'the' ONE token; the reversed order
+    cannot — (t,he) fires before any 'he' symbol exists), the empty
+    table counts plain characters, and the per-doc counts sum to the
+    trainer's own final corpus_tokens_after on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trained_token_count,
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the theft aaa"), (2, None)], "doc_id int, text string"
+    )
+
+    def counts(merges):
+        return {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id",
+                bpe_trained_token_count(F.col("text"), merges).alias("n"),
+            ).collect()
+        }
+
+    # the=3, theft=5, aaa=3 chars; NULL doc counts 0
+    assert counts(()) == {1: 11, 2: 0}
+    # (h,e) then (t,he): the->1, theft->the|f|t=3, aaa->3
+    assert counts((("h", "e"), ("t", "he"))) == {1: 7, 2: 0}
+    # reversed order: (t,he) is a no-op on character states, then (h,e)
+    assert counts((("t", "he"), ("h", "e"))) == {1: 9, 2: 0}
+
+    trained = bpe_trainer_rounds(docs, n_rounds=2).orderBy("round").collect()
+    merges = tuple((r["merge_left"], r["merge_right"]) for r in trained)
+    assert sum(counts(merges).values()) == trained[-1]["corpus_tokens_after"]
