@@ -2492,6 +2492,97 @@ _BLOCKLIST = ("dup", "quasar")
 
 
 @register(
+    "doc_curation_cleaning",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + 6) // 7), i ->
+               array_to_string(toks[7 * i + 1 : 7 * i + 7], ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                    WHEN (doc_id + i) % 3 = 1 THEN '!'
+                    ELSE '' END) AS lines
+      FROM t
+    ), lt AS (
+      SELECT doc_id,
+             array_to_string(lines, chr(10))
+             || CASE WHEN doc_id % 97 = 0
+                     THEN chr(10) || 'this page contains lorem ipsum filler.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 89 = 0
+                     THEN chr(10) || 'function f() { return 1; }'
+                     ELSE '' END AS text2
+      FROM l
+    ), blocked AS (
+      SELECT doc_id, text2 FROM lt
+      WHERE NOT list_has_any(
+        list_distinct(string_split_regex(lower(text2), '[^a-z0-9]+')),
+        ['dup', 'quasar'])
+    ), f AS (
+      SELECT doc_id, text2,
+             list_filter(string_split(text2, chr(10)), x ->
+               regexp_matches(x, '[.!?"]$')
+               AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM blocked
+    ), survivors AS (
+      SELECT doc_id, array_to_string(kept, chr(10)) AS ct
+      FROM f
+      WHERE NOT contains(lower(text2), 'lorem ipsum')
+        AND NOT contains(text2, '{')
+        AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+    ), e AS (
+      SELECT doc_id, UNNEST(range(0, len(paras))) AS idx, paras
+      FROM (SELECT doc_id, string_split(ct, chr(10)) AS paras FROM survivors)
+    ), p AS (
+      SELECT doc_id, idx, paras[idx + 1] AS para FROM e
+    ), r AS (
+      SELECT doc_id, idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) ORDER BY idx), '') AS clean_text
+    FROM r GROUP BY doc_id
+    """,
+    tags=("text", "cleaning", "c4", "dedup", "composition"),
+)
+def doc_curation_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH twin of the continuous curation funnel's cleaning
+    stages (streaming.curation_maintenance_sink), driver-gated as one
+    composed plan: page-level blocklist drop (whole-word,
+    case-insensitive) → C4 line rules → corpus-wide paragraph dedup at
+    surviving-line granularity, over the deterministic lined-corpus
+    fixture. The oracle chains the three stages' SQL twins, so the
+    composition's full output — per-doc audit counts plus the rebuilt
+    deduped text — hash-checks cross-engine. Plan: two stacked narrow
+    codegen passes (blocklist + line rules, zero shuffle) feeding the
+    paragraph stage's one content-keyed window + one doc-keyed
+    reassembly — linear, nothing pairwise."""
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        c4_blocklist_filter,
+        c4_line_filter,
+        paragraph_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id", _c4_lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    page = c4_blocklist_filter(lined, _BLOCKLIST).select("doc_id", "text")
+    cleaned = c4_line_filter(page).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return paragraph_dedup(cleaned, sep="\n")
+
+
+@register(
     "doc_c4_blocklist_filter",
     oracle="""
     WITH w AS (
@@ -7183,10 +7274,12 @@ del _n, _s
 # row) and the two semantic-dedup entries whose auto-k derivation
 # changed (the n_reps count is now folded into the group-frame persist
 # instead of a separate job), so each change gets independent driver
-# confirmation: 51 entries for the 50-slot window, ordered new →
-# changed → stale so the one overflow is the LAST stale entry
-# (validator_parity_report — r8-green, unchanged since), which heads
-# r12's list instead. Trade-off, made explicitly:
+# confirmation: 52 entries for the 50-slot window, ordered new →
+# changed → stale so the overflow is the LAST TWO stale entries
+# (union_by_name_roundtrip, validator_parity_report — both r8-green,
+# unchanged since), which head r12's list instead; a first driver row
+# for a brand-new query is worth more than a third refresh of a
+# long-stable one. Trade-off, made explicitly:
 # the queries this demotes past slot 50 lose DRIVER regression coverage
 # for the round, but every registry entry still runs against the
 # identical DuckDB oracle in tests/test_queries_oracle.py (the
@@ -7199,6 +7292,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "doc_c4_blocklist_audit",
     "doc_bpe_trainer_rounds",
     "doc_bpe_trained_token_counts",
+    "doc_curation_cleaning",
     # --- plan changed this round (auto-k n_reps derivation folded) ---
     "emb_semantic_dedup",
     "emb_incremental_semantic_dedup",

@@ -1076,6 +1076,169 @@ def run_paragraph_dedup_maintenance(
     return query
 
 
+def curation_maintenance_sink(
+    para_index_path: str,
+    minhash_index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: "tuple[str, ...]" = (),
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    sep: str = "\n",
+    threshold: float = 0.6,
+    auto_compact_every: "int | None" = None,
+):
+    """foreachBatch maintainer for the FULL curation funnel run
+    continuously — the streaming composition of the classic web-corpus
+    pipeline (the batch twin is ``corpus_curation_funnel`` plus the
+    cleaning stages): each microbatch flows through
+
+    1. page-level blocklist drop (``cleaning.c4_blocklist_filter``,
+       stateless narrow pass on the RAW text — C4 applies the bad-words
+       rule to the whole page before line rules),
+    2. C4 line-level cleaning (``cleaning.c4_line_filter`` — stateless),
+    3. corpus paragraph dedup against the maintained fingerprint index
+       (first maintained state; ``sep`` defaults to ``"\\n"`` because
+       the line filter rejoins kept lines with newlines — paragraph
+       granularity = surviving line),
+    4. MinHash near-dup dedup against the maintained signature index
+       (second maintained state) over the paragraph-cleaned text,
+
+    and the admitted documents land in ``{clean_path}/epoch={batch_id}``
+    with both indexes growing by exactly the batch's admitted entries.
+    Index semantics under composition: the paragraph index grows by the
+    paragraphs admitted AT STAGE 3 — even for a document stage 4 later
+    drops as a near-dup (those paragraphs were genuinely seen, and the
+    near-dup twin that survived carries the same content) — exactly the
+    semantics of applying the stages sequentially per batch, which is
+    what the parity test asserts.
+
+    Exactly-once by the same idempotent-epoch argument as each
+    single-stage sink: a batch reads BOTH indexes strictly below its own
+    id and overwrites its own three epoch directories, so a replayed
+    batch recomputes from identical predecessors; batch entry resumes
+    any pending compaction on both index paths (ADVICE r10), and
+    ``auto_compact_every`` applies the proven paragraph-sink policy to
+    both. At 100 TB this is one job per microbatch: two narrow cleaning
+    passes, one content-keyed window + fingerprint join, one band-bucket
+    join — no stage rescans history."""
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        build_paragraph_index,
+        c4_blocklist_filter,
+        c4_line_filter,
+        paragraph_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+        release_builder_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
+        spark = batch_df.sparkSession
+        for p in (para_index_path, minhash_index_path):
+            _resume_pending_compaction(spark, p)
+
+        def read_index(path: str, empty: DataFrame) -> DataFrame:
+            prev = sorted(e for e in _state_epochs(path) if e < batch_id)
+            if not prev:
+                return empty
+            return reduce(
+                lambda a, b: a.unionByName(b),
+                [spark.read.parquet(f"{path}/epoch={e}") for e in prev],
+            )
+
+        # stages 1+2: stateless page cleaning (one narrow pass)
+        page = batch_df.select(id_col, text_col)
+        if blocklist:
+            page = c4_blocklist_filter(page, blocklist, text_col, id_col)
+        lined = c4_line_filter(
+            page, text_col, id_col, min_line_words, min_sentences
+        ).select(id_col, F.col("clean_text").alias(text_col))
+
+        # stage 3: paragraph dedup against the maintained index
+        para_index = read_index(
+            para_index_path, build_paragraph_index(lined.limit(0), text_col, sep)
+        )
+        para_cleaned, para_entries = paragraph_dedup_against_index(
+            lined, para_index, text_col, id_col, sep
+        )
+        kept = para_cleaned.filter(F.col("n_kept") > 0).select(
+            id_col, F.col("clean_text").alias(text_col)
+        )
+        kept = kept.persist()  # feeds stage 4 AND the paragraph delta
+        try:
+            # stage 4: near-dup dedup against the maintained MinHash index
+            mh_index = read_index(
+                minhash_index_path,
+                build_minhash_index(kept.limit(0), id_col, text_col),
+            )
+            fresh, mh_entries = near_dedup_against_index(
+                kept, mh_index, id_col, text_col, threshold
+            )
+            fresh.write.mode("overwrite").parquet(
+                f"{clean_path}/epoch={batch_id}"
+            )
+            # paragraph delta from the persisted stage-3 survivors (the
+            # admitted paragraphs ARE their paragraphs — same lossless
+            # re-split argument as the paragraph sink)
+            build_paragraph_index(kept, text_col, sep).write.mode(
+                "overwrite"
+            ).parquet(f"{para_index_path}/epoch={batch_id}")
+            mh_entries.write.mode("overwrite").parquet(
+                f"{minhash_index_path}/epoch={batch_id}"
+            )
+            if auto_compact_every is not None:
+                for p in (para_index_path, minhash_index_path):
+                    if len(_state_epochs(p)) >= auto_compact_every:
+                        compact_epochs(spark, p)
+        finally:
+            kept.unpersist()
+            release_builder_caches()
+
+    return write
+
+
+def run_curation_maintenance(
+    docs: DataFrame,
+    para_index_path: str,
+    minhash_index_path: str,
+    clean_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: "tuple[str, ...]" = (),
+    sep: str = "\n",
+    threshold: float = 0.6,
+    timeout_sec: int = 300,
+    auto_compact_every: "int | None" = None,
+) -> StreamingQuery:
+    """Drain the stream's available input through the composed curation
+    funnel (blocklist → C4 line rules → paragraph dedup → near-dup) with
+    an ``availableNow`` trigger and a real checkpoint — restartable: a
+    later run over the same checkpoint curates only newly arrived files
+    against both accumulated indexes. Read the admitted corpus back with
+    :func:`read_near_dedup_fresh` (same epoch layout)."""
+    query = (
+        docs.writeStream.foreachBatch(
+            curation_maintenance_sink(
+                para_index_path, minhash_index_path, clean_path,
+                id_col, text_col, blocklist,
+                sep=sep, threshold=threshold,
+                auto_compact_every=auto_compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
 def semantic_dedup_maintenance_sink(
     index_path: str,
     fresh_path: str,

@@ -1314,3 +1314,122 @@ def test_sink_entry_heals_torn_phase_b_compaction(checkpointed, tmp_path):
     assert os.path.exists(os.path.join(f"{ip}/epoch=1", "_SUCCESS"))
     assert not os.path.exists(f"{ip}/epoch=0")  # merged into epoch=1
     assert read_clean(cp) == want
+
+
+def test_curation_stream_matches_sequential_stage_composition(
+    checkpointed, tmp_path
+):
+    """The composed curation sink (blocklist -> C4 line rules ->
+    paragraph dedup -> near-dup, two maintained indexes in ONE
+    microbatch job) must equal the SEQUENTIAL batch application of the
+    same four stages with the same index threading — streaming is a
+    composition of the batch operators, nothing more. Restart over the
+    same checkpoint curates only the late drop; replaying the highest
+    batch id is idempotent."""
+    from functools import reduce
+
+    from ehr_data_pipeline_spark.operators.cleaning import (
+        build_paragraph_index,
+        c4_blocklist_filter,
+        c4_line_filter,
+        paragraph_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        build_minhash_index,
+        near_dedup_against_index,
+    )
+    from ehr_data_pipeline_spark.queries import _c4_lined_text
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        curation_maintenance_sink,
+        read_near_dedup_fresh,
+        run_curation_maintenance,
+    )
+
+    spark = checkpointed
+    BLOCK = ("dup",)
+    SEP = "\n"
+    raw = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs = raw.select(
+        "doc_id", _c4_lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    src = tmp_path / "cur_src"
+    slices = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+    ]
+    late = docs.filter(F.col("doc_id") >= 300)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    pip_, mip, cp = (
+        str(tmp_path / "cur_pidx"),
+        str(tmp_path / "cur_midx"),
+        str(tmp_path / "cur_clean"),
+    )
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/*.parquet")
+        )
+
+    def batch_sequential(batches):
+        para_index = build_paragraph_index(docs.limit(0), sep=SEP)
+        mh_index = build_minhash_index(docs.limit(0))
+        admitted = {}
+        for b in batches:
+            page = c4_blocklist_filter(b, BLOCK).select("doc_id", "text")
+            lined = c4_line_filter(page).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            cleaned, _ = paragraph_dedup_against_index(
+                lined, para_index, sep=SEP
+            )
+            kept = cleaned.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            fresh, mh_entries = near_dedup_against_index(kept, mh_index)
+            admitted.update({r["doc_id"]: r["text"] for r in fresh.collect()})
+            para_index = para_index.unionByName(
+                build_paragraph_index(kept, sep=SEP)
+            )
+            mh_index = mh_index.unionByName(mh_entries)
+        return admitted
+
+    run_curation_maintenance(
+        stream(), pip_, mip, cp, ckpt, blocklist=BLOCK, sep=SEP
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in read_near_dedup_fresh(spark, cp).collect()
+    }
+    want = batch_sequential(slices)
+    assert got == want
+    assert 0 < len(got) < docs.count()  # every stage did real work
+
+    # late drop + restart over the same checkpoint
+    late.coalesce(1).write.parquet(str(src / "f2"))
+    run_curation_maintenance(
+        stream(), pip_, mip, cp, ckpt, blocklist=BLOCK, sep=SEP
+    )
+    want_full = batch_sequential(slices + [late])
+    got_full = {
+        r["doc_id"]: r["text"]
+        for r in read_near_dedup_fresh(spark, cp).collect()
+    }
+    assert got_full == want_full
+
+    # replay of the highest batch id recomputes from the same
+    # predecessors and overwrites its own three epoch directories
+    last = max(_state_epochs(mip))
+    curation_maintenance_sink(pip_, mip, cp, blocklist=BLOCK, sep=SEP)(
+        late, last
+    )
+    got_replay = {
+        r["doc_id"]: r["text"]
+        for r in read_near_dedup_fresh(spark, cp).collect()
+    }
+    assert got_replay == want_full
