@@ -131,7 +131,6 @@ def c4_blocklist_filter(
     df: DataFrame,
     blocklist: "tuple[str, ...]",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """C4's page-level blocklist rule (Raffel et al. 2020 §2.2: pages
     containing any word on a blocklist are removed entirely — the

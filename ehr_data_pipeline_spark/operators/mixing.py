@@ -140,12 +140,16 @@ def temperature_mixture_sample(
     cannot overflow at any scale). The max over the ≤#domains weight
     frame is the same driver-sized unpartitioned window as Σw below.
 
-    Exclusions (ADVICE r10): rows with a NULL domain are DROPPED — the
-    budget frame is built by grouping on the domain, and the data path
-    inner-joins it, so NULL never acquires a budget (the same contract
-    as :func:`domain_mixture_sample`'s whitelist, where an unlisted —
-    including NULL — domain gets no budget; assign a sentinel domain
-    first if unattributed docs should participate). A domain whose
+    Exclusions (ADVICE r10): rows with a NULL domain are DROPPED AT
+    ENTRY — before the domain token totals — so they neither receive a
+    budget nor dilute anyone else's: an excluded-but-weighted NULL
+    group would still sit in ``max_d`` and ``Σw`` and silently
+    under-spend ``total_token_budget`` by its share (the same contract
+    as :func:`domain_mixture_sample`'s whitelist, where an unlisted
+    domain's tokens never enter the arithmetic; assign a sentinel
+    domain first if unattributed docs should participate — the
+    entry-filter invariance is pinned by a with/without-NULL-rows
+    equality test). A domain whose
     relative weight rounds below ``0.5/quantize`` quantizes to weight 0
     and contributes nothing: at the default ``quantize=1e9`` and
     α=0.5 that needs a token-count ratio below ~2.5e-19 vs the largest
@@ -158,7 +162,7 @@ def temperature_mixture_sample(
     ways); the data path is one groupBy(domain) + one window on the
     domain — identical cost shape to ``domain_mixture_sample``."""
     h = _order_hash(id_col, salt)
-    base = df.select(
+    base = df.where(F.col(domain_col).isNotNull()).select(
         F.col(id_col),
         F.col(domain_col).alias("domain"),
         token_count.cast("bigint").alias("n_tokens"),

@@ -928,8 +928,11 @@ def semantic_dedup(
     by construction as the corpus grows; an explicit ``n_clusters``
     remains the override for fixed-quantizer contracts (the streaming
     sinks train once and hold centroids fixed). The rep count is one
-    count() over the already-persisted group frame and is SQL-derivable
-    (COUNT(DISTINCT vector)), so the hash oracle replays the same k.
+    map-side-partial COUNT(DISTINCT vector) aggregate over the source
+    scan (deliberately NOT a count over the persisted group frame,
+    which serialized the window shuffle's materialization before any
+    other work — VERDICT r10 #4), so the hash oracle replays the same k
+    from literally the same expression.
     Unlike the LSH near-dup
     family this catches SEMANTIC redundancy at lower thresholds where
     hyperplane banding loses its selectivity (see the threshold

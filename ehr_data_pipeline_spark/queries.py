@@ -6004,26 +6004,74 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_round_sql(i: int) -> str:
-    """One BPE training round as SQL CTEs: pair counts over state
-    s{i-1}, argmax m{i} under the total order, retokenized state s{i}
-    (leftmost non-overlapping replace — both engines' ``replace`` scans
-    left-to-right and resumes after the replaced span, BPE's
-    merge-apply rule), and the post-merge token total t{i}."""
+    """One BPE training round as SQL CTEs over the (doc_id, wid, syms)
+    state: positions (e), adjacent pairs via lead (pr), pair counts (p),
+    argmax m{i} under the total order — with a sentinel (chr(30), a
+    character no symbol can contain) when no pairs remain, so later
+    rounds are no-ops instead of NULL-poisoned — then EXACT left-greedy
+    merge-apply via gaps-and-islands: occurrence flags (oc), islands of
+    CONSECUTIVE occurrence positions (il — overlap is only possible for
+    same-symbol merges), fuse the even offsets of each island (fu),
+    rebuild dropping each fused pair's right element (rb → s{i}), and
+    the post-merge token total (t{i}). The uniform island rule equals
+    the Spark side's branched merge-apply (_bpe_apply_merge) — both are
+    fuzz-pinned to the same reference greedy implementation."""
     return f"""
     , e{i} AS (
-      SELECT a, unnest(range(1, len(a))) AS i
-      FROM (SELECT string_split(syms, chr(31)) AS a FROM s{i - 1})
+      SELECT doc_id, wid, unnest(a) AS sym, generate_subscripts(a, 1) AS idx
+      FROM (SELECT doc_id, wid, string_split(syms, chr(31)) AS a FROM s{i - 1})
+    ), pr{i} AS (
+      SELECT doc_id, wid, idx, sym,
+             lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY idx) AS nxt
+      FROM e{i}
     ), p{i} AS (
-      SELECT a[i] AS l, a[i + 1] AS r, count(*) AS n FROM e{i} GROUP BY 1, 2
+      SELECT sym AS l, nxt AS r, count(*) AS n
+      FROM pr{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
     ), m{i} AS (
-      SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+      SELECT coalesce(t.l, chr(30)) AS l, coalesce(t.r, chr(30)) AS r,
+             CAST(coalesce(t.n, 0) AS BIGINT) AS n
+      FROM (VALUES (1)) v(x)
+      LEFT JOIN (SELECT l, r, n FROM p{i}
+                 ORDER BY n DESC, l ASC, r ASC LIMIT 1) t ON TRUE
+    ), oc{i} AS (
+      SELECT doc_id, wid, idx, sym,
+             (sym = (SELECT l FROM m{i})
+              AND nxt = (SELECT r FROM m{i})) AS occ
+      FROM pr{i}
+    ), il{i} AS (
+      SELECT doc_id, wid, idx, sym, occ,
+             CASE WHEN occ THEN idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, wid, occ ORDER BY idx) END AS grp
+      FROM oc{i}
+    ), fu{i} AS (
+      SELECT doc_id, wid, idx, sym,
+             occ AND (idx - MIN(idx) OVER (
+               PARTITION BY doc_id, wid, occ, grp)) % 2 = 0 AS fuse
+      FROM il{i}
+    ), rb{i} AS (
+      SELECT doc_id, wid, idx,
+             CASE WHEN fuse THEN (SELECT l || r FROM m{i}) ELSE sym END AS sym,
+             lag(fuse) OVER (PARTITION BY doc_id, wid ORDER BY idx) AS pf
+      FROM fu{i}
     ), s{i} AS (
-      SELECT replace(syms, (SELECT l || chr(31) || r FROM m{i}),
-                     (SELECT l || r FROM m{i})) AS syms
-      FROM s{i - 1}
+      SELECT doc_id, wid, string_agg(sym, chr(31) ORDER BY idx) AS syms
+      FROM rb{i} WHERE pf IS DISTINCT FROM TRUE
+      GROUP BY doc_id, wid
     ), t{i} AS (
       SELECT CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n
       FROM s{i}
+    )"""
+
+
+_BPE_BASE_SQL = """
+    WITH w0 AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wid
+      FROM (SELECT doc_id, regexp_extract_all(
+              trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws FROM documents)
+    ), s0 AS (
+      SELECT doc_id, wid, array_to_string(string_split(w, ''), chr(31)) AS syms
+      FROM w0
     )"""
 
 
@@ -6032,52 +6080,29 @@ def _bpe_trainer_oracle(n_rounds: int) -> str:
     selects = " UNION ALL ".join(
         f"""
     SELECT CAST({i} AS INTEGER) AS round, l AS merge_left, r AS merge_right,
-           l || r AS merged, CAST(n AS BIGINT) AS n_pairs,
+           l || r AS merged, n AS n_pairs,
            (SELECT n FROM t{i}) AS corpus_tokens_after
-    FROM m{i}"""
+    FROM m{i} WHERE n > 0"""
         for i in range(1, n_rounds + 1)
     )
-    return f"""
-    WITH w0 AS (
-      SELECT unnest(regexp_extract_all(
-               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
-               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
-      FROM documents
-    ), s0 AS (
-      SELECT array_to_string(string_split(w, ''), chr(31)) AS syms FROM w0
-    ){rounds}
-    {selects}
-    """
+    return _BPE_BASE_SQL + rounds + selects
 
 
 def _bpe_trained_counts_oracle(n_rounds: int = 3) -> str:
     """Per-document token counts under the table the 3-round trainer
-    learns: the same chained round CTEs derive m1..mk, then every
-    document's words rebuild as symbol states and the merges apply in
-    training order as chained replaces (lambdas reference the
-    cross-joined one-row merge CTEs)."""
+    learns: the SAME chained round CTEs (the state carries doc_id +
+    word id, so the per-round merge-apply IS the per-document one),
+    summed per document at the end. A LEFT JOIN keeps documents with
+    no words at 0; a round whose merge table is exhausted contributes
+    the sentinel no-op (see _bpe_round_sql), matching the Spark side's
+    early-stopped shorter merge tuple."""
     rounds = "".join(_bpe_round_sql(i) for i in range(1, n_rounds + 1))
-    inner = "array_to_string(string_split(w, ''), chr(31))"
-    for i in range(1, n_rounds + 1):
-        inner = (f"replace({inner}, m{i}.l || chr(31) || m{i}.r, "
-                 f"m{i}.l || m{i}.r)")
-    joins = " ".join(f"CROSS JOIN m{i}" for i in range(1, n_rounds + 1))
-    return f"""
-    WITH w0 AS (
-      SELECT unnest(regexp_extract_all(
-               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
-               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
-      FROM documents
-    ), s0 AS (
-      SELECT array_to_string(string_split(w, ''), chr(31)) AS syms FROM w0
-    ){rounds}
-    SELECT d.doc_id,
-           CAST(coalesce(list_sum(list_transform(
-             regexp_extract_all(trim(regexp_replace(lower(coalesce(d.text, '')), '\\s+', ' ', 'g')),
-                                '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
-             w -> len(string_split({inner}, chr(31))))), 0) AS BIGINT)
-             AS n_tokens
-    FROM documents d {joins}
+    return _BPE_BASE_SQL + rounds + f"""
+    SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN (
+      SELECT doc_id,
+             CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n
+      FROM s{n_rounds} GROUP BY doc_id) t ON t.doc_id = d.doc_id
     """
 
 
@@ -6146,6 +6171,7 @@ def doc_bpe_trainer_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_WS_TOKENS_SQL} AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents
+      WHERE lang IS NOT NULL
     ), pw AS (
       SELECT lang, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS p
       FROM t GROUP BY lang
@@ -7272,8 +7298,9 @@ del _n, _s
 # over CORRECTNESS_r01..r10 (50 last-green r10 / 45 r9 / 45 r8, nothing
 # older) — plus the three queries new this round (never had a driver
 # row) and the two semantic-dedup entries whose auto-k derivation
-# changed (the n_reps count is now folded into the group-frame persist
-# instead of a separate job), so each change gets independent driver
+# changed (n_reps is now one COUNT(DISTINCT) aggregate over the source
+# scan instead of a count over the persisted group frame, and the Arrow
+# assignment threshold moved), so each change gets independent driver
 # confirmation: 52 entries for the 50-slot window, ordered new →
 # changed → stale so the overflow is the LAST TWO stale entries
 # (union_by_name_roundtrip, validator_parity_report — both r8-green,

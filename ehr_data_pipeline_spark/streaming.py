@@ -795,9 +795,19 @@ def _resume_pending_compaction(spark: SparkSession, state_path: str) -> int:
     if os.path.exists(manifest_path) and os.path.exists(
         os.path.join(tmp, "_SUCCESS")
     ):
-        with open(manifest_path) as f:
-            m = json.load(f)
-        return _finish_compaction(spark, state_path, m["epochs"], m["target"])
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a torn manifest means phase B never started (the manifest
+            # is written atomically AFTER the tmp union completes and
+            # BEFORE any epoch dir is touched) — treat as a phase-A
+            # crash rather than wedging every future batch on the parse
+            m = None
+        if m is not None:
+            return _finish_compaction(
+                spark, state_path, m["epochs"], m["target"]
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
@@ -887,9 +897,40 @@ def compact_epochs(
         [spark.read.parquet(f"{state_path}/epoch={e}") for e in complete],
     )
     merged.write.mode("overwrite").parquet(tmp)
-    with open(manifest_path, "w") as f:
+    # atomic manifest (write-then-rename): a crash mid-write must never
+    # leave a torn manifest under the final name — the resume path
+    # would otherwise fail to parse it at every subsequent sink batch
+    with open(manifest_path + ".writing", "w") as f:
         json.dump({"epochs": complete, "target": target}, f)
+    os.replace(manifest_path + ".writing", manifest_path)
     return _finish_compaction(spark, state_path, complete, target)
+
+
+def _heal_bm25_compaction_skew(
+    spark: SparkSession, postings_path: str, lengths_path: str
+) -> None:
+    """Finish a PAIR compaction that died between its two tables
+    (ADVICE r11 follow-up to the r10 torn-epoch fix): a crash after
+    :func:`compact_bm25_index` compacted table A through epoch e but
+    before it compacted table B leaves A's complete epochs starting at
+    e while B still has deltas below e — :func:`read_bm25_index`'s
+    intersection then reads A's merged history against a SUBSET of B's
+    (B's sub-e rows fall outside the intersection), silently skewing
+    every score, and no per-table manifest exists for
+    :func:`_resume_pending_compaction` to resume. The torn state is
+    detectable from the epoch floors alone (both tables see every
+    batch id, so equal-compaction implies equal floors): whichever
+    table's minimum complete epoch is HIGHER was the one compacted —
+    compact the other through that same floor. Idempotent: healed
+    tables have equal floors and this is a no-op."""
+    ca = _state_epochs(postings_path, complete_only=True)
+    cb = _state_epochs(lengths_path, complete_only=True)
+    if not ca or not cb or min(ca) == min(cb):
+        return
+    if min(ca) > min(cb):
+        compact_epochs(spark, lengths_path, through_epoch=min(ca))
+    else:
+        compact_epochs(spark, postings_path, through_epoch=min(cb))
 
 
 def compact_bm25_index(
@@ -902,7 +943,10 @@ def compact_bm25_index(
     because :func:`read_bm25_index` intersects their complete-epoch
     sets (see :func:`compact_epochs`). With ``through_epoch=None`` the
     shared bound is the highest epoch complete in both tables, minus
-    one (the newest stays a pure delta for replay)."""
+    one (the newest stays a pure delta for replay). Entry first heals
+    a previous pair compaction that died between the two tables
+    (:func:`_heal_bm25_compaction_skew`)."""
+    _heal_bm25_compaction_skew(spark, postings_path, lengths_path)
     if through_epoch is None:
         shared = sorted(
             set(_state_epochs(postings_path, complete_only=True))
@@ -1154,7 +1198,7 @@ def curation_maintenance_sink(
         # stages 1+2: stateless page cleaning (one narrow pass)
         page = batch_df.select(id_col, text_col)
         if blocklist:
-            page = c4_blocklist_filter(page, blocklist, text_col, id_col)
+            page = c4_blocklist_filter(page, blocklist, text_col)
         lined = c4_line_filter(
             page, text_col, id_col, min_line_words, min_sentences
         ).select(id_col, F.col("clean_text").alias(text_col))
@@ -1163,7 +1207,10 @@ def curation_maintenance_sink(
         para_index = read_index(
             para_index_path, build_paragraph_index(lined.limit(0), text_col, sep)
         )
-        para_cleaned, para_entries = paragraph_dedup_against_index(
+        # the operator's new-entries frame is deliberately discarded:
+        # the index delta is rebuilt below from the persisted survivors
+        # (same single-materialization argument as the paragraph sink)
+        para_cleaned, _ = paragraph_dedup_against_index(
             lined, para_index, text_col, id_col, sep
         )
         kept = para_cleaned.filter(F.col("n_kept") > 0).select(
@@ -1429,15 +1476,18 @@ def bm25_index_maintenance_sink(
     complete-epoch sets) — or set ``auto_compact_every=K`` to run it
     from inside the sink once ≥ K epochs are complete in both tables
     (replay-safe: the newest shared epoch stays a pure delta). Batch
-    entry resumes any pending compaction on BOTH tables first, so a
-    crash mid-compaction cannot leave the reader's intersection
-    silently missing a merged epoch's history (ADVICE r10)."""
+    entry resumes any pending compaction on BOTH tables first, then
+    heals a pair compaction that died BETWEEN the two tables
+    (:func:`_heal_bm25_compaction_skew`), so a crash at any point of a
+    compaction cannot leave the reader's intersection silently missing
+    one table's merged history (ADVICE r10/r11)."""
     from ehr_data_pipeline_spark.operators.text_analysis import bm25_index_build
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _resume_pending_compaction(spark, postings_path)
         _resume_pending_compaction(spark, lengths_path)
+        _heal_bm25_compaction_skew(spark, postings_path, lengths_path)
         postings, lengths = bm25_index_build(batch_df, id_col, text_col)
         # lengths FIRST: the intersection reader is already torn-proof;
         # this order additionally softens a torn epoch for a naive

@@ -213,26 +213,41 @@ def test_temperature_mixture_weights_bounded_at_huge_token_counts(spark):
     assert got["a"] in (90, 91) and got["b"] in (30, 31)
 
 
-def test_temperature_mixture_drops_null_domain_rows(spark):
-    """Pins the documented exclusion (ADVICE r10): rows with a NULL
-    domain never acquire a budget (the budget frame groups on domain and
-    the data path inner-joins it), so they are absent from the output —
-    and their tokens do not distort any named domain's budget."""
+def test_temperature_mixture_null_domain_rows_are_invisible(spark):
+    """Pins the documented exclusion (ADVICE r10 + r11 review fix):
+    rows with a NULL domain are dropped AT ENTRY, so they are absent
+    from the output AND leave every named domain's budget untouched —
+    the output with NULL rows present must equal the output with them
+    deleted. (Before the entry filter, the NULL group's weight sat in
+    max/Σw and silently under-spent the budget: with domains a=NULL=50%
+    of tokens, domain a's budget halved.)"""
     from ehr_data_pipeline_spark.operators.mixing import (
         temperature_mixture_sample,
     )
 
-    rows = (
-        [(i, "a", "t " * 9 + "t") for i in range(4)]
-        + [(10 + i, "b", "t " * 9 + "t") for i in range(4)]
-        + [(20 + i, None, "t " * 9 + "t") for i in range(3)]
+    named = (
+        [(i, "a", "t " * 9 + "t") for i in range(6)]
+        + [(10 + i, "b", "t " * 9 + "t") for i in range(2)]
     )
-    out = temperature_mixture_sample(
-        _corpus(spark, rows),
-        domain_col="dom",
-        id_col="doc_id",
-        token_count=_tokens(),
-        total_token_budget=1_000,  # over-budget: every joined row kept
-    ).collect()
-    assert {r["domain"] for r in out} == {"a", "b"}
-    assert {r["doc_id"] for r in out} == set(range(4)) | set(range(10, 14))
+    nulls = [(20 + i, None, "t " * 9 + "t") for i in range(8)]
+
+    def run(rows):
+        # budget BELOW the corpus total so the cut depends on the
+        # derived budgets — dilution would change which docs survive
+        return sorted(
+            map(
+                tuple,
+                temperature_mixture_sample(
+                    _corpus(spark, rows),
+                    domain_col="dom",
+                    id_col="doc_id",
+                    token_count=_tokens(),
+                    total_token_budget=40,
+                ).collect(),
+            )
+        )
+
+    with_nulls = run(named + nulls)
+    without = run(named)
+    assert with_nulls == without
+    assert {t[1] for t in with_nulls} == {"a", "b"}

@@ -1433,3 +1433,90 @@ def test_curation_stream_matches_sequential_stage_composition(
         for r in read_near_dedup_fresh(spark, cp).collect()
     }
     assert got_replay == want_full
+
+
+def test_bm25_sink_heals_pair_compaction_crash(checkpointed, tmp_path):
+    """r11 review fix: a crash BETWEEN compact_bm25_index's two
+    per-table compactions leaves postings compacted through epoch e
+    while lengths still holds deltas below e — the intersection reader
+    then scores against a lengths SUBSET (skewed idf/avgdl) and no
+    manifest exists to resume. The next sink batch must detect the
+    floor mismatch and compact the lagging table through the same
+    epoch, restoring exactly the never-crashed scores."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bm25_search_against_index,
+    )
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        bm25_index_maintenance_sink,
+        compact_epochs,
+        read_bm25_index,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pp, lp = str(tmp_path / "post"), str(tmp_path / "len")
+    sink = bm25_index_maintenance_sink(pp, lp)
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        for lo in range(0, 300, 100)
+    ] + [docs.filter(F.col("doc_id") >= 300)]
+    for bid, b in enumerate(batches):
+        sink(b, bid)
+
+    def scores():
+        p, l = read_bm25_index(spark, pp, lp)
+        return sorted(
+            map(tuple,
+                bm25_search_against_index(p, l, ["hash", "join"]).collect())
+        )
+
+    want = scores()
+    # simulate the inter-table crash: postings compacted through 2,
+    # lengths untouched
+    assert compact_epochs(spark, pp, through_epoch=2) >= 2
+    assert min(_state_epochs(pp, complete_only=True)) == 2
+    assert min(_state_epochs(lp, complete_only=True)) == 0
+    # the skewed window is real: the intersection now hides lengths 0-1
+    # (scores would be computed over a torn doc set) — next sink batch
+    # heals before writing
+    sink(batches[-1], len(batches) - 1)  # replay of the newest batch id
+    assert min(_state_epochs(lp, complete_only=True)) == 2  # healed
+    assert scores() == want
+
+
+def test_resume_tolerates_torn_manifest(checkpointed, tmp_path):
+    """r11 review fix: a crash mid-manifest-write used to leave a torn
+    _compact_manifest.json that made every subsequent sink batch raise
+    at entry. The manifest is now written atomically, and a torn one
+    (simulated) is treated as a phase-A crash: tmp cleared, no epoch
+    touched, the sink proceeds normally."""
+    import os
+
+    from ehr_data_pipeline_spark.queries import _para_lined_docs
+    from ehr_data_pipeline_spark.streaming import (
+        _resume_pending_compaction,
+        paragraph_dedup_maintenance_sink,
+    )
+
+    spark = checkpointed
+    docs = _para_lined_docs(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    )
+    ip, cp = str(tmp_path / "idx"), str(tmp_path / "cln")
+    sink = paragraph_dedup_maintenance_sink(ip, cp)
+    sink(docs.filter(F.col("doc_id") < 100), 0)
+    sink(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)), 1)
+
+    tmp = os.path.join(ip, "_compact_tmp")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    with open(os.path.join(tmp, "_compact_manifest.json"), "w") as f:
+        f.write('{"epochs": [0, 1], "tar')  # torn mid-write
+    assert _resume_pending_compaction(spark, ip) == 0
+    assert not os.path.exists(tmp)
+    # and a subsequent batch runs fine on the intact epochs
+    sink(docs.filter(F.col("doc_id") >= 200), 2)
+    assert sorted(
+        int(d.split("=")[1]) for d in os.listdir(ip) if d.startswith("epoch=")
+    ) == [0, 1, 2]

@@ -771,3 +771,101 @@ def test_bpe_trained_token_count_order_sensitive_and_cross_checked(spark):
     trained = bpe_trainer_rounds(docs, n_rounds=2).orderBy("round").collect()
     merges = tuple((r["merge_left"], r["merge_right"]) for r in trained)
     assert sum(counts(merges).values()) == trained[-1]["corpus_tokens_after"]
+
+
+def test_bpe_merge_apply_whole_symbol_and_run_semantics(spark):
+    """r11 review fix: merge-apply must match WHOLE symbols only and be
+    exact left-greedy. (a) Boundary crossing: with the table [(a,b),
+    (b,c)], 'abc' is [ab, c] after round 1 — round 2's (b,c) must NOT
+    fuse the b inside 'ab' (a bare substring replace did, yielding 1
+    token). (b) Same-symbol runs: 'xxxxx' under (x,x) is [xx, xx, x]
+    (3) and 'xxxxxx' is [xx, xx, xx] (3) — fixed-pass replace schemes
+    misplace the singleton at 5 and UNDERCOUNT at 6. (c) Chains:
+    'abab' under (a,b) fuses both pairs."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trained_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc"),
+            (2, "xxxxx"),
+            (3, "xxxxxx"),
+            (4, "abab"),
+            (5, "ababa"),
+            (6, "xxxxxxx"),
+        ],
+        "doc_id int, text string",
+    )
+
+    def counts(merges):
+        return {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id",
+                bpe_trained_token_count(F.col("text"), merges).alias("n"),
+            ).collect()
+        }
+
+    got = counts((("a", "b"), ("b", "c")))
+    assert got[1] == 2  # [ab, c] — the 'b' inside 'ab' never fuses with 'c'
+    got = counts((("x", "x"),))
+    assert got[2] == 3 and got[3] == 3 and got[6] == 4  # greedy run fusing
+    got = counts((("a", "b"),))
+    assert got[4] == 2 and got[5] == 3  # full chains fuse
+
+
+def test_bpe_merge_apply_fuzz_vs_reference_greedy(spark):
+    """Property pin for the branched merge-apply: on a randomized
+    corpus the trained counts equal a pure-Python reference trainer
+    (left-greedy whole-symbol merge-apply), for both learned and
+    adversarially chosen merge tables — one Spark job over all cases."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trained_token_count,
+    )
+
+    WORD = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    def greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_count(text, merges):
+        ws = [list(w) for w in WORD.findall(
+            re.sub(r"\s+", " ", text.lower()).strip())]
+        for l, r in merges:
+            ws = [greedy(w, l, r) for w in ws]
+        return sum(len(w) for w in ws)
+
+    rng = random.Random(7)
+    frags = ["ab", "abc", "bc", "a", "b", "x", "xx", "xxx", "xxxx",
+             "xxxxx", "ba", "cab", "bca"]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    merges = (("a", "b"), ("x", "x"), ("ab", "c"), ("b", "c"), ("xx", "x"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            bpe_trained_token_count(F.col("text"), merges).alias("n"),
+        ).collect()
+    }
+    want = {i: ref_count(t, merges) for i, t in rows}
+    assert got == want
