@@ -177,6 +177,62 @@ def bpe_initial_state(
     ).select(F.array_join(F.split(F.col("__w"), ""), sep).alias("syms"))
 
 
+# GPT-2-style byte-level pretokenizer (Radford et al. 2019; the regex
+# tiktoken/HF tokenizers ship for gpt2): contractions, then
+# space-prefixed letter / digit / punctuation runs, then whitespace
+# runs. Two deliberate deviations, both for cross-engine oracle parity:
+# ASCII classes instead of \p{L}/\p{N} (the synthetic corpus is ASCII;
+# swap the classes for Unicode properties when the data needs them),
+# and GPT-2's trailing-whitespace lookahead branch `\s+(?!\S)` is
+# simplified to plain `\s+` runs — RE2 (DuckDB) has no lookahead, and
+# on single-space-separated text the two pretokenizations agree. Java
+# regex and RE2 both scan leftmost-first with in-order alternation
+# preference, so the same pattern yields identical pretokens in Spark
+# and the SQL twin (probed: identical token lists both engines).
+BYTE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def byte_pretokens(col: Column) -> Column:
+    """Byte-level pretokens: case- and whitespace-PRESERVING (no
+    ``normalize_text`` — byte-level BPE is defined on the raw byte
+    stream; a leading space is part of the token, exactly like GPT-2's
+    ' word' vocabulary entries). NULL text pretokenizes to no tokens
+    (the engine-wide degenerate-document contract)."""
+    return F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+    )
+
+
+def bpe_initial_state_bytes(
+    df: DataFrame, text_col: str = "text", sep: str = BPE_SEP
+) -> DataFrame:
+    """Round-0 BYTE-LEVEL trainer state: one row per pretoken occurrence
+    (:func:`byte_pretokens`), ``syms`` = the pretoken's UTF-8 BYTES,
+    each rendered as its 2-hex-digit code and joined by ``sep``. The
+    hex rendering is this engine's ``bytes_to_unicode``: GPT-2 maps
+    every byte to a printable character so byte sequences survive in
+    string form — here each byte maps to its hex pair ('20' = space,
+    '74' = 't'), merged symbols concatenate to longer even-length hex
+    strings (always decodable back to bytes), and the separator /
+    sentinel characters (\\x1f, \\x1e) can never collide with a symbol
+    since hex is [0-9A-F]. Everything downstream — pair counts, argmax,
+    merge-apply — is symbol-agnostic and reused unchanged; hex(encode())
+    is bit-identical in Spark and DuckDB (both uppercase), so the whole
+    byte-level loop hash-checks cross-engine. One narrow explode +
+    in-row encode/hex/split — same shape and cost as the ASCII initial
+    state."""
+    hexs = F.hex(F.encode(F.col("__w"), "UTF-8"))
+    return df.select(
+        F.explode(byte_pretokens(F.col(text_col))).alias("__w")
+    ).select(
+        F.array_join(
+            F.regexp_extract_all(hexs, F.lit(".."), F.lit(0)), sep
+        ).alias("syms")
+    )
+
+
 def bpe_symbol_pair_counts(
     state: DataFrame, sep: str = BPE_SEP
 ) -> DataFrame:
@@ -273,6 +329,7 @@ def bpe_trainer_rounds(
     text_col: str = "text",
     n_rounds: int = 3,
     sep: str = BPE_SEP,
+    pretokenizer: str = "word",
 ) -> DataFrame:
     """END-TO-END distributed BPE vocabulary training for ``n_rounds``
     merges (VERDICT r10 #5 — the round-k retokenizer that was the
@@ -295,13 +352,28 @@ def bpe_trainer_rounds(
     the merge — each round strictly decreases it by the pair's
     non-overlapping occurrence count). Stops early if no pairs remain.
 
+    ``pretokenizer`` selects the round-0 state builder: ``"word"``
+    (:func:`bpe_initial_state` — normalized ASCII word pretokens,
+    char symbols) or ``"byte"`` (:func:`bpe_initial_state_bytes` —
+    GPT-2-style case/whitespace-preserving pretokens, UTF-8 bytes as
+    hex-pair symbols). Every round downstream is symbol-agnostic, so
+    the two share ALL the state machinery — the byte path differs only
+    in its initial state, exactly the contract production tokenizers
+    (GPT-2/tiktoken) follow.
+
     Scale: each round persists its state (one narrow rewrite of the
     previous), runs one bounded-key groupBy and one scalar aggregate,
     and unpersists the predecessor — peak storage is two corpus-sized
     states, per-round cost is linear, and nothing driver-sized but the
     merge table itself."""
+    builders = {"word": bpe_initial_state, "byte": bpe_initial_state_bytes}
+    if pretokenizer not in builders:
+        raise ValueError(
+            f"pretokenizer must be one of {sorted(builders)}, "
+            f"got {pretokenizer!r}"
+        )
     spark = df.sparkSession
-    state = bpe_initial_state(df, text_col, sep).persist()
+    state = builders[pretokenizer](df, text_col, sep).persist()
     rows: list = []
     retained = [state]
     try:
@@ -360,7 +432,12 @@ def bpe_trained_token_count(
     All native expressions (split/transform/replace/aggregate) in one
     narrow pass — no shuffle, no UDF; the merge table is a few literals
     inside the plan. Cost is O(k · chars) per document, the same as any
-    real tokenizer's merge loop."""
+    real tokenizer's merge loop — but the PLAN grows with k too (each
+    merge nests two replaces or a fold into every word's chain), so
+    this expression form is for SMALL tables only (ADVICE r11): above
+    ``_ARROW_MERGE_THRESHOLD`` merges use
+    :func:`bpe_trained_token_counts_df`, which routes to the
+    bit-equivalent Arrow twin with plan size constant in k."""
     words = word_tokens(col)
 
     def count_word(w: Column) -> Column:
@@ -374,6 +451,98 @@ def bpe_trained_token_count(
         F.lit(0).cast("bigint"),
         lambda acc, w: acc + count_word(w).cast("bigint"),
     )
+
+
+# Above this many trained merges, the k chained _bpe_apply_merge
+# expression trees (two nested replaces or a fold EACH, applied inside
+# every word's per-row fold) would blow Catalyst's plan-size/codegen
+# limits long before a production-sized merge table (10k+) arrives
+# (ADVICE r11, low) — the Arrow twin applies the same left-greedy loop
+# in one mapInPandas pass instead, the exact discipline of
+# similarity._ARROW_ASSIGN_THRESHOLD. Below it, the native chain keeps
+# the plan UDF-free (the driver-gated k=3 sits far below).
+_ARROW_MERGE_THRESHOLD = 64
+
+
+def bpe_trained_token_counts_df(
+    df: DataFrame,
+    merges: "tuple[tuple[str, str], ...]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = BPE_SEP,
+) -> DataFrame:
+    """DataFrame-level apply side of BPE training: per-document token
+    counts under a trained merge table, routing by table size — the
+    native :func:`bpe_trained_token_count` expression chain below
+    ``_ARROW_MERGE_THRESHOLD`` merges (UDF-free, plan-literal table),
+    the Arrow ``mapInPandas`` twin at or above it (a realistically
+    sized trained table embeds k nested expression trees per word in
+    the plan, which Catalyst's codegen limits reject long before
+    k=10k). The two paths are bit-equivalent on ASCII corpora
+    (identical left-greedy merge loop; pinned by
+    test_bpe_trained_counts_arrow_matches_native)."""
+    if len(merges) < _ARROW_MERGE_THRESHOLD:
+        return df.select(
+            id_col,
+            bpe_trained_token_count(F.col(text_col), merges, sep).alias(
+                "n_tokens"
+            ),
+        )
+    return _bpe_trained_counts_arrow(df, merges, id_col, text_col)
+
+
+def _bpe_trained_counts_arrow(
+    df: DataFrame,
+    merges: "tuple[tuple[str, str], ...]",
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`bpe_trained_token_count` for large
+    merge tables: one ``mapInPandas`` pass whose per-word loop is the
+    SAME left-greedy non-overlapping merge-apply the native expression
+    chain (and the oracles' gaps-and-islands SQL) implements — fuse
+    every leftmost (l, r) adjacency, whole symbols only, merges in
+    training order. O(k·chars) per doc like the native path, but k
+    lives in a closure instead of the plan, so plan size is constant in
+    the table. Pretokenization parity note: Python ``re`` and Java
+    regex agree on WORD_PATTERN and ``\\s`` for ASCII text (the
+    corpus contract); the equivalence test pins it."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    word_re = _re.compile(WORD_PATTERN)
+    ws_re = _re.compile(r"\s+")
+    table = [(l, r) for l, r in merges]
+    schema = StructType(
+        [df.schema[id_col], StructField("n_tokens", LongType(), False)]
+    )
+
+    def count_text(text: "str | None") -> int:
+        norm = ws_re.sub(" ", (text or "").lower()).strip()
+        total = 0
+        for w in word_re.findall(norm):
+            syms = list(w)
+            for l, r in table:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    def apply_batches(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                n_tokens=pdf[text_col].map(count_text).astype("int64")
+            )[[id_col, "n_tokens"]]
+
+    return df.select(id_col, text_col).mapInPandas(apply_batches, schema)
 
 
 def char_class_count(col: Column, char_class: str) -> Column:

@@ -746,19 +746,34 @@ def near_dedup_maintenance_sink(
                 batch_df.limit(0), id_col, text_col, k, num_hashes
             )
         try:
-            fresh, new_entries = near_dedup_against_index(
+            # the operator's new-entries frame is discarded (ADVICE r11,
+            # low — found on the curation sink, same lineage here): it
+            # shares the band-join lineage with `fresh`; the index delta
+            # is rebuilt from the LANDED fresh parquet instead —
+            # content-identical because (sh, sig) are pure functions of
+            # the text under the same (k, num_hashes), wall-parity today
+            # (the operator persists its join intermediates), and
+            # cache-eviction-proof at scale (see the curation sink's
+            # fuller note + the NOTES_r12 profile)
+            fresh, _ = near_dedup_against_index(
                 batch_df, index, id_col, text_col, threshold,
                 k, num_hashes, bands,
             )
             fresh.write.mode("overwrite").parquet(
                 f"{fresh_path}/epoch={batch_id}"
             )
-            new_entries.write.mode("overwrite").parquet(
+            fresh_landed = spark.read.parquet(
+                f"{fresh_path}/epoch={batch_id}"
+            )
+            build_minhash_index(
+                fresh_landed, id_col, text_col, k, num_hashes
+            ).write.mode("overwrite").parquet(
                 f"{index_path}/epoch={batch_id}"
             )
             if (
                 auto_compact_every is not None
-                and len(_state_epochs(index_path)) >= auto_compact_every
+                and len(_state_epochs(index_path, complete_only=True))
+                >= auto_compact_every
             ):
                 compact_epochs(spark, index_path)
         finally:
@@ -1083,7 +1098,8 @@ def paragraph_dedup_maintenance_sink(
         ).write.mode("overwrite").parquet(f"{index_path}/epoch={batch_id}")
         if (
             auto_compact_every is not None
-            and len(_state_epochs(index_path)) >= auto_compact_every
+            and len(_state_epochs(index_path, complete_only=True))
+            >= auto_compact_every
         ):
             compact_epochs(spark, index_path)
 
@@ -1164,9 +1180,13 @@ def curation_maintenance_sink(
     batch recomputes from identical predecessors; batch entry resumes
     any pending compaction on both index paths (ADVICE r10), and
     ``auto_compact_every`` applies the proven paragraph-sink policy to
-    both. At 100 TB this is one job per microbatch: two narrow cleaning
-    passes, one content-keyed window + fingerprint join, one band-bucket
-    join — no stage rescans history."""
+    both. At 100 TB the expensive lineage runs ONCE per microbatch: two
+    narrow cleaning passes, one content-keyed window + fingerprint
+    join, one band-bucket join — stage-3 survivors are persisted, and
+    BOTH index deltas rebuild from already-materialized data (the
+    paragraph delta from the persisted survivors, the minhash delta
+    from the landed fresh parquet — ADVICE r11), so no write action
+    re-runs the candidate join and no stage rescans history."""
     from ehr_data_pipeline_spark.operators.cleaning import (
         build_paragraph_index,
         c4_blocklist_filter,
@@ -1223,10 +1243,24 @@ def curation_maintenance_sink(
                 minhash_index_path,
                 build_minhash_index(kept.limit(0), id_col, text_col),
             )
-            fresh, mh_entries = near_dedup_against_index(
+            # the operator's new-entries frame is deliberately discarded
+            # too (ADVICE r11, low): it shares the band-join lineage with
+            # `fresh` — the minhash delta is instead rebuilt below from
+            # the LANDED fresh parquet, content-identical because
+            # (sh, sig) are pure functions of the text. Profiled at
+            # sf0.1 (NOTES_r12): the two patterns are wall-parity TODAY
+            # because the operator persists its band-join intermediates,
+            # so the rebuild is chosen for cache-independence — under
+            # executor memory pressure those persists evict and the
+            # second action would silently re-run the candidate join,
+            # while the landed read is deterministic O(batch) I/O
+            fresh, _ = near_dedup_against_index(
                 kept, mh_index, id_col, text_col, threshold
             )
             fresh.write.mode("overwrite").parquet(
+                f"{clean_path}/epoch={batch_id}"
+            )
+            fresh_landed = spark.read.parquet(
                 f"{clean_path}/epoch={batch_id}"
             )
             # paragraph delta from the persisted stage-3 survivors (the
@@ -1235,12 +1269,13 @@ def curation_maintenance_sink(
             build_paragraph_index(kept, text_col, sep).write.mode(
                 "overwrite"
             ).parquet(f"{para_index_path}/epoch={batch_id}")
-            mh_entries.write.mode("overwrite").parquet(
-                f"{minhash_index_path}/epoch={batch_id}"
-            )
+            build_minhash_index(fresh_landed, id_col, text_col).write.mode(
+                "overwrite"
+            ).parquet(f"{minhash_index_path}/epoch={batch_id}")
             if auto_compact_every is not None:
                 for p in (para_index_path, minhash_index_path):
-                    if len(_state_epochs(p)) >= auto_compact_every:
+                    if (len(_state_epochs(p, complete_only=True))
+                            >= auto_compact_every):
                         compact_epochs(spark, p)
         finally:
             kept.unpersist()
@@ -1361,7 +1396,8 @@ def semantic_dedup_maintenance_sink(
             )
             if (
                 auto_compact_every is not None
-                and len(_state_epochs(index_path)) >= auto_compact_every
+                and len(_state_epochs(index_path, complete_only=True))
+                >= auto_compact_every
             ):
                 compact_epochs(spark, index_path)
         finally:
@@ -1527,7 +1563,19 @@ def read_bm25_index(
     lengths) exclude them, so idf is wrong for every doc. The INTERSECTION of
     the two complete-epoch sets guarantees postings and lengths always
     describe the same doc set; the torn epoch becomes visible only once
-    the replayed batch overwrites both directories."""
+    the replayed batch overwrites both directories.
+
+    Pair-compaction-skew guard (ADVICE r11, low): a crash BETWEEN
+    :func:`compact_bm25_index`'s two per-table compactions leaves one
+    table merged through epoch e and the other with raw deltas below e
+    — the intersection then SILENTLY drops the lagging table's sub-e
+    history (the merged table's floor epoch is e, so nothing below e
+    intersects), scoring against a partial corpus. Writers heal this at
+    entry (:func:`_heal_bm25_compaction_skew`), but a STANDALONE reader
+    in the window before any writer runs has no heal hook — so detect
+    the tell (unequal minimum complete epochs; both tables see every
+    batch id, so equal compaction implies equal floors) and raise with
+    the remedy rather than serve skewed scores."""
     from functools import reduce
 
     per_table = {
@@ -1541,6 +1589,15 @@ def read_bm25_index(
         raise FileNotFoundError(
             "no epoch is complete in BOTH "
             f"{postings_path} and {lengths_path}"
+        )
+    floors = {p: min(e) for p, e in per_table.items() if e}
+    if len(set(floors.values())) > 1:
+        raise RuntimeError(
+            "BM25 index pair-compaction skew: complete-epoch floors "
+            f"differ ({floors}) — a compaction died between the two "
+            "tables. Run compact_bm25_index(spark, postings_path, "
+            "lengths_path) (its entry heal finishes the pair) or any "
+            "maintenance sink batch before reading."
         )
     out = []
     for path in (postings_path, lengths_path):

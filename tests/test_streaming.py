@@ -1485,6 +1485,52 @@ def test_bm25_sink_heals_pair_compaction_crash(checkpointed, tmp_path):
     assert scores() == want
 
 
+def test_read_bm25_index_raises_on_pair_compaction_skew(
+    checkpointed, tmp_path
+):
+    """ADVICE r11 (low): a STANDALONE reader in the window after an
+    inter-table compaction crash (before any writer's entry heal runs)
+    must not silently score against the skewed intersection —
+    read_bm25_index detects the unequal complete-epoch floors and
+    raises with the remedy; after compact_bm25_index's entry heal the
+    same read succeeds with the never-crashed content."""
+    import pytest as _pytest
+
+    from ehr_data_pipeline_spark.streaming import (
+        _state_epochs,
+        bm25_index_maintenance_sink,
+        compact_bm25_index,
+        compact_epochs,
+        read_bm25_index,
+    )
+
+    spark = checkpointed
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pp, lp = str(tmp_path / "post"), str(tmp_path / "len")
+    sink = bm25_index_maintenance_sink(pp, lp)
+    for bid, lo in enumerate(range(0, 300, 100)):
+        sink(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+            ),
+            bid,
+        )
+    p, l = read_bm25_index(spark, pp, lp)
+    want = (sorted(map(tuple, p.collect())), sorted(map(tuple, l.collect())))
+
+    # inter-table crash: postings compacted through 1, lengths untouched
+    assert compact_epochs(spark, pp, through_epoch=1) >= 1
+    with _pytest.raises(RuntimeError, match="pair-compaction skew"):
+        read_bm25_index(spark, pp, lp)
+
+    # the documented remedy: compact_bm25_index's entry heal
+    compact_bm25_index(spark, pp, lp, through_epoch=1)
+    assert min(_state_epochs(lp, complete_only=True)) == 1
+    p, l = read_bm25_index(spark, pp, lp)
+    got = (sorted(map(tuple, p.collect())), sorted(map(tuple, l.collect())))
+    assert got == want
+
+
 def test_resume_tolerates_torn_manifest(checkpointed, tmp_path):
     """r11 review fix: a crash mid-manifest-write used to leave a torn
     _compact_manifest.json that made every subsequent sink batch raise

@@ -722,6 +722,138 @@ def test_bpe_trainer_rounds_hand_computed(spark):
     ]
 
 
+def test_byte_pretokens_gpt2_style(spark):
+    """The byte-level pretokenizer preserves case and whitespace (no
+    normalize_text — byte-level BPE is defined on the raw byte stream),
+    splits GPT-2 style (contractions, space-prefixed letter/digit/punct
+    runs, whitespace runs), and NULL text yields no pretokens."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_initial_state_bytes,
+        byte_pretokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The fast dup's  Go 12!"), (2, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", byte_pretokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    # case preserved ('The', 'Go'), leading space part of the token,
+    # contraction split off, double space a whitespace-run token
+    assert got[1] == ["The", " fast", " dup", "'s", "  ", "Go", " 12", "!"]
+    assert got[2] == []
+
+    # initial state: UTF-8 bytes as hex-pair symbols (' t' = 20,74)
+    states = sorted(
+        r["syms"]
+        for r in bpe_initial_state_bytes(
+            spark.createDataFrame([(1, " t")], "doc_id int, text string")
+        ).collect()
+    )
+    assert states == ["20\x1f74"]
+
+
+def test_bpe_byte_trainer_rounds_hand_computed(spark):
+    """The byte-level trainer on a corpus whose merges are known by
+    eye — including a SPACE-PREFIXED merge (' ' + 'ab' once 'ab' has
+    fused), the byte-level behavior no word pretokenizer can express,
+    and early stop when the byte corpus runs out of adjacencies."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab!")], "doc_id int, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_trainer_rounds(docs, n_rounds=3, pretokenizer="byte")
+        .orderBy("round")
+        .collect()
+    ]
+    # pretokens: 'ab', ' ab', 'ab', '!' -> hex states [61,62], [20,61,62],
+    # [61,62], [21] = 8 symbols
+    # r1: (61,62)=3 -> merge '6162' ('ab'), 3 applications -> 5
+    # r2: (20,6162)=1 -> merge '206162' (' ab') -> 4
+    # r3: no adjacent pairs remain -> early stop (2 rows, not 3)
+    assert got == [
+        (1, "61", "62", "6162", 3, 5),
+        (2, "20", "6162", "206162", 1, 4),
+    ]
+
+
+def test_bpe_trained_counts_arrow_matches_native(spark):
+    """The Arrow mapInPandas twin of the trained-table token counter is
+    value-identical to the native expression chain — same left-greedy
+    whole-symbol merge loop, merges in training order — across the edge
+    cases that distinguish wrong implementations (same-symbol runs,
+    merge chains, merged-left-operand tables, NULL/empty text). The
+    router keeps small tables on the UDF-free native plan and sends
+    large ones to Arrow (ADVICE r11: k nested expression chains blow
+    Catalyst plan size at production table sizes)."""
+    from pyspark.sql import functions as F
+
+    import ehr_data_pipeline_spark.operators.text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theft aaa xxxxxx"),
+            (2, "a b the!"),
+            (3, None),
+            (4, ""),
+            (5, "ab ab abab aab"),
+        ],
+        "doc_id int, text string",
+    )
+    merges = (
+        ("h", "e"), ("t", "he"), ("a", "a"), ("aa", "a"),
+        ("x", "x"), ("a", "b"),
+    )
+    native = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select(
+            "doc_id",
+            TA.bpe_trained_token_count(F.col("text"), merges).alias(
+                "n_tokens"
+            ),
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["n_tokens"]
+        for r in TA._bpe_trained_counts_arrow(
+            docs, merges, "doc_id", "text"
+        ).collect()
+    }
+    assert native == arrow
+    assert native[3] == 0 and native[4] == 0  # degenerate-doc contract
+
+    # router: below the threshold the plan is UDF-free; at/above it the
+    # Arrow twin takes over
+    small = TA.bpe_trained_token_counts_df(docs, merges)
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    big_table = merges * ((TA._ARROW_MERGE_THRESHOLD // len(merges)) + 1)
+    big = TA.bpe_trained_token_counts_df(docs, big_table)
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_trainer_rejects_unknown_pretokenizer(spark):
+    import pytest as _pytest
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="pretokenizer"):
+        bpe_trainer_rounds(docs, pretokenizer="unicode")
+
+
 def test_bpe_trainer_stops_when_no_pairs_remain(spark):
     """A corpus of single-character words has no adjacencies — the
     trainer returns an empty merge table rather than looping."""
