@@ -453,6 +453,41 @@ def bpe_trained_token_count(
     )
 
 
+def bpe_byte_trained_token_count(
+    col: Column,
+    merges: "tuple[tuple[str, str], ...]",
+    sep: str = BPE_SEP,
+) -> Column:
+    """Byte-level twin of :func:`bpe_trained_token_count` — the APPLY
+    side of ``bpe_trainer_rounds(pretokenizer="byte")``: each pretoken
+    (:func:`byte_pretokens`) rebuilds as its hex-pair byte state
+    (:func:`bpe_initial_state_bytes`' rendering), the trained merges
+    apply IN ORDER with the same exact left-greedy whole-symbol
+    semantics (:func:`_bpe_apply_merge` is symbol-agnostic — hex
+    strings are just symbols), and the count is the surviving symbols.
+    NULL text counts 0. Same plan shape and small-k bound as the ASCII
+    variant (one narrow UDF-free pass, table as plan literals; large
+    tables belong on an Arrow twin per ``_ARROW_MERGE_THRESHOLD``)."""
+    words = byte_pretokens(col)
+
+    def count_word(w: Column) -> Column:
+        state = F.array_join(
+            F.regexp_extract_all(
+                F.hex(F.encode(w, "UTF-8")), F.lit(".."), F.lit(0)
+            ),
+            sep,
+        )
+        for l, r in merges:
+            state = _bpe_apply_merge(state, l, r, sep)
+        return F.size(F.split(state, sep))
+
+    return F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + count_word(w).cast("bigint"),
+    )
+
+
 # Above this many trained merges, the k chained _bpe_apply_merge
 # expression trees (two nested replaces or a fold EACH, applied inside
 # every word's per-row fold) would blow Catalyst's plan-size/codegen

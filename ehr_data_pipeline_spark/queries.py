@@ -6109,16 +6109,20 @@ def _bpe_trainer_oracle(n_rounds: int, base_sql: str = _BPE_BASE_SQL) -> str:
     return base_sql + rounds + selects
 
 
-def _bpe_trained_counts_oracle(n_rounds: int = 3) -> str:
+def _bpe_trained_counts_oracle(
+    n_rounds: int = 3, base_sql: str = _BPE_BASE_SQL
+) -> str:
     """Per-document token counts under the table the 3-round trainer
     learns: the SAME chained round CTEs (the state carries doc_id +
     word id, so the per-round merge-apply IS the per-document one),
     summed per document at the end. A LEFT JOIN keeps documents with
     no words at 0; a round whose merge table is exhausted contributes
     the sentinel no-op (see _bpe_round_sql), matching the Spark side's
-    early-stopped shorter merge tuple."""
+    early-stopped shorter merge tuple. ``base_sql`` selects the round-0
+    state (ASCII word default, or _BPE_BYTE_BASE_SQL for the byte-level
+    pretokenizer) — every round CTE is shared."""
     rounds = "".join(_bpe_round_sql(i) for i in range(1, n_rounds + 1))
-    return _BPE_BASE_SQL + rounds + f"""
+    return base_sql + rounds + f"""
     SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens
     FROM documents d LEFT JOIN (
       SELECT doc_id,
@@ -6209,6 +6213,45 @@ def doc_bpe_byte_trainer_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_trainer_rounds(
         _t(spark, sf_dir, "documents"), n_rounds=3, pretokenizer="byte"
+    )
+
+
+@register(
+    "doc_bpe_byte_trained_token_counts",
+    oracle=_bpe_trained_counts_oracle(3, base_sql=_BPE_BYTE_BASE_SQL),
+    tags=("text", "tokenizer", "bpe", "training", "byte-level"),
+)
+def doc_bpe_byte_trained_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPLY side of byte-level BPE training — closes the byte
+    train→apply loop the way ``doc_bpe_trained_token_counts`` closed the
+    ASCII one: train the 3-round byte merge table on the corpus
+    (``bpe_trainer_rounds(pretokenizer="byte")``), then count every
+    document's tokens under it (operators/text_analysis.py
+    bpe_byte_trained_token_count) — merges applied IN TRAINING ORDER
+    over hex-pair byte states, so later merges consume earlier merges'
+    fused byte runs (space-prefixed vocabulary entries like ' t' = 2074
+    emerge exactly as in GPT-2-style tokenizers). The per-doc counts sum
+    to the trainer's final corpus_tokens_after by construction; the
+    oracle shares the byte base state and ALL per-round island CTEs with
+    the byte trainer's. One narrow UDF-free pass with the learned table
+    as plan literals, plus training's bounded-key groupBys."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_byte_trained_token_count,
+        bpe_trainer_rounds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = tuple(
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_trainer_rounds(d, n_rounds=3, pretokenizer="byte")
+        .orderBy("round")
+        .collect()
+    )
+    return d.select(
+        "doc_id",
+        bpe_byte_trained_token_count(F.col("text"), merges).alias("n_tokens"),
     )
 
 
@@ -7536,6 +7579,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # --- new this round: never had a driver row ---
     "doc_corpus_build_pipeline",
     "doc_bpe_byte_trainer_rounds",
+    "doc_bpe_byte_trained_token_counts",
     # --- r8 spills from round 11's 52-entry overflow ---
     "union_by_name_roundtrip",
     "validator_parity_report",

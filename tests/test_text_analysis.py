@@ -788,6 +788,42 @@ def test_bpe_byte_trainer_rounds_hand_computed(spark):
     ]
 
 
+def test_bpe_byte_trained_count_cross_checked_with_trainer(spark):
+    """The byte-level apply side: per-doc counts under the byte-trained
+    table sum EXACTLY to the byte trainer's final corpus_tokens_after on
+    the same corpus (the train→apply loop closed at byte level), and the
+    space-prefixed merge is consumed in order — ' ab' counts ONE token
+    once both (61,62) and (20,6162) have applied."""
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_byte_trained_token_count,
+        bpe_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab!"), (3, None)], "doc_id int, text string"
+    )
+    rounds = (
+        bpe_trainer_rounds(docs, n_rounds=3, pretokenizer="byte")
+        .orderBy("round")
+        .collect()
+    )
+    merges = tuple((r["merge_left"], r["merge_right"]) for r in rounds)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select(
+            "doc_id",
+            bpe_byte_trained_token_count(F.col("text"), merges).alias(
+                "n_tokens"
+            ),
+        ).collect()
+    }
+    # doc1 'ab'+' ab' -> [6162] + [206162] = 2; doc2 'ab'+'!' -> 2; NULL -> 0
+    assert got == {1: 2, 2: 2, 3: 0}
+    assert sum(got.values()) == rounds[-1]["corpus_tokens_after"]
+
+
 def test_bpe_trained_counts_arrow_matches_native(spark):
     """The Arrow mapInPandas twin of the trained-table token counter is
     value-identical to the native expression chain — same left-greedy
