@@ -6322,9 +6322,10 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_TOKEN_BUDGET = 6000
 
 
-@register(
-    "doc_corpus_build_pipeline",
-    oracle="""
+# The corpus-build capstone's shared SQL chain (curation -> mixture ->
+# packing), through the `packed` CTE: the per-doc pipeline oracle and
+# the per-sequence build oracle both select from it.
+_CORPUS_BUILD_SQL = """
     WITH t AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
@@ -6414,7 +6415,12 @@ _PIPELINE_TOKEN_BUDGET = 6000
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS stream_offset
       FROM sel
-    )
+    )"""
+
+
+@register(
+    "doc_corpus_build_pipeline",
+    oracle=_CORPUS_BUILD_SQL + """
     SELECT doc_id, domain, n_tokens, stream_offset,
            CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
            CAST(stream_offset % 2048 AS BIGINT) AS offset_in_seq
@@ -6453,6 +6459,17 @@ def doc_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size, so the persist is O(budget) at 100 TB and
     the packing + domain re-join read the tiny manifest instead of
     recomputing the curation lineage twice."""
+    mix, packed = _corpus_build_packed(spark, sf_dir)
+    return packed.join(mix.select("doc_id", "domain"), "doc_id")
+
+
+def _corpus_build_packed(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared body of the corpus-build capstone: returns the PERSISTED
+    budget-bounded mixture manifest and the packed per-doc assignment
+    over it (see ``doc_corpus_build_pipeline`` for stage semantics and
+    the 100 TB argument)."""
     from ehr_data_pipeline_spark.operators.cleaning import (
         c4_blocklist_filter,
         c4_line_filter,
@@ -6487,7 +6504,44 @@ def doc_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
     ).persist()
     packed = pack_sequences(mix, "doc_id", F.col("n_tokens"), budget=2048)
-    return packed.join(mix.select("doc_id", "domain"), "doc_id")
+    return mix, packed
+
+
+@register(
+    "doc_corpus_build_sequences",
+    oracle=_CORPUS_BUILD_SQL + """
+    SELECT CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(stream_offset % 2048) AS first_offset,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY stream_offset % 2048, doc_id) AS doc_ids
+    FROM packed GROUP BY 1
+    """,
+    tags=(
+        "text", "cleaning", "mixing", "packing", "training-data",
+        "composition", "capstone",
+    ),
+)
+def doc_corpus_build_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone's BUILD artifact — one row per
+    2048-token training sequence of the curated+mixed corpus, members
+    comma-joined in stream order (``materialize_packed_sequences`` over
+    ``doc_corpus_build_pipeline``'s assignment): what the data loader
+    actually consumes after the full curation → mixture → packing run.
+    The oracle shares the whole chained stage SQL with the pipeline
+    query and regroups the packed CTE by sequence. NOT in this round's
+    SWEEP_PRIORITY (the 50-slot window is exactly full and spilling an
+    r9-stale entry would break the census floor — VERDICT r11 #2); it
+    has full CI oracle coverage now and heads r13's sweep. Output rows
+    = selected_tokens / budget — bounded by the mixture budget at ANY
+    corpus size."""
+    from ehr_data_pipeline_spark.operators.packing import (
+        materialize_packed_sequences,
+    )
+
+    _, packed = _corpus_build_packed(spark, sf_dir)
+    return materialize_packed_sequences(packed, "doc_id")
 
 
 @register(
