@@ -467,7 +467,8 @@ def bpe_byte_trained_token_count(
     strings are just symbols), and the count is the surviving symbols.
     NULL text counts 0. Same plan shape and small-k bound as the ASCII
     variant (one narrow UDF-free pass, table as plan literals; large
-    tables belong on an Arrow twin per ``_ARROW_MERGE_THRESHOLD``)."""
+    tables route to the bit-equivalent Arrow twin via
+    ``bpe_trained_token_counts_df(pretokenizer="byte")``)."""
     words = byte_pretokens(col)
 
     def count_word(w: Column) -> Column:
@@ -505,25 +506,38 @@ def bpe_trained_token_counts_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = BPE_SEP,
+    pretokenizer: str = "word",
 ) -> DataFrame:
     """DataFrame-level apply side of BPE training: per-document token
     counts under a trained merge table, routing by table size — the
-    native :func:`bpe_trained_token_count` expression chain below
-    ``_ARROW_MERGE_THRESHOLD`` merges (UDF-free, plan-literal table),
-    the Arrow ``mapInPandas`` twin at or above it (a realistically
-    sized trained table embeds k nested expression trees per word in
-    the plan, which Catalyst's codegen limits reject long before
-    k=10k). The two paths are bit-equivalent on ASCII corpora
-    (identical left-greedy merge loop; pinned by
-    test_bpe_trained_counts_arrow_matches_native)."""
+    native expression chain below ``_ARROW_MERGE_THRESHOLD`` merges
+    (UDF-free, plan-literal table), the Arrow ``mapInPandas`` twin at
+    or above it (a realistically sized trained table embeds k nested
+    expression trees per word in the plan, which Catalyst's codegen
+    limits reject long before k=10k). ``pretokenizer`` mirrors the
+    trainer's: ``"word"`` (:func:`bpe_trained_token_count`) or
+    ``"byte"`` (:func:`bpe_byte_trained_token_count`) — both have
+    Arrow twins, so either table size routes. The paths are
+    bit-equivalent on ASCII corpora (identical left-greedy merge loop;
+    pinned by test_bpe_trained_counts_arrow_matches_native /
+    test_bpe_byte_trained_counts_arrow_matches_native)."""
+    native = {"word": bpe_trained_token_count,
+              "byte": bpe_byte_trained_token_count}
+    if pretokenizer not in native:
+        raise ValueError(
+            f"pretokenizer must be one of {sorted(native)}, "
+            f"got {pretokenizer!r}"
+        )
     if len(merges) < _ARROW_MERGE_THRESHOLD:
         return df.select(
             id_col,
-            bpe_trained_token_count(F.col(text_col), merges, sep).alias(
+            native[pretokenizer](F.col(text_col), merges, sep).alias(
                 "n_tokens"
             ),
         )
-    return _bpe_trained_counts_arrow(df, merges, id_col, text_col)
+    return _bpe_trained_counts_arrow(
+        df, merges, id_col, text_col, pretokenizer
+    )
 
 
 def _bpe_trained_counts_arrow(
@@ -531,22 +545,29 @@ def _bpe_trained_counts_arrow(
     merges: "tuple[tuple[str, str], ...]",
     id_col: str,
     text_col: str,
+    pretokenizer: str = "word",
 ) -> DataFrame:
-    """Arrow-batched twin of :func:`bpe_trained_token_count` for large
+    """Arrow-batched twin of the trained-table token counters for large
     merge tables: one ``mapInPandas`` pass whose per-word loop is the
     SAME left-greedy non-overlapping merge-apply the native expression
     chain (and the oracles' gaps-and-islands SQL) implements — fuse
     every leftmost (l, r) adjacency, whole symbols only, merges in
     training order. O(k·chars) per doc like the native path, but k
     lives in a closure instead of the plan, so plan size is constant in
-    the table. Pretokenization parity note: Python ``re`` and Java
-    regex agree on WORD_PATTERN and ``\\s`` for ASCII text (the
-    corpus contract); the equivalence test pins it."""
+    the table. ``pretokenizer="word"`` reproduces
+    :func:`bpe_trained_token_count`'s normalized-word char states;
+    ``"byte"`` reproduces :func:`bpe_byte_trained_token_count`'s
+    raw-text pretokens and hex-pair byte states. Pretokenization parity
+    note: Python ``re`` and Java regex agree on both patterns for ASCII
+    text (the corpus contract); the equivalence tests pin it."""
     import re as _re
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    word_re = _re.compile(WORD_PATTERN)
+    byte_level = pretokenizer == "byte"
+    tok_re = _re.compile(
+        BYTE_PRETOKEN_PATTERN if byte_level else WORD_PATTERN
+    )
     ws_re = _re.compile(r"\s+")
     table = [(l, r) for l, r in merges]
     schema = StructType(
@@ -554,10 +575,17 @@ def _bpe_trained_counts_arrow(
     )
 
     def count_text(text: "str | None") -> int:
-        norm = ws_re.sub(" ", (text or "").lower()).strip()
+        if byte_level:
+            base = text or ""
+        else:
+            base = ws_re.sub(" ", (text or "").lower()).strip()
         total = 0
-        for w in word_re.findall(norm):
-            syms = list(w)
+        for w in tok_re.findall(base):
+            if byte_level:
+                h = w.encode("utf-8").hex().upper()
+                syms = [h[i:i + 2] for i in range(0, len(h), 2)]
+            else:
+                syms = list(w)
             for l, r in table:
                 out, i, n = [], 0, len(syms)
                 while i < n:

@@ -6238,7 +6238,7 @@ def doc_bpe_byte_trained_token_counts(
     the byte trainer's. One narrow UDF-free pass with the learned table
     as plan literals, plus training's bounded-key groupBys."""
     from ehr_data_pipeline_spark.operators.text_analysis import (
-        bpe_byte_trained_token_count,
+        bpe_trained_token_counts_df,
         bpe_trainer_rounds,
     )
 
@@ -6249,10 +6249,7 @@ def doc_bpe_byte_trained_token_counts(
         .orderBy("round")
         .collect()
     )
-    return d.select(
-        "doc_id",
-        bpe_byte_trained_token_count(F.col("text"), merges).alias("n_tokens"),
-    )
+    return bpe_trained_token_counts_df(d, merges, pretokenizer="byte")
 
 
 @register(

@@ -878,6 +878,59 @@ def test_bpe_trained_counts_arrow_matches_native(spark):
     assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
 
 
+def test_bpe_byte_trained_counts_arrow_matches_native(spark):
+    """The byte-level route of the trained-counts router: the Arrow
+    twin reproduces the native hex-pair byte states exactly (raw-text
+    GPT-2-style pretokens — case/whitespace preserved — then the same
+    left-greedy merge loop over hex symbols), and the router honors
+    pretokenizer='byte' on both sides of the threshold."""
+    from pyspark.sql import functions as F
+
+    import ehr_data_pipeline_spark.operators.text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab ab abab"),
+            (2, "The fast dup's  Go 12!"),
+            (3, None),
+            (4, "xxxxxx"),
+        ],
+        "doc_id int, text string",
+    )
+    merges = (
+        ("61", "62"), ("20", "6162"), ("78", "78"), ("7878", "7878"),
+        ("54", "68"),
+    )
+    native = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select(
+            "doc_id",
+            TA.bpe_byte_trained_token_count(F.col("text"), merges).alias(
+                "n_tokens"
+            ),
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["n_tokens"]
+        for r in TA._bpe_trained_counts_arrow(
+            docs, merges, "doc_id", "text", pretokenizer="byte"
+        ).collect()
+    }
+    assert native == arrow
+    assert native[3] == 0  # degenerate-doc contract
+
+    small = TA.bpe_trained_token_counts_df(docs, merges, pretokenizer="byte")
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    big_table = merges * ((TA._ARROW_MERGE_THRESHOLD // len(merges)) + 1)
+    big = TA.bpe_trained_token_counts_df(docs, big_table, pretokenizer="byte")
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pretokenizer"):
+        TA.bpe_trained_token_counts_df(docs, merges, pretokenizer="unicode")
+
+
 def test_bpe_trainer_rejects_unknown_pretokenizer(spark):
     import pytest as _pytest
 
