@@ -104,9 +104,16 @@ def _calibration_sec(spark) -> float:
         )
 
     plan().collect()  # JIT warm-up
-    t0 = time.perf_counter()
-    plan().collect()
-    return round(time.perf_counter() - t0, 4)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        plan().collect()
+        runs.append(round(time.perf_counter() - t0, 4))
+    # median of 3, same discipline as the query timings: every
+    # normalized number divides by this constant, so one GC pause in a
+    # single-shot calibration would inflate (or mask) EVERY per-query
+    # normalization at once
+    return sorted(runs)[1]
 
 
 def main() -> None:
@@ -126,20 +133,35 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         spark.catalog.clearCache()
 
+    # Median of N_PASSES timed passes per query (VERDICT r12 #2): three
+    # straight rounds of single-shot driver-bench "regressions" (r10
+    # minhash, r11 fhir, r12 everything, +20-50% on paths the diffs never
+    # touched) each dissolved under same-host worktree A/B — the
+    # single-shot number is at the mercy of one GC pause / scheduler
+    # hiccup / page-cache eviction. The MEDIAN of three passes is robust
+    # to one bad pass; the raw passes ship in the JSON so a reader can
+    # see the spread (a real plan regression inflates ALL passes, host
+    # noise inflates one).
+    N_PASSES = 3
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for name, fn in fns.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # release operator-internal persists between queries, for two
-        # reasons: (1) Spark's CacheManager matches identical ANALYZED
-        # plans, so a re-invocation WOULD silently reuse the warm-up's
-        # persisted index (measured ~3 s flatter for minhash) — clearing
-        # keeps the timed number the honest cold-index cost; (2) blocks
-        # from OTHER queries are dead weight whose eviction/GC churn
-        # slows later queries (measured 229 s -> 201 s across a
-        # 105-query session at sf0.1)
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(N_PASSES):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(round(time.perf_counter() - t0, 4))
+            # release operator-internal persists between passes/queries,
+            # for two reasons: (1) Spark's CacheManager matches identical
+            # ANALYZED plans, so a re-run WOULD silently reuse the prior
+            # pass's persisted index (measured ~3 s flatter for minhash)
+            # — clearing keeps every timed pass the honest cold-index
+            # cost; (2) blocks from OTHER queries are dead weight whose
+            # eviction/GC churn slows later queries (measured
+            # 229 s -> 201 s across a 105-query session at sf0.1)
+            spark.catalog.clearCache()
+        passes[name] = runs
+        timings[name] = sorted(runs)[N_PASSES // 2]
 
     calibration = _calibration_sec(spark)
     total = round(sum(timings.values()), 4)
@@ -160,6 +182,10 @@ def main() -> None:
         "queries_normalized": {
             n: round(s / calibration, 4) for n, s in timings.items()
         } if calibration else None,
+        # raw per-query passes behind each median (VERDICT r12 #2) —
+        # uniform inflation across passes = plan change; one outlier
+        # pass = the host noise the median already absorbed
+        "queries_raw_passes": passes,
     }))
     spark.stop()
 

@@ -6318,11 +6318,20 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rather than passing the whole corpus through.
 _PIPELINE_TOKEN_BUDGET = 6000
 
+# Per-sequence token budget for the capstone's packing stage (the
+# training sequence length the loader consumes).
+_PIPELINE_SEQ_BUDGET = 2048
+
 
 # The corpus-build capstone's shared SQL chain (curation -> mixture ->
 # packing), through the `packed` CTE: the per-doc pipeline oracle and
-# the per-sequence build oracle both select from it.
-_CORPUS_BUILD_SQL = """
+# the per-sequence build oracle both select from it. An f-string so the
+# driver-known budgets (_PIPELINE_TOKEN_BUDGET, and _PIPELINE_SEQ_BUDGET
+# in the per-surface tails) interpolate from the SAME constants the
+# Spark side passes — changing the Python constant can no longer
+# silently desync the oracle (ADVICE r12); literal regex/SQL braces are
+# doubled.
+_CORPUS_BUILD_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
@@ -6342,7 +6351,7 @@ _CORPUS_BUILD_SQL = """
                      THEN chr(10) || 'this page contains lorem ipsum filler.'
                      ELSE '' END
              || CASE WHEN doc_id % 89 = 0
-                     THEN chr(10) || 'function f() { return 1; }'
+                     THEN chr(10) || 'function f() {{ return 1; }}'
                      ELSE '' END AS text2
       FROM l
     ), blocked AS (
@@ -6361,7 +6370,7 @@ _CORPUS_BUILD_SQL = """
       SELECT doc_id, array_to_string(kept, chr(10)) AS ct
       FROM f
       WHERE NOT contains(lower(text2), 'lorem ipsum')
-        AND NOT contains(text2, '{')
+        AND NOT contains(text2, '{{')
         AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
     ), e AS (
       SELECT doc_id, UNNEST(range(0, len(paras))) AS idx, paras
@@ -6395,7 +6404,7 @@ _CORPUS_BUILD_SQL = """
       SELECT CAST(SUM(q) AS BIGINT) AS qt FROM dom
     ), bud AS (
       SELECT lang,
-             CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE) * 6000.0) AS BIGINT) AS budget
+             CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE) * {float(_PIPELINE_TOKEN_BUDGET)}) AS BIGINT) AS budget
       FROM dom, tot
     ), mix AS (
       SELECT c.doc_id, c.lang AS domain, c.n_tokens, b.budget,
@@ -6417,10 +6426,10 @@ _CORPUS_BUILD_SQL = """
 
 @register(
     "doc_corpus_build_pipeline",
-    oracle=_CORPUS_BUILD_SQL + """
+    oracle=_CORPUS_BUILD_SQL + f"""
     SELECT doc_id, domain, n_tokens, stream_offset,
-           CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
-           CAST(stream_offset % 2048 AS BIGINT) AS offset_in_seq
+           CAST(stream_offset // {_PIPELINE_SEQ_BUDGET} AS BIGINT) AS seq_id,
+           CAST(stream_offset % {_PIPELINE_SEQ_BUDGET} AS BIGINT) AS offset_in_seq
     FROM packed
     """,
     tags=(
@@ -6499,18 +6508,31 @@ def _corpus_build_packed(
         token_count=F.size(whitespace_tokens(F.col("clean_text"))),
         total_token_budget=_PIPELINE_TOKEN_BUDGET,
         alpha=0.5,
-    ).persist()
-    packed = pack_sequences(mix, "doc_id", F.col("n_tokens"), budget=2048)
+    )
+    # Persist through the session-level tracked-cache contract
+    # (text_dedup._persist_tracked) rather than a bare .persist():
+    # the manifest is budget-bounded so each cache entry is tiny, but a
+    # long-lived session invoking the capstone repeatedly would accrete
+    # one cached plan per invocation with no release path (ADVICE r12 /
+    # VERDICT r12 #3). Lifetime: release_builder_caches(),
+    # spark.catalog.clearCache() (what bench.py does), or session end —
+    # the same contract every dedup/ANN index persist follows.
+    from ehr_data_pipeline_spark.operators.text_dedup import _persist_tracked
+
+    mix = _persist_tracked(mix)
+    packed = pack_sequences(
+        mix, "doc_id", F.col("n_tokens"), budget=_PIPELINE_SEQ_BUDGET
+    )
     return mix, packed
 
 
 @register(
     "doc_corpus_build_sequences",
-    oracle=_CORPUS_BUILD_SQL + """
-    SELECT CAST(stream_offset // 2048 AS BIGINT) AS seq_id,
+    oracle=_CORPUS_BUILD_SQL + f"""
+    SELECT CAST(stream_offset // {_PIPELINE_SEQ_BUDGET} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
-           MIN(stream_offset % 2048) AS first_offset,
+           MIN(stream_offset % {_PIPELINE_SEQ_BUDGET}) AS first_offset,
            string_agg(CAST(doc_id AS VARCHAR), ','
                       ORDER BY stream_offset % 2048, doc_id) AS doc_ids
     FROM packed GROUP BY 1
@@ -6527,12 +6549,12 @@ def doc_corpus_build_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_corpus_build_pipeline``'s assignment): what the data loader
     actually consumes after the full curation → mixture → packing run.
     The oracle shares the whole chained stage SQL with the pipeline
-    query and regroups the packed CTE by sequence. NOT in this round's
-    SWEEP_PRIORITY (the 50-slot window is exactly full and spilling an
-    r9-stale entry would break the census floor — VERDICT r11 #2); it
-    has full CI oracle coverage now and heads r13's sweep. Output rows
-    = selected_tokens / budget — bounded by the mixture budget at ANY
-    corpus size."""
+    query and regroups the packed CTE by sequence. Registered in r12
+    after that round's 50-slot window was exactly full (spilling an
+    r9-stale entry would have broken the census floor — VERDICT r11
+    #2); it HEADS r13's SWEEP_PRIORITY for its first driver row, as
+    promised. Output rows = selected_tokens / budget — bounded by the
+    mixture budget at ANY corpus size."""
     from ehr_data_pipeline_spark.operators.packing import (
         materialize_packed_sequences,
     )
@@ -7613,74 +7635,73 @@ del _n, _s
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 12's list (VERDICT r11 #2, exactly the
-# r11 handoff's split): the census over CORRECTNESS_r01..r11 is
-# 50 last-green r11 / 48 r10 / 45 r9 / 2 r8, zero never-green — so this
-# round's window = the queries NEW this round (never had a driver row,
-# listed first) + the two r8 spills that overflowed r11's window
-# (union_by_name_roundtrip, validator_parity_report — the documented
-# trade) + the full 45-entry r9 tier. Trade-off, made explicitly:
-# the queries this demotes past slot 50 lose DRIVER regression coverage
-# for the round, but every registry entry still runs against the
-# identical DuckDB oracle in tests/test_queries_oracle.py (the
-# full-registry replica of the driver's gate), so a regression in a
-# demoted query still fails CI — the driver sweep is the independent
-# confirmation, pytest is the compensating gate.
+# least every other round. Round 13's list (VERDICT r12 #1, exactly the
+# r12 handoff's split): the census over CORRECTNESS_r01..r12 is
+# 50 last-green r12 / 50 r11 / 48 r10, zero never-red — so this round's
+# window = doc_corpus_build_sequences FIRST (registered in r12 after the
+# window was exactly full; the one entry with no driver row yet — the
+# r12 docstring's promise), then the queries NEW this round, then the
+# full 48-entry r10 tier (cross-checked against CORRECTNESS_r12's actual
+# rows). Trade-off, made explicitly: the queries this demotes past slot
+# 50 lose DRIVER regression coverage for the round, but every registry
+# entry still runs against the identical DuckDB oracle in
+# tests/test_queries_oracle.py (the full-registry replica of the
+# driver's gate), so a regression in a demoted query still fails CI —
+# the driver sweep is the independent confirmation, pytest is the
+# compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- new this round: never had a driver row ---
-    "doc_corpus_build_pipeline",
-    "doc_bpe_byte_trainer_rounds",
-    "doc_bpe_byte_trained_token_counts",
-    # --- r8 spills from round 11's 52-entry overflow ---
-    "union_by_name_roundtrip",
-    "validator_parity_report",
-    # --- stalest census tier (last driver row r09; census over
-    #     CORRECTNESS_r01..r11: 50 r11 / 48 r10 / 45 r9 / 2 r8) ---
-    "customer_order_distribution",
-    "customer_running_order_totals",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "doc_bigram_lm_scores",
-    "doc_bm25_index_search",
-    "doc_quality_classifier_scores",
-    "doc_source_capped",
-    "dominant_part_suppliers",
-    "emb_cosine_neardup_pairs",
-    "emb_ivf_index_search",
-    "emb_ivf_knn",
-    "emb_ivf_recall_report",
-    "emb_label_centroids",
-    "emb_lsh_knn",
-    "emb_lsh_neardup_pairs_hi",
-    "emb_lsh_recall_report",
-    "error_recent_click_counts",
-    "event_user_hll",
-    "events_hourly_gapfill",
-    "events_hourly_rollup_merge",
-    "events_user_skew_stats",
-    "events_value_delta",
-    "events_value_quantile_sketch",
-    "late_sole_supplier_ranking",
-    "media_audio_segment_plan",
-    "media_frame_sample_plan",
-    "media_image_channel_stats",
-    "media_image_features",
-    "media_meta_profile",
-    "order_priority_grouping_sets",
-    "order_priority_with_returns",
-    "orders_bloom_prune_stats",
-    "part_cheapest_line_supplier",
-    "purchase_last_click_asof",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "small_quantity_part_revenue",
-    "top_balance_idle_customers",
-    "top_orders_per_customer",
-    "top_revenue_supplier",
-    "user_cms_accuracy",
-    "user_sessions",
-    "user_weekly_retention",
+    # --- never had a driver row (registered r12 past the full window) ---
+    "doc_corpus_build_sequences",
+    # --- stalest census tier (last driver row r10; census over
+    #     CORRECTNESS_r01..r12: 50 r12 / 50 r11 / 48 r10) ---
+    "brand_size_supplier_variety",
+    "branded_quantity_band_revenue",
+    "corpus_curation_funnel",
+    "customer_balance_quartiles",
+    "customer_order_gaps",
+    "doc_benchmark_contamination",
+    "doc_bpe_pair_counts",
+    "doc_c4_line_filter",
+    "doc_domain_mixture_sample",
+    "doc_dup_clusters",
+    "doc_duplicate_spans",
+    "doc_incremental_dedup",
+    "doc_incremental_near_dedup",
+    "doc_incremental_paragraph_dedup",
+    "doc_length_batches",
+    "doc_minhash_dup_groups",
+    "doc_minhash_lsh_pairs",
+    "doc_pack_sequences",
+    "doc_pack_sequences_bpe",
+    "doc_packed_sequences",
+    "doc_paragraph_dedup",
+    "doc_shuffle_order",
+    "doc_simhash_band_pairs",
+    "doc_substring_dedup",
+    "doc_temperature_mixture",
+    "emb_gram_matrix",
+    "emb_ivf_knn_fullprobe",
+    "emb_lsh_neardup_pairs",
+    "events_projected_aligned",
+    "events_signup_funnel",
+    "events_stratified_sample",
+    "events_value_drift",
+    "events_value_psi_drift",
+    "fhir_pipeline_cleaned_patients",
+    "forecast_revenue_change",
+    "large_volume_orders",
+    "lineitem_quantity_percentiles",
+    "linestatus_priority_classes",
+    "nation1_market_share",
+    "nation_pair_trade_volume",
+    "nation_year_profit",
+    "orders_no_returned_lines",
+    "part_revenue_share",
+    "promo_revenue_ratio",
+    "returned_item_top_customers",
+    "user_event_type_scd2",
+    "user_event_type_scd2_merge",
+    "user_rolling_week_totals",
 )
 
 
@@ -7692,7 +7713,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 12
+SWEEP_ROTATION_ROUND = 13
 
 
 def _sweep_order() -> list[str]:

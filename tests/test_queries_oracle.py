@@ -84,6 +84,32 @@ def test_sweep_priority_order_and_completeness():
     assert len(exported) == len(REGISTRY)
 
 
+def test_corpus_build_manifest_cache_released(spark):
+    """The capstone's persisted mixture manifest follows the tracked-
+    cache lifetime contract (VERDICT r12 #3 / ADVICE r12): repeated
+    invocations in one session must not accrete cached plans past
+    release_builder_caches(). Two full invoke+collect cycles, each
+    followed by the registered cleanup, land back at the baseline
+    persistent-RDD count."""
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        release_builder_caches,
+    )
+    from ehr_data_pipeline_spark.queries import REGISTRY
+
+    release_builder_caches()  # start clean of other builders' caches
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    fn = REGISTRY["doc_corpus_build_sequences"].fn
+    for _ in range(2):
+        rows = fn(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) > 0
+        # the manifest IS cached while the result is being consumed...
+        assert jsc.getPersistentRDDs().size() > before
+        # ...and the registered cleanup returns to baseline every time
+        release_builder_caches()
+        assert jsc.getPersistentRDDs().size() == before
+
+
 def test_approx_count_distinct_tracks_exact(spark):
     """The 100 TB path for event_type_reach: HLL++ sketch within 5% of
     the exact distinct count on every group."""
