@@ -180,18 +180,89 @@ def bpe_initial_state(
 # GPT-2-style byte-level pretokenizer (Radford et al. 2019; the regex
 # tiktoken/HF tokenizers ship for gpt2): contractions, then
 # space-prefixed letter / digit / punctuation runs, then whitespace
-# runs. Two deliberate deviations, both for cross-engine oracle parity:
-# ASCII classes instead of \p{L}/\p{N} (the synthetic corpus is ASCII;
-# swap the classes for Unicode properties when the data needs them),
-# and GPT-2's trailing-whitespace lookahead branch `\s+(?!\S)` is
-# simplified to plain `\s+` runs — RE2 (DuckDB) has no lookahead, and
-# on single-space-separated text the two pretokenizations agree. Java
+# runs. Letter/digit classes are the full Unicode categories \p{L} /
+# \p{N} (VERDICT r12 #4 — the r12 ASCII stand-ins are gone; accented /
+# CJK / fullwidth-digit text pretokenizes like production GPT-2), which
+# Java regex and RE2 (DuckDB) both support natively with the same
+# category tables. Two deliberate deviations, both for cross-engine
+# oracle parity: whitespace is the EXPLICIT class [\t\n\x0B\f\r ] —
+# Java's default \s — instead of \s, because RE2's \s omits \x0B and
+# Python's re \s adds Unicode whitespace, so spelling the set out is
+# the only rendering all three engines read identically; and GPT-2's
+# trailing-whitespace lookahead branch `\s+(?!\S)` is simplified to
+# plain whitespace runs — RE2 has no lookahead, and on
+# single-space-separated text the two pretokenizations agree. Java
 # regex and RE2 both scan leftmost-first with in-order alternation
 # preference, so the same pattern yields identical pretokens in Spark
-# and the SQL twin (probed: identical token lists both engines).
+# and the SQL twin (probed on accents/CJK/Nl/No/fullwidth digits/
+# NBSP/VT: identical token lists in Java, RE2, and the Python scanner
+# twin _byte_pretokens_py).
 BYTE_PRETOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\t\n\x0B\f\r ]+"
+    r"|[\t\n\x0B\f\r ]+"
 )
+
+# The whitespace set the pattern spells out — Java regex's default \s.
+_PRETOKEN_WS = " \t\n\x0b\f\r"
+
+
+def _byte_pretokens_py(text: str) -> "list[str]":
+    """Python twin of :data:`BYTE_PRETOKEN_PATTERN` for the Arrow apply
+    path: a hand-rolled leftmost-first scanner instead of ``re``,
+    because Python's ``re`` has no ``\\p{L}``/``\\p{N}`` — the letter /
+    number tests use ``unicodedata.category`` (general categories L*
+    and N*, exactly what Java regex and RE2 resolve the properties to),
+    and whitespace is the same explicit ASCII set the pattern spells
+    out. Alternation order and the single optional leading space match
+    the pattern branch-for-branch; tri-engine equality is probed on
+    accents/CJK/Nl/No/fullwidth digits and pinned by the Arrow
+    bit-equivalence tests."""
+    from unicodedata import category
+
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":  # branch 1: contraction suffixes, in order
+            m = None
+            for suf in ("s", "t", "re", "ve", "m", "ll", "d"):
+                if text.startswith(suf, i + 1):
+                    m = "'" + suf
+                    break
+            if m is not None:
+                toks.append(m)
+                i += len(m)
+                continue
+        # branches 2-4 share the single optional leading space
+        j = i + 1 if (text[i] == " " and i + 1 < n) else i
+        ch = text[j]
+        c = category(ch)[0]
+        if c == "L":  # branch 2: ' ?\p{L}+'
+            k = j + 1
+            while k < n and category(text[k])[0] == "L":
+                k += 1
+        elif c == "N":  # branch 3: ' ?\p{N}+'
+            k = j + 1
+            while k < n and category(text[k])[0] == "N":
+                k += 1
+        elif ch not in _PRETOKEN_WS:  # branch 4: ' ?[^\p{L}\p{N}WS]+'
+            k = j + 1
+            while (
+                k < n
+                and text[k] not in _PRETOKEN_WS
+                and category(text[k])[0] not in "LN"
+            ):
+                k += 1
+        else:  # branch 5: whitespace run (from i — no space prefix)
+            k = i
+            while k < n and text[k] in _PRETOKEN_WS:
+                k += 1
+            toks.append(text[i:k])
+            i = k
+            continue
+        toks.append(text[i:k])
+        i = k
+    return toks
 
 
 def byte_pretokens(col: Column) -> Column:
@@ -365,7 +436,15 @@ def bpe_trainer_rounds(
     previous), runs one bounded-key groupBy and one scalar aggregate,
     and unpersists the predecessor — peak storage is two corpus-sized
     states, per-round cost is linear, and nothing driver-sized but the
-    merge table itself."""
+    merge table itself. CORPUS-size scaling is measured (SCALE_RATIOS:
+    wall ×6.4 at input ×10, shuffle/input ≈ 0); the VOCAB-size bound is
+    the 2 driver-coordinated Spark jobs per merge — exact and fine at
+    small k, ~100k job launches at a production 50k-merge vocabulary
+    (each cheap, but driver-round-trip-bound). For large vocabularies
+    use :func:`bpe_batched_trainer_rounds`, which selects up to
+    ``batch_size`` pairwise-compatible merges per round from one count
+    pass (the standard fast-BPE batching trick), amortizing the job
+    count to 2 per ROUND (VERDICT r12 #3)."""
     builders = {"word": bpe_initial_state, "byte": bpe_initial_state_bytes}
     if pretokenizer not in builders:
         raise ValueError(
@@ -408,6 +487,127 @@ def bpe_trainer_rounds(
         rows,
         "round int, merge_left string, merge_right string, merged string, "
         "n_pairs bigint, corpus_tokens_after bigint",
+    )
+
+
+def _select_compatible_pairs(
+    candidates: "list[tuple[str, str, int]]", batch_size: int
+) -> "list[tuple[str, str, int]]":
+    """Greedy selection of up to ``batch_size`` pairwise-COMPATIBLE
+    merges from a (count desc, l asc, r asc)-ordered candidate list:
+    walk the ranking, keep a pair iff neither element is blocked, and
+    block each kept pair's elements AND its merged symbol. Compatible
+    means applying one kept merge can neither create nor destroy an
+    occurrence of another — an interaction needs a shared element
+    (overlap / destroyed adjacency) or an element equal to another
+    kept pair's concatenation (created adjacency), both of which the
+    blocked set excludes — so applying the batch simultaneously on the
+    round-start state equals applying it sequentially in selection
+    order, which is what the trainer and the oracle's island SQL both
+    rely on."""
+    blocked: set = set()
+    sel: list = []
+    for l, r, n in candidates:
+        if l in blocked or r in blocked:
+            continue
+        sel.append((l, r, n))
+        blocked.update((l, r, l + r))
+        if len(sel) >= batch_size:
+            break
+    return sel
+
+
+def bpe_batched_trainer_rounds(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    batch_size: int = 3,
+    sep: str = BPE_SEP,
+    pretokenizer: str = "word",
+    candidate_window: "int | None" = None,
+) -> DataFrame:
+    """Batched distributed BPE training — the VOCAB-size scale path of
+    :func:`bpe_trainer_rounds` (VERDICT r12 #3): each round runs ONE
+    corpus-wide pair count, collects the top ``candidate_window``
+    (default ``8 * batch_size``) pairs under the trainer's total order
+    (count desc, l asc, r asc), greedily keeps up to ``batch_size``
+    pairwise-compatible merges (:func:`_select_compatible_pairs` — no
+    kept pair shares an element with, or contains the merged symbol
+    of, an earlier kept pair, so the batch's merges provably don't
+    interact), and retokenizes the state ONCE with all of them chained
+    through :func:`_bpe_apply_merge`. This is the standard fast-BPE
+    batching trick (applied by every production trainer that doesn't
+    want merge-count-many scans): 2 Spark jobs per ROUND instead of
+    per MERGE, so a 50k-merge vocabulary at batch_size 256 costs ~400
+    driver round-trips instead of ~100k, while the corpus-side work
+    per round stays one bounded-key groupBy + one narrow rewrite.
+
+    The trade against the sequential trainer, stated honestly: batched
+    counts are measured at ROUND START for every merge in the batch
+    (true sequential BPE would recount after each merge), so merge
+    ORDER can differ from the exact trainer's beyond the first merge
+    of each round — with ``batch_size=1`` the two are identical (the
+    compatibility filter is vacuous), which the tests pin. Candidate
+    selection searches only the top-``candidate_window`` ranking — a
+    driver-sized window, same discipline as the sequential trainer's
+    top-1 collect — and the oracle replays the same window.
+
+    Returns one row per MERGE: ``round, pos`` (1-based slot within the
+    round's batch, selection order), ``merge_left, merge_right,
+    merged, n_pairs`` (the pair's adjacency count at round start) and
+    ``corpus_tokens_after`` (total symbols after the WHOLE round's
+    batch applied — per-round, repeated on each of the round's rows).
+    Stops early when a round finds no pairs. ``pretokenizer`` as in
+    :func:`bpe_trainer_rounds`."""
+    builders = {"word": bpe_initial_state, "byte": bpe_initial_state_bytes}
+    if pretokenizer not in builders:
+        raise ValueError(
+            f"pretokenizer must be one of {sorted(builders)}, "
+            f"got {pretokenizer!r}"
+        )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    window = candidate_window or 8 * batch_size
+    spark = df.sparkSession
+    state = builders[pretokenizer](df, text_col, sep).persist()
+    rows: list = []
+    retained = [state]
+    try:
+        for rnd in range(1, n_rounds + 1):
+            cands = [
+                (r["l"], r["r"], r["n_pairs"])
+                for r in bpe_symbol_pair_counts(state, sep)
+                .orderBy(
+                    F.col("n_pairs").desc(),
+                    F.col("l").asc(),
+                    F.col("r").asc(),
+                )
+                .limit(window)
+                .collect()
+            ]
+            sel = _select_compatible_pairs(cands, batch_size)
+            if not sel:
+                break
+            merged_col = F.col("syms")
+            for l, r, _ in sel:
+                merged_col = _bpe_apply_merge(merged_col, l, r, sep)
+            state = state.withColumn("syms", merged_col).persist()
+            retained.append(state)
+            tokens_after = state.agg(
+                F.sum(F.size(F.split(F.col("syms"), sep))).alias("n")
+            ).collect()[0]["n"]
+            rows.extend(
+                (rnd, pos, l, r, l + r, n, tokens_after)
+                for pos, (l, r, n) in enumerate(sel, start=1)
+            )
+            retained.pop(0).unpersist()
+    finally:
+        for s in retained:
+            s.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "round int, pos int, merge_left string, merge_right string, "
+        "merged string, n_pairs bigint, corpus_tokens_after bigint",
     )
 
 
@@ -557,18 +757,21 @@ def _bpe_trained_counts_arrow(
     the table. ``pretokenizer="word"`` reproduces
     :func:`bpe_trained_token_count`'s normalized-word char states;
     ``"byte"`` reproduces :func:`bpe_byte_trained_token_count`'s
-    raw-text pretokens and hex-pair byte states. Pretokenization parity
-    note: Python ``re`` and Java regex agree on both patterns for ASCII
-    text (the corpus contract); the equivalence tests pin it."""
+    raw-text pretokens and hex-pair byte states. Pretokenization
+    parity: the word path compiles with ``re.ASCII`` so Python's
+    ``\\s`` means exactly what Java's default ``\\s`` means (without
+    it, Python ``\\s`` matches \\x1c-\\x1f and Unicode whitespace that
+    Java's does not — ADVICE r12), and trims with the literal space
+    Spark's ``trim`` removes; the byte path uses the
+    :func:`_byte_pretokens_py` scanner (Python ``re`` has no
+    ``\\p{L}``). The equivalence tests pin both routes."""
     import re as _re
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     byte_level = pretokenizer == "byte"
-    tok_re = _re.compile(
-        BYTE_PRETOKEN_PATTERN if byte_level else WORD_PATTERN
-    )
-    ws_re = _re.compile(r"\s+")
+    tok_re = _re.compile(WORD_PATTERN, _re.ASCII)
+    ws_re = _re.compile(r"\s+", _re.ASCII)
     table = [(l, r) for l, r in merges]
     schema = StructType(
         [df.schema[id_col], StructField("n_tokens", LongType(), False)]
@@ -576,11 +779,12 @@ def _bpe_trained_counts_arrow(
 
     def count_text(text: "str | None") -> int:
         if byte_level:
-            base = text or ""
+            words = _byte_pretokens_py(text or "")
         else:
-            base = ws_re.sub(" ", (text or "").lower()).strip()
+            base = ws_re.sub(" ", (text or "").lower()).strip(" ")
+            words = tok_re.findall(base)
         total = 0
-        for w in tok_re.findall(base):
+        for w in words:
             if byte_level:
                 h = w.encode("utf-8").hex().upper()
                 syms = [h[i:i + 2] for i in range(0, len(h), 2)]

@@ -6078,16 +6078,26 @@ _BPE_BASE_SQL = """
 # Byte-level round-0 state (text_analysis.bpe_initial_state_bytes):
 # GPT-2-style case/whitespace-PRESERVING pretokens over the RAW text
 # (no normalize — byte-level BPE is defined on the byte stream; the
-# lookahead-free pattern and its cross-engine parity are documented at
-# BYTE_PRETOKEN_PATTERN), each pretoken's UTF-8 bytes rendered as
-# 2-hex-digit symbols (hex(encode()) is uppercase in both engines).
-# Every round CTE after s0 is shared verbatim with the ASCII trainer —
-# the symbol machinery is pretokenizer-agnostic on both sides.
-_BPE_BYTE_BASE_SQL = """
+# lookahead-free \p{L}/\p{N} pattern and its tri-engine parity are
+# documented at BYTE_PRETOKEN_PATTERN, and the SQL interpolates that
+# SAME constant — quote-escaped — so the two engines can never drift),
+# each pretoken's UTF-8 bytes rendered as 2-hex-digit symbols
+# (hex(encode()) is uppercase in both engines). Every round CTE after
+# s0 is shared verbatim with the word trainer — the symbol machinery
+# is pretokenizer-agnostic on both sides.
+def _byte_pretoken_pattern_sql() -> str:
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        BYTE_PRETOKEN_PATTERN,
+    )
+
+    return BYTE_PRETOKEN_PATTERN.replace("'", "''")
+
+
+_BPE_BYTE_BASE_SQL = f"""
     WITH w0 AS (
       SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wid
       FROM (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
-              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')
+              '{_byte_pretoken_pattern_sql()}')
               AS ws FROM documents)
     ), s0 AS (
       SELECT doc_id, wid,
@@ -6129,6 +6139,119 @@ def _bpe_trained_counts_oracle(
              CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n
       FROM s{n_rounds} GROUP BY doc_id) t ON t.doc_id = d.doc_id
     """
+
+
+def _bpe_batched_round_sql(i: int, batch_size: int, window: int) -> str:
+    """One BATCHED BPE training round as SQL CTEs (the oracle twin of
+    text_analysis.bpe_batched_trainer_rounds): pair counts as in
+    _bpe_round_sql, then the top-``window`` candidate ranking (c{i}),
+    then ``batch_size`` chained greedy-selection slots — g{i}_j picks
+    the best-ranked candidate whose elements avoid b{i}_j, the blocked
+    set accumulating each kept pair's elements AND merged symbol (the
+    pairwise-compatibility rule under which simultaneous application
+    equals sequential; sentinel chr(30) rows mark exhausted slots) —
+    and ONE simultaneous merge-apply of the whole batch: occurrence =
+    adjacency matching ANY kept pair (LEFT JOIN sel{i}), islands of
+    consecutive occurrences (only same-symbol SAME-pair chains can be
+    consecutive — distinct kept pairs share no element), fuse even
+    island offsets rebuilding each fused position as sym || nxt."""
+    slots = [f"""
+    , g{i}_1 AS MATERIALIZED (
+      SELECT coalesce(t.l, chr(30)) AS l, coalesce(t.r, chr(30)) AS r,
+             CAST(coalesce(t.n, 0) AS BIGINT) AS n
+      FROM (VALUES (1)) v(x)
+      LEFT JOIN (SELECT l, r, n FROM c{i}
+                 ORDER BY n DESC, l ASC, r ASC LIMIT 1) t ON TRUE
+    )"""]
+    for j in range(2, batch_size + 1):
+        prev_blocked = (
+            f"UNION SELECT s FROM b{i}_{j - 1}" if j > 2 else ""
+        )
+        slots.append(f"""
+    , b{i}_{j} AS MATERIALIZED (
+      SELECT l AS s FROM g{i}_{j - 1} WHERE n > 0
+      UNION SELECT r FROM g{i}_{j - 1} WHERE n > 0
+      UNION SELECT l || r FROM g{i}_{j - 1} WHERE n > 0
+      {prev_blocked}
+    ), g{i}_{j} AS MATERIALIZED (
+      SELECT coalesce(t.l, chr(30)) AS l, coalesce(t.r, chr(30)) AS r,
+             CAST(coalesce(t.n, 0) AS BIGINT) AS n
+      FROM (VALUES (1)) v(x)
+      LEFT JOIN (SELECT l, r, n FROM c{i}
+                 WHERE l NOT IN (SELECT s FROM b{i}_{j})
+                   AND r NOT IN (SELECT s FROM b{i}_{j})
+                 ORDER BY n DESC, l ASC, r ASC LIMIT 1) t ON TRUE
+    )""")
+    sel_union = " UNION ALL ".join(
+        f"SELECT {j} AS pos, l, r, n FROM g{i}_{j} WHERE n > 0"
+        for j in range(1, batch_size + 1)
+    )
+    return f"""
+    , e{i} AS (
+      SELECT doc_id, wid, unnest(a) AS sym, generate_subscripts(a, 1) AS idx
+      FROM (SELECT doc_id, wid, string_split(syms, chr(31)) AS a FROM s{i - 1})
+    ), pr{i} AS MATERIALIZED (
+      SELECT doc_id, wid, idx, sym,
+             lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY idx) AS nxt
+      FROM e{i}
+    ), p{i} AS (
+      SELECT sym AS l, nxt AS r, count(*) AS n
+      FROM pr{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), c{i} AS MATERIALIZED (
+      SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT {window}
+    ){''.join(slots)}
+    , sel{i} AS MATERIALIZED (
+      {sel_union}
+    ), oc{i} AS (
+      SELECT pr.doc_id, pr.wid, pr.idx, pr.sym, pr.nxt,
+             (s.l IS NOT NULL) AS occ
+      FROM pr{i} pr
+      LEFT JOIN sel{i} s ON s.l = pr.sym AND s.r = pr.nxt
+    ), il{i} AS (
+      SELECT doc_id, wid, idx, sym, nxt, occ,
+             CASE WHEN occ THEN idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, wid, occ ORDER BY idx) END AS grp
+      FROM oc{i}
+    ), fu{i} AS (
+      SELECT doc_id, wid, idx, sym, nxt,
+             occ AND (idx - MIN(idx) OVER (
+               PARTITION BY doc_id, wid, occ, grp)) % 2 = 0 AS fuse
+      FROM il{i}
+    ), rb{i} AS (
+      SELECT doc_id, wid, idx,
+             CASE WHEN fuse THEN sym || nxt ELSE sym END AS sym,
+             lag(fuse) OVER (PARTITION BY doc_id, wid ORDER BY idx) AS pf
+      FROM fu{i}
+    ), s{i} AS MATERIALIZED (
+      SELECT doc_id, wid, string_agg(sym, chr(31) ORDER BY idx) AS syms
+      FROM rb{i} WHERE pf IS DISTINCT FROM TRUE
+      GROUP BY doc_id, wid
+    ), t{i} AS (
+      SELECT CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n
+      FROM s{i}
+    )"""
+
+
+def _bpe_batched_trainer_oracle(
+    n_rounds: int,
+    batch_size: int,
+    base_sql: str = _BPE_BASE_SQL,
+    window: "int | None" = None,
+) -> str:
+    w = window or 8 * batch_size
+    rounds = "".join(
+        _bpe_batched_round_sql(i, batch_size, w)
+        for i in range(1, n_rounds + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"""
+    SELECT CAST({i} AS INTEGER) AS round, CAST(pos AS INTEGER) AS pos,
+           l AS merge_left, r AS merge_right, l || r AS merged,
+           n AS n_pairs, (SELECT n FROM t{i}) AS corpus_tokens_after
+    FROM sel{i}"""
+        for i in range(1, n_rounds + 1)
+    )
+    return base_sql + rounds + selects
 
 
 @register(
@@ -6250,6 +6373,37 @@ def doc_bpe_byte_trained_token_counts(
         .collect()
     )
     return bpe_trained_token_counts_df(d, merges, pretokenizer="byte")
+
+
+@register(
+    "doc_bpe_batched_trainer_rounds",
+    oracle=_bpe_batched_trainer_oracle(2, 3),
+    tags=("text", "tokenizer", "bpe", "training", "batched"),
+)
+def doc_bpe_batched_trainer_rounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCHED distributed BPE training (operators/text_analysis.py
+    bpe_batched_trainer_rounds — VERDICT r12 #3, the VOCAB-size scale
+    path): 2 rounds × up to 3 pairwise-compatible merges per round,
+    each round ONE corpus-wide pair count + ONE retokenize, so the
+    driver-coordinated job count is 2·rounds instead of the sequential
+    trainer's 2·merges (~400 round-trips for a 50k-merge vocabulary at
+    batch 256, vs ~100k). Greedy selection walks the top-24 candidate
+    ranking and blocks each kept pair's elements and merged symbol —
+    the compatibility rule under which the batch's merges provably
+    don't interact, so one simultaneous rewrite equals sequential
+    application. The oracle replays the identical candidate window,
+    chained greedy slots, and a multi-pair gaps-and-islands
+    merge-apply, sharing the word base state with the sequential
+    trainer's oracle."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_batched_trainer_rounds,
+    )
+
+    return bpe_batched_trainer_rounds(
+        _t(spark, sf_dir, "documents"), n_rounds=2, batch_size=3
+    )
 
 
 @register(
@@ -7652,6 +7806,8 @@ del _n, _s
 SWEEP_PRIORITY: tuple[str, ...] = (
     # --- never had a driver row (registered r12 past the full window) ---
     "doc_corpus_build_sequences",
+    # --- new this round: never had a driver row ---
+    "doc_bpe_batched_trainer_rounds",
     # --- stalest census tier (last driver row r10; census over
     #     CORRECTNESS_r01..r12: 50 r12 / 50 r11 / 48 r10) ---
     "brand_size_supplier_variety",

@@ -85,6 +85,19 @@ def _edge_rows() -> list[tuple]:
     # NULL text on every media modality (doc_id % 3 routes image/audio/
     # video), not just the image one
     rows += [(43, None, "en", "edge"), (44, None, None, None)]
+    # Non-ASCII beyond row 9 (VERDICT r12 #4 — the \p{L}/\p{N} byte
+    # pretokenizer and every other text oracle must agree cross-engine
+    # on accents, CJK, fullwidth/Nl/No digits, NBSP, and contractions
+    # adjacent to accents). \x0B is deliberately absent: Java's default
+    # \s includes it, RE2's does not — the one whitespace char the two
+    # oracle engines genuinely disagree on (normalize_text documents
+    # the contract as Java-\s; a VT in a doc would be an engine edge,
+    # not a code bug).
+    rows += [
+        (45, "Ångström's re-éxamination – 'tis naïve café", "fr", "edge"),
+        (46, "東京タワー ｔｅｓｔ １２３ and x² plus Ⅻ", "ja", "edge"),
+        (47, "психика тест nbsp ٣٤ digits Ψυχή", "ru", "edge"),
+    ]
     return [
         (doc_id, text, lang, src, len(text) if text is not None else None)
         for doc_id, text, lang, src in rows
