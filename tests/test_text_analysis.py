@@ -1168,6 +1168,53 @@ def test_bpe_batched_trainer_early_stop_and_byte_route(spark):
         bpe_batched_trainer_rounds(docs, batch_size=0)
 
 
+def test_bpe_batched_oracle_generalizes_across_knobs(spark, tmp_path):
+    """The batched-trainer ORACLE GENERATOR stays cross-engine-exact at
+    knobs other than the registered (rounds=2, batch=3): replay Spark
+    vs DuckDB at (3 rounds, batch 2) and (1 round, batch 5) over a
+    corpus written to parquet for both engines — so a future
+    registration at different knobs can't silently desync the slot
+    chain or the multi-pair island SQL."""
+    import duckdb
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_batched_trainer_rounds,
+    )
+    from ehr_data_pipeline_spark.queries import _bpe_batched_trainer_oracle
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theft is the best theory"),
+            (2, "ha ha hash hash xy xy xy"),
+            (3, "aaa bbb aaa!"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    for n_rounds, batch in ((3, 2), (1, 5)):
+        got = [
+            tuple(r)
+            for r in bpe_batched_trainer_rounds(
+                docs, n_rounds=n_rounds, batch_size=batch
+            )
+            .orderBy("round", "pos")
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in con.execute(
+                _bpe_batched_trainer_oracle(n_rounds, batch)
+            ).fetchall()
+        ]
+        assert got == sorted(want), (n_rounds, batch)
+        assert len(got) > 0
+
+
 def test_bpe_trainer_rejects_unknown_pretokenizer(spark):
     import pytest as _pytest
 
