@@ -1168,6 +1168,37 @@ def test_bpe_batched_trainer_early_stop_and_byte_route(spark):
         bpe_batched_trainer_rounds(docs, batch_size=0)
 
 
+def test_bpe_batched_trainer_grow_window(spark):
+    """grow_window=True re-collects with a larger window when greedy
+    fills fewer than batch_size slots from a SATURATED ranking: with
+    candidate_window=2 the top-2 pairs share 'a' so only one merge
+    fits, but the grown window reaches the disjoint (b,c); off by
+    default, the same knobs keep the truncated single-collect result."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        bpe_batched_trainer_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ax ax ax ax ax ay ay ay bc bc")], "doc_id int, text string"
+    )
+    # pair counts: (a,x)=5 (a,y)=3 (b,c)=2
+    grown = [
+        (r["pos"], r["merged"])
+        for r in bpe_batched_trainer_rounds(
+            docs, n_rounds=1, batch_size=2, candidate_window=2,
+            grow_window=True,
+        ).orderBy("pos").collect()
+    ]
+    assert grown == [(1, "ax"), (2, "bc")]
+    fixed = [
+        (r["pos"], r["merged"])
+        for r in bpe_batched_trainer_rounds(
+            docs, n_rounds=1, batch_size=2, candidate_window=2,
+        ).orderBy("pos").collect()
+    ]
+    assert fixed == [(1, "ax")]
+
+
 def test_bpe_batched_oracle_generalizes_across_knobs(spark, tmp_path):
     """The batched-trainer ORACLE GENERATOR stays cross-engine-exact at
     knobs other than the registered (rounds=2, batch=3): replay Spark
