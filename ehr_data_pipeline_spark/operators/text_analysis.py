@@ -497,14 +497,19 @@ def _select_compatible_pairs(
     merges from a (count desc, l asc, r asc)-ordered candidate list:
     walk the ranking, keep a pair iff neither element is blocked, and
     block each kept pair's elements AND its merged symbol. Compatible
-    means applying one kept merge can neither create nor destroy an
-    occurrence of another — an interaction needs a shared element
-    (overlap / destroyed adjacency) or an element equal to another
-    kept pair's concatenation (created adjacency), both of which the
-    blocked set excludes — so applying the batch simultaneously on the
-    round-start state equals applying it sequentially in selection
-    order, which is what the trainer and the oracle's island SQL both
-    rely on."""
+    is DIRECTIONAL: applying an EARLIER kept merge can neither create
+    nor destroy an occurrence of a LATER kept pair — creation needs a
+    later element equal to an earlier concatenation, destruction a
+    shared element, both blocked — so applying the batch
+    simultaneously on the round-start state equals applying it
+    sequentially IN SELECTION ORDER (the property the trainer and the
+    oracle's island SQL rely on; fuzz-pinned over 300 random
+    state/candidate draws). The REVERSE order is not guaranteed: a
+    later pair's merged symbol may equal an earlier pair's element
+    ((b,ca) then (c,a) is a legal batch whose reversed application
+    differs — test_compatibility_is_selection_order_only_not_symmetric
+    documents the boundary), so selection order is part of the batch's
+    semantics and both engines honor it."""
     blocked: set = set()
     sel: list = []
     for l, r, n in candidates:
@@ -534,9 +539,12 @@ def bpe_batched_trainer_rounds(
     (count desc, l asc, r asc), greedily keeps up to ``batch_size``
     pairwise-compatible merges (:func:`_select_compatible_pairs` — no
     kept pair shares an element with, or contains the merged symbol
-    of, an earlier kept pair, so the batch's merges provably don't
-    interact), and retokenizes the state ONCE with all of them chained
-    through :func:`_bpe_apply_merge`. This is the standard fast-BPE
+    of, an earlier kept pair, so earlier merges provably can't disturb
+    later ones and the one-shot batch apply equals sequential
+    application IN SELECTION ORDER — the directional law; see the
+    selector's docstring for the boundary), and retokenizes the state
+    ONCE with all of them chained through :func:`_bpe_apply_merge` in
+    that order. This is the standard fast-BPE
     batching trick (applied by every production trainer that doesn't
     want merge-count-many scans): 2 Spark jobs per ROUND instead of
     per MERGE, so a 50k-merge vocabulary at batch_size 256 costs ~400

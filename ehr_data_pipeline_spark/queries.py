@@ -6149,7 +6149,9 @@ def _bpe_batched_round_sql(i: int, batch_size: int, window: int) -> str:
     the best-ranked candidate whose elements avoid b{i}_j, the blocked
     set accumulating each kept pair's elements AND merged symbol (the
     pairwise-compatibility rule under which simultaneous application
-    equals sequential; sentinel chr(30) rows mark exhausted slots) —
+    equals sequential application in SELECTION order — the directional
+    law fuzz-pinned in tests/test_properties_llm_ops.py; sentinel
+    chr(30) rows mark exhausted slots) —
     and ONE simultaneous merge-apply of the whole batch: occurrence =
     adjacency matching ANY kept pair (LEFT JOIN sel{i}), islands of
     consecutive occurrences (only same-symbol SAME-pair chains can be
@@ -6391,9 +6393,10 @@ def doc_bpe_batched_trainer_rounds(
     trainer's 2·merges (~400 round-trips for a 50k-merge vocabulary at
     batch 256, vs ~100k). Greedy selection walks the top-24 candidate
     ranking and blocks each kept pair's elements and merged symbol —
-    the compatibility rule under which the batch's merges provably
-    don't interact, so one simultaneous rewrite equals sequential
-    application. The oracle replays the identical candidate window,
+    the compatibility rule under which one simultaneous rewrite
+    provably equals sequential application in selection order (the
+    directional law; fuzz-pinned). The oracle replays the identical
+    candidate window,
     chained greedy slots, and a multi-pair gaps-and-islands
     merge-apply, sharing the word base state with the sequential
     trainer's oracle."""

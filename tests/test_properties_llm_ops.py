@@ -316,3 +316,188 @@ def test_cap_per_stratum_invariants(spark, keys, n_strata, cap):
             df.filter(F.col("doc_id") != drop), "source", "doc_id", cap
         ).collect()
         assert {r["doc_id"] for r in again} == survivors
+
+
+# ---------------------------------------------------------------------------
+# Batched-BPE compatibility law (pure Python — no Spark jobs, so these can
+# afford real example counts): for any state and any candidate ranking, the
+# pairs _select_compatible_pairs keeps must apply the SAME whether fused
+# simultaneously on the round-start state (the oracle's multi-pair
+# gaps-and-islands SQL) or sequentially in selection order (the Spark
+# side's chained _bpe_apply_merge). This is the mathematical claim that
+# makes the batched trainer's cross-engine hash parity safe on EVERY
+# corpus, not just the tested ones.
+# ---------------------------------------------------------------------------
+
+PURE_SETTINGS = settings(max_examples=300, deadline=None)
+
+SYM = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+def _greedy_merge_once(syms, l, r):
+    """Reference left-greedy non-overlapping single-merge apply (the
+    fuzz-pinned model both engines implement)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _simultaneous_merge(syms, pairs):
+    """The oracle's island model: mark every adjacency matching ANY kept
+    pair on the ORIGINAL state, island consecutive occurrences, fuse the
+    even offsets of each island (fused symbol = sym + next)."""
+    pset = set(pairs)
+    n = len(syms)
+    occ = [i + 1 < n and (syms[i], syms[i + 1]) in pset for i in range(n)]
+    fuse = [False] * n
+    i = 0
+    while i < n:
+        if occ[i]:
+            j = i
+            while j < n and occ[j]:
+                j += 1
+            for k in range(i, j):
+                if (k - i) % 2 == 0:
+                    fuse[k] = True
+            i = j
+        else:
+            i += 1
+    out, i = [], 0
+    while i < n:
+        if fuse[i]:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    words=st.lists(
+        st.lists(SYM, min_size=1, max_size=12), min_size=1, max_size=8
+    ),
+    cands=st.lists(st.tuples(SYM, SYM), min_size=1, max_size=12),
+    batch=st.integers(1, 6),
+)
+@PURE_SETTINGS
+def test_compatible_batch_simultaneous_equals_sequential(words, cands, batch):
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        _select_compatible_pairs,
+    )
+
+    ranked = [(l, r, 1) for l, r in dict.fromkeys(cands)]
+    sel = [(l, r) for l, r, _ in _select_compatible_pairs(ranked, batch)]
+    for w in words:
+        seq = list(w)
+        for l, r in sel:
+            seq = _greedy_merge_once(seq, l, r)
+        sim = _simultaneous_merge(list(w), sel)
+        assert seq == sim, (w, sel)
+
+
+def test_compatibility_is_selection_order_only_not_symmetric():
+    """The DISCOVERED boundary of the rule (found by an earlier draft of
+    the fuzz above that wrongly asserted any-order equality): a LATER
+    kept pair's merged symbol may equal an EARLIER kept pair's element
+    — (b,ca) then (c,a) is a legal batch, and applying (c,a) FIRST
+    creates 'ca' symbols that (b,ca) would then fuse, so reversed
+    order differs. Selection order is therefore part of the batch's
+    semantics, and both engines honor it: the Spark side chains
+    _bpe_apply_merge in selection order, and the oracle's simultaneous
+    island model provably equals exactly that order (the fuzz law
+    above) — because an EARLIER pair's application can neither create
+    nor destroy a LATER pair's occurrences (that direction IS what the
+    blocked set guarantees), while the reverse need not hold."""
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        _select_compatible_pairs,
+    )
+
+    ranked = [("b", "ca", 2), ("c", "a", 1)]
+    sel = [(l, r) for l, r, _ in _select_compatible_pairs(ranked, 2)]
+    assert sel == [("b", "ca"), ("c", "a")]  # both kept — legal batch
+    w = ["b", "c", "a"]
+    # selection order == simultaneous == [b, ca]
+    seq = list(w)
+    for l, r in sel:
+        seq = _greedy_merge_once(seq, l, r)
+    assert seq == _simultaneous_merge(list(w), sel) == ["b", "ca"]
+    # reversed order differs — the asymmetry this test documents
+    rev = list(w)
+    for l, r in reversed(sel):
+        rev = _greedy_merge_once(rev, l, r)
+    assert rev == ["bca"] != seq
+
+
+# ---------------------------------------------------------------------------
+# Byte-pretokenizer tri-engine fuzz (pure Python + in-process DuckDB — no
+# Spark): the hand-rolled scanner must tokenize identically to RE2 on
+# arbitrary multi-script text. The alphabet spans Latin/accents/Greek/
+# Cyrillic/CJK/kana/fullwidth digits/Arabic-Indic digits/Nl/No/NBSP and
+# the full ASCII whitespace-and-punct range — codepoints whose general
+# categories are stable across the Unicode versions the three engines
+# embed (exotic new-script codepoints could legitimately drift between
+# category tables and are out of contract).
+# ---------------------------------------------------------------------------
+
+PRETOKEN_ALPHABET = (
+    "abcXYZ09'’ .,!?\t\n\x0b\f\r-_#"
+    "éÅßñçΨψжмь北京東タワ１２３٣٤Ⅻ² —"
+)
+
+
+@given(st.text(alphabet=PRETOKEN_ALPHABET, max_size=60))
+@PURE_SETTINGS
+def test_byte_pretokens_scanner_matches_re2(text):
+    import duckdb
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        BYTE_PRETOKEN_PATTERN,
+        _byte_pretokens_py,
+    )
+
+    con = duckdb.connect()
+    pat = BYTE_PRETOKEN_PATTERN.replace("'", "''")
+    got = con.execute(
+        f"SELECT regexp_extract_all(?, '{pat}')", [text]
+    ).fetchone()[0]
+    assert got == _byte_pretokens_py(text), repr(text)
+
+
+def test_byte_pretokens_scanner_matches_java_seeded(spark):
+    """The Java leg of the tri-engine fuzz: 300 seeded random strings
+    from the same multi-script alphabet through Spark's
+    regexp_extract_all in ONE job, compared against the Python scanner
+    (the RE2 leg fuzzes above; together the three engines are pinned
+    pairwise on the same distribution)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ehr_data_pipeline_spark.operators.text_analysis import (
+        _byte_pretokens_py,
+        byte_pretokens,
+    )
+
+    rng = random.Random(13)
+    texts = [
+        "".join(rng.choice(PRETOKEN_ALPHABET) for _ in range(rng.randrange(60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "i int, t string"
+    )
+    rows = df.select(
+        "i", byte_pretokens(F.col("t")).alias("toks")
+    ).collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r["toks"] == _byte_pretokens_py(texts[r["i"]]), repr(
+            texts[r["i"]]
+        )
