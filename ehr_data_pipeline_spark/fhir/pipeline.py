@@ -113,9 +113,21 @@ def run_pipeline(
             route_resources,
         )
 
-        explode_entries(read_bundles(spark, input_dir)).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+        # coalesce the parse output to ~core count before landing bronze:
+        # a directory-of-small-bundles scan yields one split per ~32
+        # files (openCostInBytes padding), so the uncoalesced write
+        # emitted one TINY parquet file per split — and every downstream
+        # entity scan then paid listing + footer + open once per file,
+        # SIX times over (guide §6: small files hurt twice). Coalescing
+        # keeps the parse parallel at core count while landing bronze in
+        # core-count files of sensible size (r14: write 1.75 s → 0.85 s
+        # at 10k bundles, 66 → 32 files; at 100 TB the same coalesce
+        # target derives from input size / desired 128 MB–1 GB file
+        # size rather than core count — defaultParallelism is the
+        # local-mode stand-in).
+        explode_entries(read_bundles(spark, input_dir)).coalesce(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(stage_dir)
         routed = route_resources(spark.read.parquet(stage_dir))
     elif single_parse:
         from pyspark import StorageLevel
@@ -142,6 +154,15 @@ def run_pipeline(
         # partitions pay pure task-launch overhead (measured ~20% of
         # direct-path wall at 10k bundles); coalesce keeps the parse
         # fully parallel while the cache lands in fat partitions
+        # (r14 note: sortWithinPartitions(resourceType) before the
+        # persist was measured ~15% faster on the 10k-bundle direct path
+        # — clustering by the routing key lets cached-batch min/max
+        # stats prune the six branch scans — but REJECTED: the sort is
+        # baked into the plan, so after release() every fallback
+        # re-parse branch re-runs its own SortExec, and the quality
+        # report's ~30 concurrent branches each allocating sort pages
+        # OOMed an 8g driver on a 5-doc fixture. Cached-path-only wins
+        # must not degrade the documented uncached fallback.)
         source = flatten_entries(
             prune_unconsumed(
                 explode_entries(read_bundles(spark, input_dir))

@@ -50,21 +50,27 @@ DEFAULT_BANDS = 4
 def shingle_set(col: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Distinct character k-grams of the normalized text (in-row, narrow).
     Empty array when the text is shorter than k — callers filter those out
-    before set similarity (Jaccard over empty sets is undefined). The
-    normalized text is let-bound: the gram lambda must not capture the
-    regex normalization or it re-runs per character position (measured
-    3.5× at sf0.1)."""
+    before set similarity (Jaccard over empty sets is undefined).
 
-    def grams(nt: Column) -> Column:
-        n = F.length(nt)
-        g = F.transform(
-            F.sequence(F.lit(1), n - (k - 1)), lambda i: nt.substr(i, F.lit(k))
+    Extraction is ONE native regex scan — ``(?s)(?=(.{k})).`` captures the
+    k-gram starting at every position via lookahead while consuming one
+    char — instead of a ``transform(sequence(...), substr)`` higher-order
+    function: HOF lambdas are CodegenFallback, so the old shape paid an
+    interpreted substr per character position (measured 2.0× the whole
+    hashed-shingle pass at sf0.1; r14 optimization). Semantics are
+    IDENTICAL: Java regex ``.`` with DOTALL matches any code point (so
+    line separators the normalizer's ASCII ``\\s`` leaves intact — U+2028
+    et al. — behave exactly like ``substr``), matches are found at every
+    position left-to-right, the lookahead fails within k-1 chars of the
+    end, and texts shorter than k (including empty/null-normalized)
+    yield the same empty array. First-occurrence order of
+    ``array_distinct`` is unchanged. Pinned against the old expression
+    on the unicode edge corpus + fuzz in tests/test_r14_optimizations.py."""
+    return F.array_distinct(
+        F.regexp_extract_all(
+            normalize_text(col), F.lit(f"(?s)(?=(.{{{k}}}))."), F.lit(1)
         )
-        return F.when(n >= k, F.array_distinct(g)).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return let_bound(normalize_text(col), grams)
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -457,21 +463,35 @@ def minhash_signature(hs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Colum
     """MinHash signature over an ALREADY-HASHED shingle array
     (hashed_shingle_set): ``num_hashes`` affine permutations
     (a_j·h + b_j) mod p of each 32-bit base hash — the textbook
-    universal-hashing construction. One in-row aggregate pass whose
-    accumulator is the running elementwise minimum of the H permuted
-    values: pure integer arithmetic, no re-hashing (the md5 already
-    happened once per shingle upstream). Engine-portable: params are
-    deterministic literals, so DuckDB replays the identical signature."""
+    universal-hashing construction. Pure integer arithmetic, no
+    re-hashing (the md5 already happened once per shingle upstream).
+    Engine-portable: params are deterministic literals, so DuckDB
+    replays the identical signature.
+
+    Expression shape (r14 optimization): one ``array_min(transform(...))``
+    per hash function instead of a single ``aggregate`` whose accumulator
+    is a ``zip_with`` over an H-element array. Array lambdas are
+    CodegenFallback (interpreted), so the fold shape paid two H-element
+    array ALLOCATIONS per shingle on top of the interpreted arithmetic;
+    H flat transforms do the same H·|sh| multiply-mod-min operations
+    with no per-element allocation — measured 1.6× on the signature pass
+    at sf0.1 with bit-identical output (min over a multiset is
+    fold-order-free; empty ``sh`` yields NULL mins where the old fold
+    yielded the init sentinel p, but every caller filters
+    ``size(sh) > 0`` upstream and the sentinel was unobservable —
+    equality on non-empty inputs is pinned in
+    tests/test_r14_optimizations.py). ``hs`` is let-bound so an
+    expression argument is evaluated once, not once per hash function."""
     params = [minhash_affine_params(j) for j in range(num_hashes)]
-    init = F.array(*[F.lit(_MINHASH_P).cast("bigint") for _ in range(num_hashes)])
-    return F.aggregate(
+
+    def permuted_min(h_arr: Column, a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(h_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
+        )
+
+    return let_bound(
         hs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P) for a, b in params]),
-            lambda x, y: F.least(x, y),
-        ),
+        lambda h_arr: F.array(*[permuted_min(h_arr, a, b) for a, b in params]),
     )
 
 
