@@ -602,12 +602,18 @@ def bpe_batched_trainer_rounds(
             )
             w = window
             while True:
-                cands = [
-                    (r["l"], r["r"], r["n_pairs"])
-                    for r in counts.limit(w).collect()
-                ]
+                # collect ONE probe row beyond the window (ADVICE r13):
+                # exactly w rows back under limit(w) is ambiguous between
+                # "ranking truncated at w" and "the corpus has exactly w
+                # distinct pairs — already exhaustive"; the old shape
+                # treated both as truncated and burned up to 3 extra
+                # driver round-trips re-collecting identical rankings.
+                # Selection still sees ONLY the top-w rows, so kept
+                # merges are bit-identical to the fixed-window replay.
+                raw = counts.limit(w + 1).collect()
+                cands = [(r["l"], r["r"], r["n_pairs"]) for r in raw[:w]]
                 sel = _select_compatible_pairs(cands, batch_size)
-                saturated = len(cands) == w
+                saturated = len(raw) > w
                 if (
                     grow_window
                     and saturated

@@ -1376,7 +1376,7 @@ def fhir_pipeline_cleaned_patients(spark: SparkSession, sf_dir: str) -> DataFram
     "doc_text_stats",
     oracle="""
     WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -1443,7 +1443,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents
     ), h AS (
       SELECT doc_id,
@@ -1487,7 +1487,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_top_bigrams",
     oracle="""
     WITH toks AS (
-      SELECT string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+      SELECT string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents
     ), bg AS (
       SELECT unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) AS ngram
@@ -1518,7 +1518,7 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_exact_dedup_stats",
     oracle="""
     WITH f AS (
-      SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+      SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
       FROM documents
     ), g AS (SELECT fp, COUNT(*) AS cnt FROM f GROUP BY fp)
     SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
@@ -1545,7 +1545,7 @@ _SHINGLES_SQL = """
                list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
                g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS sh
       FROM (SELECT doc_id,
-                   trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
             FROM documents)
 """
 
@@ -1568,7 +1568,7 @@ _JACCARD_SLICE_DOCS = 2000
                list_transform(range(1, length(nt) - 2), i -> substr(nt, i, 4)),
                g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS sh
       FROM (SELECT doc_id,
-                   trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+                   trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
             FROM documents WHERE doc_id < {_JACCARD_SLICE_DOCS})
     ),
     p AS (
@@ -1796,7 +1796,7 @@ _SIMHASH_BAND_COLS = ", ".join(
     WITH t AS (
       SELECT doc_id,
              list_transform(
-               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '),
                tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
       FROM documents
     ), s AS (
@@ -1834,7 +1834,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              list_transform(
-               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '),
                tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
       FROM documents
     ), s AS (
@@ -1870,7 +1870,7 @@ def doc_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE t AS (
       SELECT doc_id,
              list_transform(
-               string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+               string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '),
                tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
       FROM documents
     ), s AS (
@@ -1918,7 +1918,7 @@ def doc_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnow_pairs",
     oracle="""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
       FROM documents
     ), h AS (
       SELECT doc_id,
@@ -1981,7 +1981,7 @@ _QUALITY_SQL = """
     "corpus_curation_funnel",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+      SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
       FROM documents
     ), c AS (
       SELECT doc_id, nt,
@@ -2047,7 +2047,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), cg AS (
       SELECT doc_id,
@@ -2092,7 +2092,7 @@ def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), b AS (
       SELECT doc_id,
@@ -2143,7 +2143,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS term
+             unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS term
       FROM documents
     ), cnt AS (
       SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY 1, 2
@@ -2221,7 +2221,7 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_token_histogram",
     oracle="""
     WITH norm AS (
-      SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS nt
+      SELECT trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
       FROM documents
     ), t AS (
       SELECT CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens FROM norm
@@ -2285,10 +2285,10 @@ def _gopher_flags_sql() -> str:
       -- coalesce(text, ''): a NULL doc is judged as an empty one, the
       -- engine-wide degenerate-document contract (normalize_text)
       SELECT source,
-        regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws,
-        CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+        regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS ws,
+        CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'))
              AS BIGINT) AS n_words,
-        CAST(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+        CAST(length(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
              AS DOUBLE) AS n_word_chars,
         CAST(length(regexp_replace(coalesce(text, ''), '[^#]', '', 'g'))
              AS BIGINT) AS n_hash,
@@ -2363,7 +2363,7 @@ def doc_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_token_chunks",
     oracle="""
     WITH w AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
       FROM documents
     ), s AS (
       SELECT doc_id, ws, UNNEST(range(0, len(ws), 24)) AS start FROM w
@@ -2428,7 +2428,7 @@ def _c4_lined_text(doc_id: Column, text: Column) -> Column:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), l AS (
       SELECT doc_id,
@@ -2453,7 +2453,7 @@ def _c4_lined_text(doc_id: Column, text: Column) -> Column:
              string_split(text2, chr(10)) AS all_lines,
              list_filter(string_split(text2, chr(10)), l ->
                regexp_matches(l, '[.!?"]$')
-               AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+               AND len(regexp_split_to_array(trim(l), '[ \\t\\n\\x0B\\f\\r]+')) >= 5
                AND NOT contains(lower(l), 'javascript')) AS kept
       FROM lt
     )
@@ -2496,7 +2496,7 @@ _BLOCKLIST = ("dup", "quasar")
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), l AS (
       SELECT doc_id,
@@ -2525,7 +2525,7 @@ _BLOCKLIST = ("dup", "quasar")
       SELECT doc_id, text2,
              list_filter(string_split(text2, chr(10)), x ->
                regexp_matches(x, '[.!?"]$')
-               AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+               AND len(regexp_split_to_array(trim(x), '[ \\t\\n\\x0B\\f\\r]+')) >= 5
                AND NOT contains(lower(x), 'javascript')) AS kept
       FROM blocked
     ), survivors AS (
@@ -2655,7 +2655,7 @@ def doc_c4_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), pr AS (
       SELECT doc_id,
@@ -2715,7 +2715,7 @@ def _para_lined_docs(d: DataFrame) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), pr AS (
       SELECT doc_id,
@@ -2774,7 +2774,7 @@ def doc_incremental_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), freq AS (
       SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok
@@ -2814,7 +2814,7 @@ def doc_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))
+             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
                   AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM documents
@@ -2863,7 +2863,7 @@ def doc_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_SCORED_SQL = """
     ex AS (
       SELECT doc_id AS id,
-             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), lens AS (
       SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM ex GROUP BY id
@@ -3187,7 +3187,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+             UNNEST(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS tok
       FROM documents
     ), bx AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
@@ -3258,7 +3258,7 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(4096) t(b)
     ), toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents
     ), feats AS (
       SELECT doc_id, u.f
@@ -5467,7 +5467,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_incremental_dedup",
     oracle="""
     WITH n AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp
+      SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
       FROM documents
     ), idx AS (
       SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0
@@ -5555,7 +5555,7 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_WINS_SQL = """
     toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents
     ), wins AS (
       SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -5768,7 +5768,7 @@ def emb_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))
+             CAST(len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
                AS BIGINT) AS n_tokens
       FROM documents
     ), p AS (
@@ -5807,7 +5807,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles (identical to whitespace_tokens: lower, collapse whitespace,
 # trim, split on single space).
 _WS_TOKENS_SQL = (
-    "len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '))"
+    "len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))"
 )
 
 # Single-round BPE token count (text_analysis.bpe_token_counts): base
@@ -5816,7 +5816,7 @@ _WS_TOKENS_SQL = (
 # the global regex scan consume identical spans in Java regex and RE2.
 _BPE_PAIRS_RE = "(th|he|in|er|an|re|on|at|en|nd|ti|es|or|te|ed|st)"
 _NORM_TEXT_SQL = (
-    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 )
 _BPE_TOKENS_SQL = (
     f"CAST(length(replace({_NORM_TEXT_SQL}, ' ', ''))"
@@ -5975,7 +5975,7 @@ def doc_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT unnest(regexp_extract_all(
-               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+               trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
       FROM documents
     ), p AS (
@@ -6067,7 +6067,7 @@ _BPE_BASE_SQL = """
     WITH w0 AS (
       SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wid
       FROM (SELECT doc_id, regexp_extract_all(
-              trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+              trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
               '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws FROM documents)
     ), s0 AS (
       SELECT doc_id, wid, array_to_string(string_split(w, ''), chr(31)) AS syms
@@ -6491,7 +6491,7 @@ _PIPELINE_SEQ_BUDGET = 2048
 _CORPUS_BUILD_SQL = f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS toks
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), l AS (
       SELECT doc_id,
@@ -6520,7 +6520,7 @@ _CORPUS_BUILD_SQL = f"""
       SELECT doc_id, text2,
              list_filter(string_split(text2, chr(10)), x ->
                regexp_matches(x, '[.!?"]$')
-               AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+               AND len(regexp_split_to_array(trim(x), '[ \\t\\n\\x0B\\f\\r]+')) >= 5
                AND NOT contains(lower(x), 'javascript')) AS kept
       FROM blocked
     ), survivors AS (
@@ -6546,7 +6546,7 @@ _CORPUS_BUILD_SQL = f"""
       FROM r GROUP BY doc_id
     ), corpus AS (
       SELECT c.doc_id, d.lang,
-             CAST(len(string_split(trim(regexp_replace(lower(coalesce(c.clean_text, '')), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split(trim(regexp_replace(lower(coalesce(c.clean_text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
              ('0x' || substr(md5('mixture:' || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM cleaned c JOIN documents d ON d.doc_id = c.doc_id
       WHERE c.n_kept > 0 AND d.lang IS NOT NULL
@@ -6691,7 +6691,7 @@ def _corpus_build_packed(
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(stream_offset % {_PIPELINE_SEQ_BUDGET}) AS first_offset,
            string_agg(CAST(doc_id AS VARCHAR), ','
-                      ORDER BY stream_offset % 2048, doc_id) AS doc_ids
+                      ORDER BY stream_offset % {_PIPELINE_SEQ_BUDGET}, doc_id) AS doc_ids
     FROM packed GROUP BY 1
     """,
     tags=(
@@ -6892,7 +6892,7 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS t
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents
     ), m AS (
       SELECT * FROM norm WHERE doc_id % 2 = 0
@@ -7792,75 +7792,70 @@ del _n, _s
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 13's list (VERDICT r12 #1, exactly the
-# r12 handoff's split): the census over CORRECTNESS_r01..r12 is
-# 50 last-green r12 / 50 r11 / 48 r10, zero never-red — so this round's
-# window = doc_corpus_build_sequences FIRST (registered in r12 after the
-# window was exactly full; the one entry with no driver row yet — the
-# r12 docstring's promise), then the queries NEW this round, then the
-# full 48-entry r10 tier (cross-checked against CORRECTNESS_r12's actual
-# rows). Trade-off, made explicitly: the queries this demotes past slot
-# 50 lose DRIVER regression coverage for the round, but every registry
-# entry still runs against the identical DuckDB oracle in
-# tests/test_queries_oracle.py (the full-registry replica of the
-# driver's gate), so a regression in a demoted query still fails CI —
-# the driver sweep is the independent confirmation, pytest is the
-# compensating gate.
+# least every other round. Round 14's list (VERDICT r13 #1): the census
+# over CORRECTNESS_r01..r13 (recomputed from the raw files on this tree)
+# is exactly 50 last-green r13 / 50 r12 / 50 r11, zero never-checked —
+# so this round's window = the full 50-entry r11 tier, making the census
+# floor r12 once CORRECTNESS_r14 lands. Trade-off, made explicitly: the
+# queries this demotes past slot 50 lose DRIVER regression coverage for
+# the round, but every registry entry still runs against the identical
+# DuckDB oracle in tests/test_queries_oracle.py (the full-registry
+# replica of the driver's gate), so a regression in a demoted query
+# still fails CI — the driver sweep is the independent confirmation,
+# pytest is the compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- never had a driver row (registered r12 past the full window) ---
-    "doc_corpus_build_sequences",
-    # --- new this round: never had a driver row ---
-    "doc_bpe_batched_trainer_rounds",
-    # --- stalest census tier (last driver row r10; census over
-    #     CORRECTNESS_r01..r12: 50 r12 / 50 r11 / 48 r10) ---
-    "brand_size_supplier_variety",
-    "branded_quantity_band_revenue",
-    "corpus_curation_funnel",
-    "customer_balance_quartiles",
-    "customer_order_gaps",
-    "doc_benchmark_contamination",
-    "doc_bpe_pair_counts",
-    "doc_c4_line_filter",
-    "doc_domain_mixture_sample",
-    "doc_dup_clusters",
-    "doc_duplicate_spans",
-    "doc_incremental_dedup",
-    "doc_incremental_near_dedup",
-    "doc_incremental_paragraph_dedup",
-    "doc_length_batches",
-    "doc_minhash_dup_groups",
-    "doc_minhash_lsh_pairs",
-    "doc_pack_sequences",
-    "doc_pack_sequences_bpe",
-    "doc_packed_sequences",
-    "doc_paragraph_dedup",
-    "doc_shuffle_order",
-    "doc_simhash_band_pairs",
-    "doc_substring_dedup",
-    "doc_temperature_mixture",
-    "emb_gram_matrix",
-    "emb_ivf_knn_fullprobe",
-    "emb_lsh_neardup_pairs",
-    "events_projected_aligned",
-    "events_signup_funnel",
-    "events_stratified_sample",
-    "events_value_drift",
-    "events_value_psi_drift",
-    "fhir_pipeline_cleaned_patients",
-    "forecast_revenue_change",
-    "large_volume_orders",
-    "lineitem_quantity_percentiles",
-    "linestatus_priority_classes",
-    "nation1_market_share",
-    "nation_pair_trade_volume",
-    "nation_year_profit",
-    "orders_no_returned_lines",
-    "part_revenue_share",
-    "promo_revenue_ratio",
-    "returned_item_top_customers",
-    "user_event_type_scd2",
-    "user_event_type_scd2_merge",
-    "user_rolling_week_totals",
+    # --- stalest census tier (last driver row r11; census over
+    #     CORRECTNESS_r01..r13: 50 r13 / 50 r12 / 50 r11) ---
+    "clean_events_values",
+    "cube_lineitem_flags",
+    "doc_array_match_extract",
+    "doc_bm25_search",
+    "doc_bpe_trained_token_counts",
+    "doc_bpe_trainer_rounds",
+    "doc_c4_blocklist_audit",
+    "doc_c4_blocklist_filter",
+    "doc_curation_cleaning",
+    "doc_dsir_selection",
+    "doc_exact_dedup_stats",
+    "doc_gopher_quality_report",
+    "doc_hybrid_rrf_search",
+    "doc_jaccard_pairs",
+    "doc_language_id",
+    "doc_name_concat",
+    "doc_pps_token_sample",
+    "doc_repetition_stats",
+    "doc_simhash",
+    "doc_simhash_dup_groups",
+    "doc_split_counts",
+    "doc_text_stats",
+    "doc_token_chunks",
+    "doc_token_extract",
+    "doc_token_histogram",
+    "doc_top_bigrams",
+    "doc_top_tfidf_terms",
+    "doc_unigram_lm_scores",
+    "doc_winnow_pairs",
+    "duplicate_group_stats",
+    "emb_incremental_semantic_dedup",
+    "emb_knn_topk",
+    "emb_lsh_neardup_groups",
+    "emb_semantic_decontamination",
+    "emb_semantic_dedup",
+    "event_route_counts",
+    "event_type_reach",
+    "events_hourly",
+    "events_props_extract",
+    "events_quality_suite",
+    "events_validation_report",
+    "lineitem_first_line_per_order",
+    "missing_profile_orders",
+    "nation_priority_pivot",
+    "nation_trade_pagerank",
+    "parts_top20_by_price",
+    "purchase_events",
+    "repeat_customers_both_years",
+    "rollup_order_stats",
+    "source_prefix_strip",
 )
 
 
@@ -7872,7 +7867,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 13
+SWEEP_ROTATION_ROUND = 14
 
 
 def _sweep_order() -> list[str]:

@@ -88,15 +88,22 @@ def _edge_rows() -> list[tuple]:
     # Non-ASCII beyond row 9 (VERDICT r12 #4 — the \p{L}/\p{N} byte
     # pretokenizer and every other text oracle must agree cross-engine
     # on accents, CJK, fullwidth/Nl/No digits, NBSP, and contractions
-    # adjacent to accents). \x0B is deliberately absent: Java's default
-    # \s includes it, RE2's does not — the one whitespace char the two
-    # oracle engines genuinely disagree on (normalize_text documents
-    # the contract as Java-\s; a VT in a doc would be an engine edge,
-    # not a code bug).
+    # adjacent to accents).
     rows += [
         (45, "Ångström's re-éxamination – 'tis naïve café", "fr", "edge"),
         (46, "東京タワー ｔｅｓｔ １２３ and x² plus Ⅻ", "ja", "edge"),
         (47, "психика тест nbsp ٣٤ digits Ψυχή", "ru", "edge"),
+    ]
+    # \x0B (vertical tab) joined the corpus in r14 (VERDICT r13 #5):
+    # Java's default \s includes it, RE2's does not, so the oracles'
+    # raw-text whitespace regexes now spell the Java class out as
+    # [ \t\n\x0B\f\r] — these rows are the regression tripwire for
+    # that fix (VT between tokens, VT at the edges, VT-only plus a
+    # space so both engines still normalize to '').
+    rows += [
+        (48, "alpha\x0bbeta gamma\x0b\x0bdelta", "en", "edge"),
+        (49, "\x0bleading and trailing\x0b", "en", "edge"),
+        (50, "\x0b \x0b", "en", "edge"),
     ]
     return [
         (doc_id, text, lang, src, len(text) if text is not None else None)

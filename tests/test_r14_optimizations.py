@@ -128,6 +128,56 @@ def test_minhash_signature_array_min_equals_old_fold(spark, text_df):
     assert not bad, f"signature mismatch: {bad[:3]}"
 
 
+@pytest.mark.parametrize(
+    "total_bits,portable", [(60, True), (64, False)]
+)
+def test_simhash_groups_explode_agg_equals_per_row_fold(
+    spark, text_df, total_bits, portable
+):
+    """_simhash_groups' explode+groupBy sketch must reproduce the per-row
+    HOF fold EXACTLY — per input row (multiplicity included): same
+    (id, __sim, __rid, __n) multiset, on unicode edges, duplicated
+    (id, text) rows, and same-id-different-text rows."""
+    from pyspark.sql.window import Window
+
+    from ehr_data_pipeline_spark.operators.text_analysis import whitespace_tokens
+    from ehr_data_pipeline_spark.operators.text_dedup import (
+        _simhash_groups,
+        simhash60_portable,
+        simhash64,
+    )
+
+    # duplicate-row + shared-id torture on top of the module fixture
+    extra = [
+        (900, "dup dup dup"), (900, "dup dup dup"),  # identical (id, text) twice
+        (900, "same id different text"),             # same id, new text
+        (901, "dup dup dup"),                        # identical text, new id
+        (902, None), (902, None),                    # duplicated NULL text
+    ]
+    df = text_df.unionByName(
+        spark.createDataFrame(extra, "id int, text string")
+    )
+
+    tokens = whitespace_tokens(F.col("text"))
+    sim = simhash60_portable(tokens) if portable else simhash64(tokens)
+    base = df.select(F.col("id").alias("id"), sim.alias("__sim"))
+    gw = Window.partitionBy("__sim")
+    old = base.select(
+        "id",
+        "__sim",
+        F.min("id").over(gw).alias("__rid"),
+        F.size(F.collect_set(F.col("id")).over(gw)).alias("__n"),
+    )
+    new = _simhash_groups(df, "id", "text", total_bits, portable, False)
+    key = lambda r: (r["id"], r["__sim"], r["__rid"], r["__n"])  # noqa: E731
+    a = sorted(map(key, old.collect()))
+    b = sorted(map(key, new.collect()))
+    assert a == b, (
+        f"bits={total_bits} portable={portable}: grouped multiset diverged; "
+        f"old-only={set(a)-set(b)}, new-only={set(b)-set(a)}"
+    )
+
+
 def test_minhash_signature_expression_argument_not_duplicated(spark, text_df):
     """The new form must accept a full EXPRESSION argument (not just a
     column reference) and stay value-identical — the let-binding seam."""
