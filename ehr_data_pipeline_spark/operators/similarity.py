@@ -635,11 +635,58 @@ def _sq_dist_to_literal_d(v: Column, centroid: list[float]) -> Column:
     )
 
 
-def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _double_sql(x: float) -> str:
+    """Lossless Spark-SQL DOUBLE literal: ``repr`` is Python's shortest
+    round-trip decimal and Java's ``parseDouble`` is correctly rounded,
+    so the parsed literal is the bit-identical double; the ``D`` suffix
+    types it DOUBLE (a bare ``0.123`` would parse as DECIMAL)."""
+    f = float(x)
+    if f != f or f in (float("inf"), float("-inf")):  # pragma: no cover
+        raise ValueError(f"non-finite centroid component: {x!r}")
+    return repr(f) + "D"
+
+
+def _sq_dist_sql(v: str, centroid: list[float]) -> str:
+    """SQL text of :func:`_sq_dist_to_literal_d` over the bound variable
+    ``v`` — the identical aggregate/zip_with fold, rendered as ONE parse
+    unit instead of ~4·dim py4j expression-builder calls."""
+    arr = ", ".join(_double_sql(x) for x in centroid)
+    return (
+        f"aggregate(zip_with({v}, array({arr}), (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _centroid_dists(
+    vec: "Column | str", centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Array of (squared distance, centroid id) structs — sortable, so
     argmin = element 1 of array_sort (distance first, id tiebreak). The
-    double-cast vector is let-bound once across all centroid folds."""
+    double-cast vector is let-bound once across all centroid folds.
+
+    Pass the vector COLUMN NAME (str) on production paths: the whole
+    k·dim-literal expression is then rendered as one SQL string and
+    parsed in a single ``F.expr`` call — the r15 fix for the measured
+    driver-side construction tax (building the same tree through the
+    Column API is ~k·dim py4j round trips ≈ 1.3–1.8 s per ivf_knn call
+    at k=8, dim=64, and it serializes on the driver, which is why
+    emb_semantic_dedup scaled BACKWARDS with cores in PERF_r14). The
+    parsed expression is operator-identical — same aggregate/zip_with
+    fold, same named_struct/array_sort, double literals round-trip via
+    repr — pinned against the Column form in
+    tests/test_r15_optimizations.py. A Column argument keeps the
+    original builder (the reference twin the tests compare against)."""
     from ehr_data_pipeline_spark.operators.text_analysis import let_bound
+
+    if isinstance(vec, str):
+        structs = ", ".join(
+            f"named_struct('dist', {_sq_dist_sql('__vd', cvec)}, 'cid', {int(cid)})"
+            for cid, cvec in centroids
+        )
+        return F.expr(
+            f"transform(array(transform(`{vec}`, x -> CAST(x AS DOUBLE))), "
+            f"__vd -> array_sort(array({structs})))[0]"
+        )
 
     def dists(v: Column) -> Column:
         return F.array_sort(
@@ -744,7 +791,7 @@ def _assign_cells(
     if arrow:
         return _assign_cells_arrow(df, centroids, vec_col, out_col)
     return df.withColumn(
-        out_col, _centroid_dists(F.col(vec_col), centroids)[0]["cid"]
+        out_col, _centroid_dists(vec_col, centroids)[0]["cid"]
     )
 
 
@@ -787,7 +834,7 @@ def train_ivf_centroids(
     dim = len(seed[0][1])
     for _ in range(n_iters):
         assigned = df.select(
-            _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+            _centroid_dists(vec_col, centroids)[0]["cid"].alias("cid"),
             F.col(vec_col).alias("__v"),
         )
         means = assigned.groupBy("cid").agg(
@@ -844,9 +891,9 @@ def ivf_knn(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("__cid"),
+        _centroid_dists(vec_col, centroids)[0]["cid"].alias("__cid"),
     )
-    probes = F.slice(_centroid_dists(F.col(vec_col), centroids), 1, n_probe)
+    probes = F.slice(_centroid_dists(vec_col, centroids), 1, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -1558,7 +1605,7 @@ def build_ivf_index(
         .dropDuplicates([id_col])
         .select(
             F.col(id_col),
-            _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+            _centroid_dists(vec_col, centroids)[0]["cid"].alias("cid"),
             F.col(vec_col),
         )
     )
@@ -1593,7 +1640,7 @@ def ivf_knn_against_index(
     if dim is None or not centroids:
         return _empty_knn(queries, id_col)
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
-    probes = F.slice(_centroid_dists(F.col(vec_col), centroids), 1, n_probe)
+    probes = F.slice(_centroid_dists(vec_col, centroids), 1, n_probe)
     q = (
         ensure_min_partitions(queries.where(keep))
         .dropDuplicates([id_col])

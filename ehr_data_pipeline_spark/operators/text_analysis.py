@@ -135,15 +135,18 @@ def bpe_pair_counts(
     partition to that many rows before the shuffle)."""
     pairs = (
         df.select(F.explode(word_tokens(F.col(text_col))).alias("__w"))
-        # single-char words have no pairs; the filter also guards Spark's
-        # sequence(1, 0), which would COUNT DOWN rather than come back
-        # empty the way DuckDB's range(1, 1) does
+        # single-char words have no pairs (the regex below would also
+        # yield an empty array for them; the filter prunes the rows)
         .filter(F.length("__w") >= 2)
         .select(
+            # ONE native regex scan per word (r15 HOF sweep): the
+            # lookahead captures the 2-gram at every position — exactly
+            # the old transform(sequence, substring(w, i, 2)) values in
+            # order, without an interpreted substring per position
+            # (pinned in tests/test_r15_optimizations.py)
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("__w") - 1),
-                    lambda i: F.substring(F.col("__w"), i, 2),
+                F.regexp_extract_all(
+                    F.col("__w"), F.lit("(?s)(?=(.{2}))."), F.lit(1)
                 )
             ).alias("pair")
         )
@@ -318,19 +321,24 @@ def bpe_symbol_pair_counts(
     bounded by the live vocabulary squared — map-side combine collapses
     each partition before the shuffle."""
     a = F.split(F.col("syms"), sep)
+    m = F.size(F.col("__a")) - 1
     return (
         state.select(a.alias("__a"))
-        # guard sequence(1, 0), which would count DOWN (see
-        # bpe_pair_counts) — single-symbol words have no pairs
+        # single-symbol words have no pairs (and m = 0 would make the
+        # zipped slices empty anyway; the filter prunes the rows)
         .filter(F.size("__a") >= 2)
         .select(
+            # adjacent pairs as arrays_zip of the two shifted slices (r15
+            # HOF sweep): ArraysZip/Slice are ordinary codegen
+            # expressions, replacing a transform(sequence, struct(
+            # element_at i, element_at i+1)) whose interpreted element_at
+            # pair ran per symbol position. Same (l, r) rows in the same
+            # order — slice(a,1,m)[j] = a[j], slice(a,2,m)[j] = a[j+1] —
+            # pinned in tests/test_r15_optimizations.py.
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__a") - 1),
-                    lambda i: F.struct(
-                        F.element_at("__a", i).alias("l"),
-                        F.element_at("__a", i + 1).alias("r"),
-                    ),
+                F.arrays_zip(
+                    F.slice(F.col("__a"), 1, m).alias("l"),
+                    F.slice(F.col("__a"), 2, m).alias("r"),
                 )
             ).alias("__p")
         )
@@ -929,18 +937,44 @@ def language_id(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def ngrams(col: Column, n: int = 2) -> Column:
-    """Word n-grams as an array column (in-row, no shuffle): zip shifted
-    slices of the token array."""
-    toks = whitespace_tokens(col)
+def word_ngram_strings(nt: Column, n: int) -> Column:
+    """All word ``n``-grams of an ALREADY-NORMALIZED text (trimmed,
+    single-space separated — :func:`normalize_text` output) as an
+    array<string>, in token order, via ONE native regex scan (r15 HOF
+    sweep). The pattern ``(?=((?:[^ ]+ ){n-1}[^ ]+))[^ ]+ ?`` captures n
+    space-joined tokens by lookahead while consuming exactly one token
+    plus its separator, so successive matches land on successive token
+    starts — replacing the ``transform(sequence(...),
+    concat_ws(slice(toks, i, n)))`` shape whose interpreted slice+join
+    ran per token position (HOF lambdas are CodegenFallback). Exactness:
+    the captured substring IS the concat_ws(" ", slice(...)) value
+    because normalized text separates tokens with single spaces; once
+    fewer than n tokens remain no position can match (advancing into a
+    token never increases the remaining token count), so there are
+    exactly max(0, n_tokens−n+1) matches in order. Texts with fewer than
+    n tokens yield the empty array, matching the callers' old
+    ``size(toks) >= n`` guard; n=1 degenerates to the token split
+    (including the single empty token of an empty text, which the regex
+    form would drop). Pinned against the old expressions in
+    tests/test_r15_optimizations.py."""
     if n == 1:
-        return toks
-    size = F.size(toks)
-    out = F.slice(toks, 1, F.greatest(size - (n - 1), F.lit(0)))
-    for i in range(1, n):
-        nxt = F.slice(toks, i + 1, F.greatest(size - (n - 1), F.lit(0)))
-        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
-    return out
+        return F.split(nt, " ")
+    pat = f"(?=((?:[^ ]+ ){{{n - 1}}}[^ ]+))[^ ]+ ?"
+    return F.regexp_extract_all(nt, F.lit(pat), F.lit(1))
+
+
+def ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams as an array column (in-row, no shuffle): one native
+    regex scan over the normalized text (:func:`word_ngram_strings`; the
+    r14/r15 CodegenFallback lever — the old shape zip_with-merged n
+    shifted slices of the token array, paying an interpreted concat per
+    token position per shift). Value-identical: the zip_with chain
+    produced exactly the space-joined runs of n consecutive tokens, which
+    is what the regex captures (pinned in
+    tests/test_r15_optimizations.py)."""
+    if n == 1:
+        return whitespace_tokens(col)
+    return word_ngram_strings(normalize_text(col), n)
 
 
 def top_ngrams(
@@ -981,18 +1015,30 @@ def portable_hash60(col: Column) -> Column:
 
 def kgram_hash_seq(col: Column, k: int = 8) -> Column:
     """Positional character k-gram hash sequence over the normalized text —
-    the rolling-hash stream that winnowing samples from. In-row and narrow
-    (transform over a sequence); texts shorter than k yield one hash of the
-    whole text, so every non-null doc gets >=1 fingerprint. The normalized
-    text is let-bound so the regex normalization runs once per doc, not
-    once per k-gram position."""
+    the rolling-hash stream that winnowing samples from. In-row and narrow;
+    texts shorter than k yield one hash of the whole text, so every non-null
+    doc gets >=1 fingerprint. The normalized text is let-bound so the regex
+    normalization runs once per doc, not once per k-gram position.
+
+    K-gram extraction is ONE native regex scan — ``(?s)(?=(.{k})).``, the
+    same lookahead-capture idiom as :func:`~..text_dedup.shingle_set` (r14)
+    — instead of a ``transform(sequence(...), substr)`` whose interpreted
+    substr ran once per character position (HOF lambdas are
+    CodegenFallback; r15 sweep of the proven r14 lever). Only the md5/conv
+    hashing of the extracted grams remains inside a transform lambda.
+    Semantics are IDENTICAL: DOTALL ``.`` matches any code point, matches
+    occur at every position left-to-right, the lookahead fails within k-1
+    chars of the end, and texts shorter than k (including empty/null — the
+    whole-text substr equals the text itself there) take the explicit
+    whole-text branch. Pinned against the old expression on the unicode
+    edge corpus + fuzz in tests/test_r15_optimizations.py."""
 
     def stream(nt: Column) -> Column:
-        n_pos = F.greatest(F.length(nt) - (k - 1), F.lit(1))
-        return F.transform(
-            F.sequence(F.lit(1), n_pos),
-            lambda i: portable_hash60(nt.substr(i, F.lit(k))),
-        )
+        grams = F.when(
+            F.length(nt) >= k,
+            F.regexp_extract_all(nt, F.lit(f"(?s)(?=(.{{{k}}}))."), F.lit(1)),
+        ).otherwise(F.array(nt))
+        return F.transform(grams, portable_hash60)
 
     return let_bound(normalize_text(col), stream)
 
@@ -1002,11 +1048,39 @@ def winnow_from_hashes(hs: Column, w: int = 4) -> Column:
     column: the distinct minima of every w-length window, sorted.
     ``hs`` must be a column reference (not the kgram_hash_seq expression
     itself) — embedding the hash-array expression here would re-evaluate
-    the whole md5 stream once per window (O(n·w) md5 calls per doc instead
-    of O(n)); stage it with a select first, as winnow_pairs does."""
-    n_win = F.greatest(F.size(hs) - (w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hs, j, w))
+    the whole md5 stream once per doubling pass; stage it with a select
+    first, as winnow_pairs does.
+
+    Sliding-window minima via the sparse-table DOUBLING trick (r15 HOF
+    sweep): ``least``-merge the array with itself shifted by 1, 2, 4, …
+    (⌈log2 w⌉ ``zip_with`` passes, plus one final overlapping merge for
+    non-power-of-two w), instead of ``transform(sequence(1, n_win),
+    j -> array_min(slice(hs, j, w)))`` — the old shape allocated a
+    w-element slice AND ran an interpreted array_min per window (HOF
+    lambdas are CodegenFallback), O(n·w) interpreted steps against the
+    doubling form's O(n·log w) with no per-window allocation. Windows
+    overlap, and min is idempotent/associative/commutative, so the
+    overlapping final merge is exact; ``least`` skips NULLs exactly like
+    ``array_min``. Docs shorter than w keep the explicit one-window
+    branch (min of the whole array — including the [NULL] result on
+    empty/null input the old shape produced). Value equality with the
+    old expression is pinned in tests/test_r15_optimizations.py."""
+    n = F.size(hs)
+    t, span = hs, 1
+    while span * 2 <= w:
+        m = n - 2 * span + 1
+        t = F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 1 + span, m), lambda a, b: F.least(a, b)
+        )
+        span *= 2
+    if span < w:
+        m = n - w + 1
+        t = F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 1 + (w - span), m),
+            lambda a, b: F.least(a, b),
+        )
+    mins = F.when(n >= w, t).otherwise(
+        F.array(F.array_min(F.slice(hs, 1, w)))
     )
     return F.array_sort(F.array_distinct(mins))
 

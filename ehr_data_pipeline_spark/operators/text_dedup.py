@@ -476,17 +476,29 @@ def minhash_signature(hs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Colum
     H flat transforms do the same H·|sh| multiply-mod-min operations
     with no per-element allocation — measured 1.6× on the signature pass
     at sf0.1 with bit-identical output (min over a multiset is
-    fold-order-free; empty ``sh`` yields NULL mins where the old fold
-    yielded the init sentinel p, but every caller filters
-    ``size(sh) > 0`` upstream and the sentinel was unobservable —
-    equality on non-empty inputs is pinned in
+    fold-order-free; equality on non-empty inputs is pinned in
     tests/test_r14_optimizations.py). ``hs`` is let-bound so an
-    expression argument is evaluated once, not once per hash function."""
+    expression argument is evaluated once, not once per hash function.
+
+    Empty-input contract (ADVICE r14): an empty ``hs`` yields the
+    sentinel signature ``[p, p, ...]`` — the per-position ``coalesce``
+    restores the original fold's init value so a caller that forgets the
+    usual ``size(sh) > 0`` filter gets sentinel signatures (which only
+    band-collide with other empties) instead of NULLs. On non-empty
+    input the coalesce is a no-op (affine images of non-null hashes are
+    never NULL), so the hot path is unchanged; a NULL ``hs`` also maps
+    to the sentinel (the old fold returned NULL there — that input
+    violates the documented precondition either way)."""
     params = [minhash_affine_params(j) for j in range(num_hashes)]
 
     def permuted_min(h_arr: Column, a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(h_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    h_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)
+                )
+            ),
+            F.lit(_MINHASH_P),
         )
 
     return let_bound(
@@ -1078,24 +1090,24 @@ def ngram_contamination(
     (doc_id, n_ngrams, n_contaminated, contamination_ratio) for docs
     with at least ``min_shared`` hits."""
     from ehr_data_pipeline_spark.operators.text_analysis import (
+        normalize_text,
         portable_hash60,
-        whitespace_tokens,
+        word_ngram_strings,
     )
 
     def gram_hashes(df: DataFrame) -> DataFrame:
-        # let-bind the token array: the gram lambda must not capture the
-        # regex tokenization or it re-runs per n-gram position
-        def grams_of(toks: Column) -> Column:
-            g = F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
-            )
-            # guard: sequence(1, x<=0) DESCENDS instead of being empty
-            return F.when(F.size(toks) >= n, g).otherwise(
-                F.array().cast("array<bigint>")
-            )
-
-        grams = let_bound(whitespace_tokens(F.col(text_col)), grams_of)
+        # ONE native regex scan extracts the word n-gram strings (r15 HOF
+        # sweep — the old transform(sequence, concat_ws(slice(toks, i, n)))
+        # paid an interpreted slice+join per token position); only the
+        # portable md5 hashing of the extracted grams stays in a lambda.
+        # word_ngram_strings over normalized text produces EXACTLY the old
+        # concat_ws values in the same order, and its empty array on
+        # fewer-than-n tokens replays the old size(toks) >= n guard
+        # (pinned in tests/test_r15_optimizations.py).
+        grams = F.transform(
+            word_ngram_strings(normalize_text(F.col(text_col)), n),
+            portable_hash60,
+        )
         return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gh"))
 
     corpus_grams = gram_hashes(ensure_min_partitions(corpus))
@@ -1141,21 +1153,21 @@ def token_window_hashes(
     each silently marking unique text duplicated, while 128 bits put the
     birthday term below 10^-12."""
     from ehr_data_pipeline_spark.operators.text_analysis import (
-        let_bound,
-        whitespace_tokens,
+        normalize_text,
+        word_ngram_strings,
     )
 
-    def windows_of(toks: Column) -> Column:
-        wins = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
-        )
-        # guard: sequence(1, x<=0) DESCENDS instead of being empty
-        return F.when(F.size(toks) >= window, wins).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    hashes = let_bound(whitespace_tokens(F.col(text_col)), windows_of)
+    # ONE native regex scan extracts the window strings (r15 HOF sweep —
+    # the old transform(sequence, md5(concat_ws(slice(toks, i, window))))
+    # paid an interpreted slice+join per token position); only the md5 of
+    # each extracted window stays in a lambda. word_ngram_strings produces
+    # EXACTLY the old concat_ws values in the same order — posexplode
+    # positions unchanged — and its empty array on fewer-than-window
+    # tokens replays the old size(toks) >= window guard (pinned in
+    # tests/test_r15_optimizations.py).
+    hashes = F.transform(
+        word_ngram_strings(normalize_text(F.col(text_col)), window), F.md5
+    )
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(hashes).alias("pos", "wh"),
@@ -1557,22 +1569,31 @@ def _simhash_groups(
         (F.col("__pos") == 0).cast("bigint").alias("__head"),
         hcol.alias("__h"),
     )
+    # The per-bit SUM columns and the sketch reconstruction are rendered
+    # as SQL strings (one F.expr parse each) instead of ~6 Column-API
+    # calls per bit: building the 60/64-term trees through py4j cost
+    # ~1.5 s of driver-side construction per query call (measured r15 —
+    # more than half this query's bench time, and it serializes on the
+    # driver). The parsed expressions are operator-identical: SQL `&` is
+    # bitwiseAND, the + chain is left-associative exactly like the old
+    # Python loop, and integer arithmetic has no rounding to preserve.
     agg = hashed.groupBy("id", "__fp").agg(
         F.count(F.lit(1)).alias("__ntok"),
         F.sum("__head").alias("__nrows"),
         *[
-            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+            F.expr(f"sum(shiftright(__h, {b}) & 1) AS __b{b}")
             for b in range(total_bits)
         ],
     )
-    sim = F.lit(0).cast("bigint")
-    for b in range(total_bits):
-        sim = sim + F.shiftleft(
-            (F.col(f"__b{b}") * 2 > F.col("__ntok")).cast("bigint"), b
+    sim = F.expr(
+        " + ".join(
+            f"shiftleft(CAST((__b{b} * 2 > __ntok) AS BIGINT), {b})"
+            for b in range(total_bits)
         )
+    )
     rows = agg.select(
         "id",
-        sim.alias("__sim"),
+        sim.cast("bigint").alias("__sim"),
         F.explode(F.sequence(F.lit(1), F.col("__nrows"))).alias("__dup"),
     ).drop("__dup")
     gw = Window.partitionBy("__sim")
@@ -1613,22 +1634,35 @@ def _rep_simhash_pairs(
     a = e.select(
         F.col("id").alias("doc_a"), F.col("__sim").alias("__sa"),
         "band_idx", "band_val",
-    )
+    ).alias("a")
     b = e.select(
         F.col("id").alias("doc_b"), F.col("__sim").alias("__sb"),
         "band_idx", "band_val",
-    )
+    ).alias("b")
+    # The exact Hamming verification rides IN the join condition (r15,
+    # guide §2.3/§3): bit_count(xor) of two longs is nearly free next to
+    # what the old shape paid — shuffling EVERY band collision (plus both
+    # 64-bit sketches and band columns) into a dropDuplicates exchange
+    # and only then filtering. Verified-first is value-identical: hamming
+    # is a pure function of the (doc_a, doc_b) sketches, so dedup-then-
+    # filter and filter-then-dedup keep the same pair set, and the
+    # distinct now carries only verified (doc_a, doc_b, hamming) rows —
+    # answer-sized, not candidate-sized.
     cross = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # sketches are functionally dependent on the ids
-        .dropDuplicates(["doc_a", "doc_b"])
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (hamming64(F.col("__sa"), F.col("__sb")) <= max_distance),
+        )
         .select(
             "doc_a",
             "doc_b",
             hamming64(F.col("__sa"), F.col("__sb")).cast("bigint").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_distance)
+        # sketches (hence hamming) are functionally dependent on the ids
+        .distinct()
     )
     selfp = (
         reps.where(F.col("__n") >= 2)

@@ -7792,11 +7792,11 @@ del _n, _s
 # The driver's correctness sweep covers the first 50 exported queries only.
 # SWEEP_PRIORITY holds the entries whose most recent driver row is oldest
 # (or that never had one), so every registry entry gets a driver row at
-# least every other round. Round 14's list (VERDICT r13 #1): the census
-# over CORRECTNESS_r01..r13 (recomputed from the raw files on this tree)
-# is exactly 50 last-green r13 / 50 r12 / 50 r11, zero never-checked —
-# so this round's window = the full 50-entry r11 tier, making the census
-# floor r12 once CORRECTNESS_r14 lands. Trade-off, made explicitly: the
+# least every third round. Round 15's list (VERDICT r14 #9): the census
+# over CORRECTNESS_r01..r14 (recomputed from the raw files on this tree)
+# is exactly 50 last-green r14 / 50 r13 / 50 r12, zero never-checked —
+# so this round's window = the full 50-entry r12 tier, making the census
+# floor r13 once CORRECTNESS_r15 lands. Trade-off, made explicitly: the
 # queries this demotes past slot 50 lose DRIVER regression coverage for
 # the round, but every registry entry still runs against the identical
 # DuckDB oracle in tests/test_queries_oracle.py (the full-registry
@@ -7804,58 +7804,58 @@ del _n, _s
 # still fails CI — the driver sweep is the independent confirmation,
 # pytest is the compensating gate.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # --- stalest census tier (last driver row r11; census over
-    #     CORRECTNESS_r01..r13: 50 r13 / 50 r12 / 50 r11) ---
-    "clean_events_values",
-    "cube_lineitem_flags",
-    "doc_array_match_extract",
-    "doc_bm25_search",
-    "doc_bpe_trained_token_counts",
-    "doc_bpe_trainer_rounds",
-    "doc_c4_blocklist_audit",
-    "doc_c4_blocklist_filter",
-    "doc_curation_cleaning",
-    "doc_dsir_selection",
-    "doc_exact_dedup_stats",
-    "doc_gopher_quality_report",
-    "doc_hybrid_rrf_search",
-    "doc_jaccard_pairs",
-    "doc_language_id",
-    "doc_name_concat",
-    "doc_pps_token_sample",
-    "doc_repetition_stats",
-    "doc_simhash",
-    "doc_simhash_dup_groups",
-    "doc_split_counts",
-    "doc_text_stats",
-    "doc_token_chunks",
-    "doc_token_extract",
-    "doc_token_histogram",
-    "doc_top_bigrams",
-    "doc_top_tfidf_terms",
-    "doc_unigram_lm_scores",
-    "doc_winnow_pairs",
-    "duplicate_group_stats",
-    "emb_incremental_semantic_dedup",
-    "emb_knn_topk",
-    "emb_lsh_neardup_groups",
-    "emb_semantic_decontamination",
-    "emb_semantic_dedup",
-    "event_route_counts",
-    "event_type_reach",
-    "events_hourly",
-    "events_props_extract",
-    "events_quality_suite",
-    "events_validation_report",
-    "lineitem_first_line_per_order",
-    "missing_profile_orders",
-    "nation_priority_pivot",
-    "nation_trade_pagerank",
-    "parts_top20_by_price",
-    "purchase_events",
-    "repeat_customers_both_years",
-    "rollup_order_stats",
-    "source_prefix_strip",
+    # --- stalest census tier (last driver row r12; census over
+    #     CORRECTNESS_r01..r14: 50 r14 / 50 r13 / 50 r12) ---
+    "customer_order_distribution",
+    "customer_running_order_totals",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "doc_bigram_lm_scores",
+    "doc_bm25_index_search",
+    "doc_bpe_byte_trained_token_counts",
+    "doc_bpe_byte_trainer_rounds",
+    "doc_corpus_build_pipeline",
+    "doc_quality_classifier_scores",
+    "doc_source_capped",
+    "dominant_part_suppliers",
+    "emb_cosine_neardup_pairs",
+    "emb_ivf_index_search",
+    "emb_ivf_knn",
+    "emb_ivf_recall_report",
+    "emb_label_centroids",
+    "emb_lsh_knn",
+    "emb_lsh_neardup_pairs_hi",
+    "emb_lsh_recall_report",
+    "error_recent_click_counts",
+    "event_user_hll",
+    "events_hourly_gapfill",
+    "events_hourly_rollup_merge",
+    "events_user_skew_stats",
+    "events_value_delta",
+    "events_value_quantile_sketch",
+    "late_sole_supplier_ranking",
+    "media_audio_segment_plan",
+    "media_frame_sample_plan",
+    "media_image_channel_stats",
+    "media_image_features",
+    "media_meta_profile",
+    "order_priority_grouping_sets",
+    "order_priority_with_returns",
+    "orders_bloom_prune_stats",
+    "part_cheapest_line_supplier",
+    "purchase_last_click_asof",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "small_quantity_part_revenue",
+    "top_balance_idle_customers",
+    "top_orders_per_customer",
+    "top_revenue_supplier",
+    "union_by_name_roundtrip",
+    "user_cms_accuracy",
+    "user_sessions",
+    "user_weekly_retention",
+    "validator_parity_report",
 )
 
 
@@ -7867,7 +7867,7 @@ _SWEEP_WINDOW = 50
 # the same commit must export the same order on every checkout (the glob
 # counted untracked CORRECTNESS files, so a clean clone and the working
 # tree disagreed on what the driver sweeps — ADVICE r4).
-SWEEP_ROTATION_ROUND = 14
+SWEEP_ROTATION_ROUND = 15
 
 
 def _sweep_order() -> list[str]:

@@ -1474,7 +1474,7 @@ def run_ivf_index_stream(
     keep = F.col(id_col).isNotNull() & valid_vector(F.col(vec_col), dim)
     assigned = vectors.where(keep).select(
         F.col(id_col),
-        _centroid_dists(F.col(vec_col), centroids)[0]["cid"].alias("cid"),
+        _centroid_dists(vec_col, centroids)[0]["cid"].alias("cid"),
         F.col(vec_col),
     )
     query = (

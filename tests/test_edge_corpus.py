@@ -26,7 +26,11 @@ import duckdb
 import pytest
 
 from ehr_data_pipeline_spark.queries import REGISTRY
-from tests.oracle_utils import compare_spark_vs_oracle
+from tests.oracle_utils import (
+    compare_spark_vs_oracle,
+    prefetch_spark_pdfs,
+    unwrap_prefetched,
+)
 
 _OTHER_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -158,11 +162,21 @@ def test_sweep_covers_the_expected_surface():
         assert must in DOC_ONLY
 
 
+@pytest.fixture(scope="module")
+def edge_doc_results(spark, edge_dir):
+    # all sweep queries run CONCURRENTLY once per module (guide §2.6);
+    # each test below just compares its own prefetched frame
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, edge_dir)) for n in DOC_ONLY}
+    )
+
+
 @pytest.mark.parametrize("name", DOC_ONLY)
-def test_edge_corpus_matches_oracle(spark, edge_dir, edge_con, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, edge_dir)
-    compare_spark_vs_oracle(df, edge_con, spec.oracle, name=f"{name}[edge]")
+def test_edge_corpus_matches_oracle(edge_con, edge_doc_results, name):
+    compare_spark_vs_oracle(
+        unwrap_prefetched(edge_doc_results, name), edge_con,
+        REGISTRY[name].oracle, name=f"{name}[edge]",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,11 +305,20 @@ def test_events_sweep_covers_the_expected_surface():
         assert must in EVENTS_ONLY
 
 
+@pytest.fixture(scope="module")
+def edge_events_results(spark, edge_events_dir):
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, edge_events_dir))
+         for n in EVENTS_ONLY}
+    )
+
+
 @pytest.mark.parametrize("name", EVENTS_ONLY)
-def test_edge_events_matches_oracle(spark, edge_events_dir, edge_events_con, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, edge_events_dir)
-    compare_spark_vs_oracle(df, edge_events_con, spec.oracle, name=f"{name}[edge]")
+def test_edge_events_matches_oracle(edge_events_con, edge_events_results, name):
+    compare_spark_vs_oracle(
+        unwrap_prefetched(edge_events_results, name), edge_events_con,
+        REGISTRY[name].oracle, name=f"{name}[edge]",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -489,12 +512,21 @@ def test_relational_sweep_covers_the_expected_surface():
         assert must in RELATIONAL_ONLY
 
 
-@pytest.mark.parametrize("name", RELATIONAL_ONLY)
-def test_edge_relational_matches_oracle(spark, rel_corpus, name):
+@pytest.fixture(scope="module")
+def rel_results(spark, rel_corpus):
     corpus, dir_, con = rel_corpus
-    spec = REGISTRY[name]
-    df = spec.fn(spark, dir_)
-    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[{corpus}]")
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, dir_)) for n in RELATIONAL_ONLY}
+    )
+
+
+@pytest.mark.parametrize("name", RELATIONAL_ONLY)
+def test_edge_relational_matches_oracle(rel_corpus, rel_results, name):
+    corpus, dir_, con = rel_corpus
+    compare_spark_vs_oracle(
+        unwrap_prefetched(rel_results, name), con,
+        REGISTRY[name].oracle, name=f"{name}[{corpus}]",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -595,11 +627,20 @@ def test_embeddings_sweep_covers_the_expected_surface():
         assert must in EMBEDDINGS_ONLY
 
 
+@pytest.fixture(scope="module")
+def edge_emb_results(spark, edge_emb_dir):
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, edge_emb_dir))
+         for n in EMBEDDINGS_ONLY}
+    )
+
+
 @pytest.mark.parametrize("name", EMBEDDINGS_ONLY)
-def test_edge_embeddings_matches_oracle(spark, edge_emb_dir, edge_emb_con, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, edge_emb_dir)
-    compare_spark_vs_oracle(df, edge_emb_con, spec.oracle, name=f"{name}[edge]")
+def test_edge_embeddings_matches_oracle(edge_emb_con, edge_emb_results, name):
+    compare_spark_vs_oracle(
+        unwrap_prefetched(edge_emb_results, name), edge_emb_con,
+        REGISTRY[name].oracle, name=f"{name}[edge]",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -741,12 +782,21 @@ def test_star_sweep_covers_the_expected_surface():
         assert must in STAR_ONLY
 
 
-@pytest.mark.parametrize("name", STAR_ONLY)
-def test_edge_star_matches_oracle(spark, star_corpus, name):
+@pytest.fixture(scope="module")
+def star_results(spark, star_corpus):
     dir_, con = star_corpus
-    spec = REGISTRY[name]
-    df = spec.fn(spark, dir_)
-    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[star]")
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, dir_)) for n in STAR_ONLY}
+    )
+
+
+@pytest.mark.parametrize("name", STAR_ONLY)
+def test_edge_star_matches_oracle(star_corpus, star_results, name):
+    dir_, con = star_corpus
+    compare_spark_vs_oracle(
+        unwrap_prefetched(star_results, name), con,
+        REGISTRY[name].oracle, name=f"{name}[star]",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -884,11 +934,21 @@ def empty_family_dir(tmp_path_factory):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def empty_family_results(spark, empty_family_dir):
+    dir_, con = empty_family_dir
+    names = sorted(set(DOC_ONLY) | set(EVENTS_ONLY) | set(EMBEDDINGS_ONLY))
+    return prefetch_spark_pdfs(
+        {n: (lambda n=n: REGISTRY[n].fn(spark, dir_)) for n in names}
+    )
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(DOC_ONLY) | set(EVENTS_ONLY) | set(EMBEDDINGS_ONLY))
 )
-def test_empty_corpus_matches_oracle(spark, empty_family_dir, name):
+def test_empty_corpus_matches_oracle(empty_family_dir, empty_family_results, name):
     dir_, con = empty_family_dir
-    spec = REGISTRY[name]
-    df = spec.fn(spark, dir_)
-    compare_spark_vs_oracle(df, con, spec.oracle, name=f"{name}[empty]")
+    compare_spark_vs_oracle(
+        unwrap_prefetched(empty_family_results, name), con,
+        REGISTRY[name].oracle, name=f"{name}[empty]",
+    )

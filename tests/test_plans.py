@@ -417,6 +417,13 @@ def test_registry_wide_plan_hygiene(spark):
         _unpartitioned_window_over_unbounded,
     )
 
+    # plan shapes must be audited cache-free: a cached frame left behind
+    # by another test file replaces scan subtrees with InMemoryRelation,
+    # which hides the "provably bounded" markers the auditors look for
+    # (r15: running test_similarity BEFORE this file flagged the whole
+    # emb family as BNLJ-over-unbounded — an order dependence, not a
+    # plan regression; the driver's alphabetical order never trips it)
+    spark.catalog.clearCache()
     offenders = []
     for name in REGISTRY:
         plan = plan_of(spark, name)
