@@ -52,6 +52,57 @@ def _canon_value(v):
     return v
 
 
+def _canon_column(s: pd.Series) -> list:
+    """Column-vectorized :func:`_canon_value`: dtype dispatch replaces a
+    per-cell Python call for the common dtypes (floats, ints, bools,
+    datetimes); object columns keep the per-value path. Semantics are
+    IDENTICAL to mapping _canon_value over the cells — including the
+    NaT-stays-NaT quirk (NaT != NaT, so frames containing null
+    timestamps mismatch, exactly as the row-wise form behaved)."""
+    dt = s.dtype
+    if pd.api.types.is_float_dtype(dt):
+        return [None if v != v else ("__float__", v + 0.0) for v in s.tolist()]
+    if pd.api.types.is_integer_dtype(dt) or pd.api.types.is_bool_dtype(dt):
+        return s.tolist()
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        # naive NaT-free datetimes canonicalize to int64 epoch-nanos —
+        # a C-speed conversion that is resolution-normalized (ns on both
+        # engines, so DuckDB's [us] and Spark's [ns] agree) and, within
+        # the multiset compare, verdict-identical to naive-datetime
+        # objects (both sides map through the same injection). Columns
+        # with NaT keep the object path so the NaT != NaT quirk is
+        # preserved; tz-aware or out-of-ns-range values fall back too.
+        if getattr(dt, "tz", None) is None and not s.isna().any():
+            try:
+                return [
+                    ("__dt__", v)  # tagged: a BIGINT column of epoch
+                    # nanos must not compare equal to a TIMESTAMP column
+                    for v in s.to_numpy().astype("datetime64[ns]")
+                    .astype("int64").tolist()
+                ]
+            except Exception:
+                pass
+        return [
+            v if v is pd.NaT else v.to_pydatetime().replace(tzinfo=None)
+            for v in s
+        ]
+    return [_canon_value(v) for v in s.tolist()]
+
+
+def _canon_multiset(pdf: pd.DataFrame):
+    """Order-insensitive canonical form as a Counter — no sort. Sorting
+    canonical tuples with a stringifying key was the suite's single
+    hottest spot (r15: ONE gapfill compare over a ~10M-row dense grid
+    took 767 s, nearly all in str()-keyed sorting + per-cell canon);
+    multiset equality gives the identical pass/fail verdict (two
+    multisets are equal iff their sorted lists are), and the sorted diff
+    is built only on the failure path for the error message."""
+    from collections import Counter
+
+    cols = sorted(pdf.columns)
+    return Counter(zip(*[_canon_column(pdf[c]) for c in cols])) if len(pdf) else Counter()
+
+
 def canon_rows(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     rows = [
@@ -108,8 +159,16 @@ def compare_spark_vs_oracle(spark_df, con, sql: str, name: str = "?") -> None:
         f"{name}: column mismatch spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
     )
     assert len(spdf) == len(ddf), f"{name}: row count spark={len(spdf)} duck={len(ddf)}"
+    # fast path: multiset equality (same verdict as the sorted zip-wise
+    # compare, without the stringify-keyed sort); the detailed sorted
+    # diff runs only when something actually differs — or when a cell is
+    # unhashable (e.g. a map-typed column), where only the slow path works
+    try:
+        if _canon_multiset(spdf) == _canon_multiset(ddf):
+            return
+    except TypeError:
+        pass
     srows, drows = canon_rows(spdf), canon_rows(ddf)
     n_bad = sum(1 for a, b in zip(srows, drows) if a != b)
-    if n_bad:
-        examples = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
-        raise AssertionError(f"{name}: {n_bad}/{len(srows)} rows differ; first: {examples}")
+    examples = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+    raise AssertionError(f"{name}: {n_bad}/{len(srows)} rows differ; first: {examples}")
